@@ -1,0 +1,184 @@
+"""Lucene-compatible BM25 scoring as declarative DataFrame plans.
+
+Scoring contract (public Lucene ``BM25Similarity``, inherited untouched by
+the reference plugin — SURVEY.md §2.2; reference hybrid ITs build clauses
+from plain ``matchQuery``/``termQuery``,
+``src/test/java/.../query/HybridQueryIT.java:139-141``):
+
+    idf(t)  = ln(1 + (N - n_t + 0.5) / (n_t + 0.5))
+    tfNorm  = tf / (tf + k1 * (1 - b + b * dlq / avgdl))
+    score   = Σ_t idf(t) * tfNorm            (k1=1.2, b=0.75)
+
+where ``dlq`` is the SmallFloat-byte4 *quantized* doc length
+(:mod:`neural_search_spark.index.smallfloat`) and ``avgdl`` is the raw
+(unquantized) mean token count — exactly Lucene's
+``sumTotalTermFreq / docCount``. Lucene ≥ 8 dropped the ``(k1+1)``
+numerator factor (rank-neutral); we follow.
+
+Plan shape (scale notes):
+- query terms are a tiny DataFrame → **broadcast** join against postings;
+  the postings side is filtered *before* any aggregation, so only rows
+  for query terms move.
+- document frequency per term is computed from the filtered postings
+  (postings rows are distinct (term, docID) pairs), then broadcast back.
+- one final ``groupBy(docID)`` shuffle over candidate rows only
+  (|query terms| lists), never the corpus.
+
+Tie-break on equal scores is docID ascending — the reference's
+coordinator merge comparator (``processor/combination/ScoreCombiner.java:43-56``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import term_freq_rows, tokenize_text, term_freqs_udf
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    total_tokens: int
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+
+def quantized_doc_lengths(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """corpus → (docID, dl, dlq). dl via the Arrow tokenizer; the SmallFloat
+    quantization runs JVM-side (bin/shift built-ins) so it stays inside
+    whole-stage codegen."""
+    dl = corpus.select(
+        F.col(id_col).alias("docID"),
+        term_freqs_udf(F.col(text_col)).getField("dl").alias("dl"),
+    )
+    return dl.withColumn("dlq", quantize_length_col("dl"))
+
+
+def quantize_length_col(dl_col_name: str):
+    """SmallFloat byte4 round-trip as a Spark SQL expression (no UDF; the
+    identical string runs on DuckDB for the oracle gate)."""
+    from neural_search_spark.index.smallfloat import quantize_length_sql
+
+    return F.expr(quantize_length_sql(dl_col_name))
+
+
+def corpus_stats_from_doclens(doclens: DataFrame) -> CorpusStats:
+    row = doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    return CorpusStats(n_docs=row["n"], total_tokens=int(row["tot"] or 0))
+
+
+def idf_col(n_docs: int, ndoc_col) -> "F.Column":
+    n = F.lit(float(n_docs))
+    return F.log(F.lit(1.0) + (n - ndoc_col + F.lit(0.5)) / (ndoc_col + F.lit(0.5)))
+
+
+def bm25_clause_scores(
+    spark,
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: CorpusStats,
+    terms: list[str],
+    k1: float = K1,
+    b: float = B,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Score one lexical clause (match/term, OR semantics) → (docID, score).
+
+    ``postings`` is the long-form (docID, term, tf) DataFrame (from
+    :func:`term_freq_rows` or the compressed-index reader); ``doclens``
+    carries (docID, dl, dlq). ``candidate_docs`` (optional, one ``docID``
+    column) restricts *membership* only — per Lucene semantics a pushed
+    filter never changes idf/avgdl, so document frequency is computed
+    before the filter is applied (``HybridQueryBuilder.java:107-122``
+    pushes filters into clauses; Lucene stats stay index-wide).
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        return postings.sparkSession.range(0).select(
+            F.col("id").alias("docID"), F.lit(0.0).alias("score")
+        )
+    qt = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    matched = postings.join(qt, "term")
+    # document frequency per query term over the full corpus: postings rows
+    # are distinct (term, docID), so a plain count is n_t
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("ndoc"))
+    if candidate_docs is not None:
+        matched = matched.join(candidate_docs.select("docID"), "docID", "semi")
+    matched = matched.join(F.broadcast(dfreq), "term").join(doclens, "docID")
+    avgdl = F.lit(stats.avgdl)
+    tf = F.col("tf").cast("double")
+    tf_norm = tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl))
+    term_score = idf_col(stats.n_docs, F.col("ndoc")) * tf_norm
+    return matched.groupBy("docID").agg(F.sum(term_score).alias("score"))
+
+
+def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """Reference final cut: score desc, docID asc tie-break
+    (``ScoreCombiner.java:43-56,204-209``)."""
+    return scored.orderBy(F.desc(score_col), F.asc("docID")).limit(k)
+
+
+class BM25Engine:
+    """Convenience wrapper binding a corpus to its derived artifacts.
+
+    The DataFrame-path engine: everything below is lazily-declared Spark
+    plans; Catalyst handles pushdown/pruning. The compressed block-max
+    index path lives in :mod:`neural_search_spark.index.builder` /
+    :mod:`neural_search_spark.search.wand`.
+    """
+
+    def __init__(self, spark, corpus: DataFrame, text_col: str = "content", id_col: str = "docID"):
+        self.spark = spark
+        self.corpus = corpus
+        self.text_col = text_col
+        self.id_col = id_col
+        self.postings = term_freq_rows(corpus, text_col, id_col)
+        self.doclens = quantized_doc_lengths(corpus, text_col, id_col)
+        self._stats: CorpusStats | None = None
+
+    def cache(self) -> "BM25Engine":
+        """Materialize derived tables once for repeated queries (query-time
+        hot path; at scale this is the persisted postings index instead)."""
+        self.postings = self.postings.cache()
+        self.doclens = self.doclens.cache()
+        return self
+
+    @property
+    def stats(self) -> CorpusStats:
+        if self._stats is None:
+            self._stats = corpus_stats_from_doclens(self.doclens)
+        return self._stats
+
+    def match(
+        self,
+        query_text: str,
+        k1: float = K1,
+        b: float = B,
+        filter_expr: str | None = None,
+    ) -> DataFrame:
+        """``match`` query: analyze the text, OR the terms (Lucene default).
+        ``filter_expr`` is a SQL predicate over corpus columns, pushed into
+        the clause (restricts candidates, not stats)."""
+        cand = self.corpus.where(filter_expr).select(F.col(self.id_col).alias("docID")) if filter_expr else None
+        return bm25_clause_scores(
+            self.spark, self.postings, self.doclens, self.stats,
+            tokenize_text(query_text), k1=k1, b=b, candidate_docs=cand,
+        )
+
+    def term(self, term: str, k1: float = K1, b: float = B) -> DataFrame:
+        """``term`` query: single unanalyzed term."""
+        return bm25_clause_scores(
+            self.spark, self.postings, self.doclens, self.stats, [term], k1=k1, b=b
+        )
+
+    def match_topk(self, query_text: str, k: int = 10) -> DataFrame:
+        return topk(self.match(query_text), k)
