@@ -19,12 +19,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from neural_search_spark import oracle_sql as osql
 from neural_search_spark.corpus import corpus_from_documents
 from neural_search_spark.search.bm25 import BM25Engine, topk
+from neural_search_spark.search.hybrid import hybrid_raw_sum, hybrid_search
 
 # fixed query texts (terms from the synthetic documents vocabulary)
 Q_MATCH = "table value spark"
 Q_TERM = "spark"
 Q_FILTERED = "join merge hash"
 FILTER_PRED = "repo = 'src7'"
+HYBRID_CLAUSES = ("table value spark", "join merge hash window")
+HYBRID_CLAUSES_3 = ("table value spark", "join merge hash window", "customer stream")
+HYBRID_DEPTH = 50
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
@@ -64,9 +68,50 @@ def q_corpus_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid(spark, sf_dir, norm, comb, weights=None, clauses=HYBRID_CLAUSES, k=10):
+    eng = _engine(spark, sf_dir)
+    clause_dfs = [eng.match(t) for t in clauses]
+    out = hybrid_search(
+        clause_dfs, norm, comb, weights=weights, k=k, depth=HYBRID_DEPTH
+    )
+    return _round_score(out)
+
+
+def q_hybrid_minmax_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, "min_max", "arithmetic_mean")
+
+
+def q_hybrid_minmax_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, "min_max", "arithmetic_mean", weights=[0.3, 0.7])
+
+
+def q_hybrid_l2_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, "l2", "harmonic_mean")
+
+
+def q_hybrid_zscore_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, "z_score", "geometric_mean")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, "rrf", "rrf", clauses=HYBRID_CLAUSES_3)
+
+
+def q_hybrid_agg_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    return (
+        scored.join(eng.corpus.select(F.col("docID"), "repo"), "docID")
+        .groupBy("repo")
+        .agg(F.count("*").alias("doc_count"), F.round(F.sum("score"), 4).alias("sum_score"))
+        .orderBy("repo")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_bm25_match_topk(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: hybrid BM25 two-clause
+    min_max + arithmetic_mean (the reference's default pipeline)."""
+    return q_hybrid_minmax_arith(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -76,18 +121,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "doclen_quantized": q_doclen_quantized,
         "corpus_adapter": q_corpus_adapter,
+        "hybrid_minmax_arith": q_hybrid_minmax_arith,
+        "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
+        "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
+        "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from neural_search_spark.analysis.tokenizer import tokenize_text
 
+    tt = tokenize_text
+    h2 = [tt(c) for c in HYBRID_CLAUSES]
+    h3 = [tt(c) for c in HYBRID_CLAUSES_3]
     return {
-        "bm25_match_topk": osql.bm25_topk_sql(tokenize_text(Q_MATCH), k=10),
+        "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "bm25_term_topk": osql.bm25_topk_sql([Q_TERM], k=10),
         "bm25_filtered_topk": osql.bm25_topk_sql(
-            tokenize_text(Q_FILTERED), k=10, doc_filter=FILTER_PRED
+            tt(Q_FILTERED), k=10, doc_filter=FILTER_PRED
         ),
         "doclen_quantized": osql.doclen_quantized_sql(),
         "corpus_adapter": osql.corpus_adapter_sql(),
+        "hybrid_minmax_arith": osql.hybrid_topk_sql(h2, "min_max", "arithmetic_mean", depth=HYBRID_DEPTH),
+        "hybrid_minmax_weighted": osql.hybrid_topk_sql(
+            h2, "min_max", "arithmetic_mean", weights=[0.3, 0.7], depth=HYBRID_DEPTH
+        ),
+        "hybrid_l2_harmonic": osql.hybrid_topk_sql(h2, "l2", "harmonic_mean", depth=HYBRID_DEPTH),
+        "hybrid_zscore_geometric": osql.hybrid_topk_sql(h2, "z_score", "geometric_mean", depth=HYBRID_DEPTH),
+        "hybrid_rrf": osql.hybrid_topk_sql(h3, "rrf", "rrf", depth=HYBRID_DEPTH),
+        "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
     }

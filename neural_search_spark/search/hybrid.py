@@ -1,0 +1,221 @@
+"""Hybrid query: per-clause scoring → normalization → combination → top-k.
+
+Reproduces the reference's normalization-processor workflow
+(``processor/NormalizationProcessorWorkflow.java:64-107``) as one
+declarative DataFrame plan:
+
+- 1..5 sub-queries (``HybridQueryBuilder.java:67`` MAX_NUMBER_OF_SUB_QUERIES),
+  each scored independently; a pushed ``filter`` restricts every clause
+  (``HybridQueryBuilder.java:107-122``).
+- per-clause candidate depth: the reference collects ``numHits =
+  pagination_depth ?? size`` docs per clause *before* normalization
+  (``HybridCollectorManager.java:102,591-607``); we cut each clause to
+  ``depth`` by (score desc, docID asc).
+- normalization stats are **global per clause** across all shards
+  (``MinMaxScoreNormalizationTechnique.java:140-147``) — a plain global
+  aggregate here.
+- combination sees a zero-filled float array per doc
+  (``ScoreCombiner.java:291-305``): absent clauses contribute 0.0 and DO
+  count in the arithmetic-mean denominator.
+- final cut: combined score desc, docID asc (``ScoreCombiner.java:43-56``),
+  optional post_filter (membership only, ``HybridCollectorManager.java:121-133``)
+  and collapse (best doc per field value,
+  ``search/collector/HybridCollapsingTopDocsCollector.java``).
+
+Scale shape: clause scores are unioned long-form ``(docID, clause, score)``
+and pivoted in a single groupBy — one shuffle for any clause count,
+instead of k-1 outer joins. Normalization stats are 1-row aggregates
+cross-joined back (broadcast, no extra shuffle of the data).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+MAX_SUB_QUERIES = 5  # HybridQueryBuilder.java:67
+MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java MIN_SCORE
+
+NORMALIZATIONS = ("min_max", "l2", "z_score", "rrf")
+COMBINATIONS = ("arithmetic_mean", "harmonic_mean", "geometric_mean", "rrf")
+
+
+def validate_weights(weights: list[float] | None, n_clauses: int) -> None:
+    """``ScoreCombinationUtil.java:120-141``: each weight ∈ [0,1], sum 1.0±0.01."""
+    if weights is None:
+        return
+    if len(weights) != n_clauses:
+        raise ValueError("number of weights must match number of clauses")
+    if any(w < 0.0 or w > 1.0 for w in weights):
+        raise ValueError("all weights must be in [0.0, 1.0]")
+    if abs(sum(weights) - 1.0) > 0.01:
+        raise ValueError("sum of weights must be 1.0 (±0.01)")
+
+
+def validate_technique_pair(normalization: str, combination: str) -> None:
+    """rrf normalization only pairs with rrf combination
+    (``ScoreNormalizationFactory.java:38-44,82-93``)."""
+    if normalization not in NORMALIZATIONS:
+        raise ValueError(f"unknown normalization {normalization}")
+    if combination not in COMBINATIONS:
+        raise ValueError(f"unknown combination {combination}")
+    if (normalization == "rrf") != (combination == "rrf"):
+        raise ValueError("rrf normalization must be paired with rrf combination")
+
+
+def clause_depth_cut(scored: DataFrame, depth: int | None) -> DataFrame:
+    """Per-clause collection depth (numHits): keep top ``depth`` docs by
+    (score desc, docID asc). ``None`` keeps all matches."""
+    if depth is None:
+        return scored
+    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(depth)
+
+
+def normalize_clause(
+    scored: DataFrame, technique: str, rank_constant: int = 60
+) -> DataFrame:
+    """(docID, score) → (docID, nscore), reference edge cases included."""
+    s = F.col("score")
+    if technique == "min_max":
+        stats = scored.agg(F.min("score").alias("_mn"), F.max("score").alias("_mx"))
+        df = scored.crossJoin(F.broadcast(stats))
+        raw = (s - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+        n = (
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))  # single/equal-score → 1.0
+            .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+        )
+        return df.select("docID", n.alias("nscore"))
+    if technique == "l2":
+        stats = scored.agg(F.sqrt(F.sum(s * s)).alias("_norm"))
+        df = scored.crossJoin(F.broadcast(stats))
+        n = F.when(F.col("_norm") == 0.0, F.lit(0.0)).otherwise(s / F.col("_norm"))
+        return df.select("docID", n.alias("nscore"))
+    if technique == "z_score":
+        stats = scored.agg(
+            F.avg("score").alias("_mean"),
+            F.coalesce(F.stddev_samp("score"), F.lit(0.0)).alias("_sd"),
+            F.max("score").alias("_mx"),
+            F.min("score").alias("_mn"),
+        )
+        df = scored.crossJoin(F.broadcast(stats))
+        z = (s - F.col("_mean")) / F.col("_sd")
+        n = (
+            F.when(s == F.col("_mean"), F.col("_mx"))  # s==mean → clause max
+            .when(F.col("_sd") == 0.0, F.col("_mn"))  # sd==0 → clause min
+            .otherwise(F.when(z <= 0.0, F.lit(MIN_SCORE)).otherwise(z))
+        )
+        return df.select("docID", n.alias("nscore"))
+    if technique == "rrf":
+        # 1/(rank_constant + pos + 1), BigDecimal scale 10 HALF_UP
+        # (RRFNormalizationTechnique.java:136-138); rank within the clause's
+        # collected order = score desc, docID asc
+        w = Window.orderBy(F.desc("score"), F.asc("docID"))
+        rn = F.row_number().over(w)
+        n = F.round(F.lit(1.0) / (F.lit(rank_constant) + rn), 10)
+        return scored.select("docID", n.alias("nscore"))
+    raise ValueError(technique)
+
+
+def combine_clauses(
+    normalized: list[DataFrame],
+    technique: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Per-doc combination over zero-filled per-clause score columns."""
+    n = len(normalized)
+    validate_weights(weights, n)
+    w = weights or [1.0] * n
+    long = reduce(
+        DataFrame.unionByName,
+        [
+            df.select(
+                F.col("docID"),
+                F.lit(i).alias("_c"),
+                F.col([c for c in df.columns if c != "docID"][0]).alias("nscore"),
+            )
+            for i, df in enumerate(normalized)
+        ],
+    )
+    # one shuffle: pivot clause scores into columns, zero-fill absent
+    wide = long.groupBy("docID").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("_c") == i, F.col("nscore"))), F.lit(0.0)).alias(f"s_{i}")
+            for i in range(n)
+        ]
+    )
+    cols = [F.col(f"s_{i}") for i in range(n)]
+    if technique == "arithmetic_mean":
+        # s >= 0 always holds post-zero-fill → all weights in denominator
+        # (ArithmeticMeanScoreCombinationTechnique.java:42-60)
+        num = reduce(lambda a, b: a + b, [c * F.lit(wi) for c, wi in zip(cols, w)])
+        den = F.lit(float(sum(w)))
+        comb = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    elif technique == "harmonic_mean":
+        # zeros skipped (HarmonicMeanScoreCombinationTechnique.java:41-56)
+        sw = reduce(lambda a, b: a + b, [F.when(c > 0.0, F.lit(wi)).otherwise(F.lit(0.0)) for c, wi in zip(cols, w)])
+        sh = reduce(lambda a, b: a + b, [F.when(c > 0.0, F.lit(wi) / c).otherwise(F.lit(0.0)) for c, wi in zip(cols, w)])
+        comb = F.when(sh > 0.0, sw / sh).otherwise(F.lit(0.0))
+    elif technique == "geometric_mean":
+        # exp(Σ w·ln s / Σ w) over s>0 (GeometricMeanScoreCombinationTechnique.java:43-59)
+        sw = reduce(lambda a, b: a + b, [F.when(c > 0.0, F.lit(wi)).otherwise(F.lit(0.0)) for c, wi in zip(cols, w)])
+        sl = reduce(lambda a, b: a + b, [F.when(c > 0.0, F.lit(wi) * F.log(c)).otherwise(F.lit(0.0)) for c, wi in zip(cols, w)])
+        comb = F.when(sw == 0.0, F.lit(0.0)).otherwise(F.exp(sl / sw))
+    elif technique == "rrf":
+        # weighted SUM, not mean (RRFScoreCombinationTechnique.java:39-62)
+        comb = reduce(lambda a, b: a + b, [c * F.lit(wi) for c, wi in zip(cols, w)])
+    else:
+        raise ValueError(technique)
+    return wide.select("docID", comb.alias("score"), *[F.col(f"s_{i}") for i in range(n)])
+
+
+def hybrid_raw_sum(clause_scores: list[DataFrame]) -> DataFrame:
+    """Aggregation-path scoring (§2.7): each doc matched by any clause is
+    seen once with score = SUM of raw sub-query scores
+    (``query/HybridQueryScorer.java:104-120``, ``HybridSubQueryScorer.java:28-36``).
+    """
+    long = reduce(DataFrame.unionByName, [df.select("docID", "score") for df in clause_scores])
+    return long.groupBy("docID").agg(F.sum("score").alias("score"))
+
+
+def hybrid_search(
+    clause_scores: list[DataFrame],
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    k: int = 10,
+    depth: int | None = None,
+    rank_constant: int = 60,
+    post_filter_docs: DataFrame | None = None,
+    collapse: tuple[DataFrame, str] | None = None,
+    keep_clause_columns: bool = False,
+) -> DataFrame:
+    """Full hybrid pipeline over pre-scored clauses → top-k (docID, score).
+
+    ``clause_scores``: per-clause (docID, score) DataFrames (raw scores).
+    ``depth``: per-clause collection depth (pagination_depth ?? size).
+    ``post_filter_docs``: docID membership filter applied after scoring,
+    before the final cut (post_filter semantics).
+    ``collapse``: (docs_df, field) — keep the best doc per field value.
+    """
+    if not 1 <= len(clause_scores) <= MAX_SUB_QUERIES:
+        raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
+    validate_technique_pair(normalization, combination)
+    cut = [clause_depth_cut(df, depth) for df in clause_scores]
+    normalized = [normalize_clause(df, normalization, rank_constant) for df in cut]
+    combined = combine_clauses(normalized, combination, weights)
+    if post_filter_docs is not None:
+        combined = combined.join(post_filter_docs.select("docID"), "docID", "semi")
+    if collapse is not None:
+        docs_df, field = collapse
+        combined = combined.join(docs_df.select("docID", field), "docID")
+        w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("docID"))
+        combined = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", field)
+        )
+    out_cols = ["docID", "score"] + (
+        [c for c in combined.columns if c.startswith("s_")] if keep_clause_columns else []
+    )
+    return combined.select(*out_cols).orderBy(F.desc("score"), F.asc("docID")).limit(k)
