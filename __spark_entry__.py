@@ -31,8 +31,19 @@ HYBRID_CLAUSES_3 = ("table value spark", "join merge hash window", "customer str
 HYBRID_DEPTH = 50
 
 
+_ENGINES: dict[tuple[int, str], BM25Engine] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
-    return BM25Engine(spark, corpus_from_documents(spark, sf_dir), text_col="content", id_col="docID")
+    """One cached engine per (session, corpus): the index is built once and
+    queried many times — the reference's index/query split."""
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        eng = BM25Engine(
+            spark, corpus_from_documents(spark, sf_dir), text_col="content", id_col="docID"
+        ).cache()
+        _ENGINES[key] = eng
+    return _ENGINES[key]
 
 
 def _round_score(df: DataFrame) -> DataFrame:
