@@ -32,6 +32,25 @@ HYBRID_DEPTH = 50
 
 
 _ENGINES: dict[tuple[int, str], BM25Engine] = {}
+_INDEXES: dict[tuple[int, str], "object"] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Compressed block-max index per (session, corpus), built once under
+    /tmp and reused — the persisted-index query path."""
+    import hashlib
+    import os
+
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.search.wand import BlockMaxIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _INDEXES:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        d = os.path.join("/tmp", f"nss_index_{tag}")
+        build_index(spark, corpus_from_documents(spark, sf_dir), d, n_shards=8)
+        _INDEXES[key] = BlockMaxIndex(spark, d).cache()
+    return _INDEXES[key]
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
@@ -63,6 +82,13 @@ def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match(Q_FILTERED, filter_expr=FILTER_PRED), 10))
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same match query through the compressed block-max index (WAND path);
+    must be rank- and score-identical to the DataFrame path, so it shares
+    bm25_match_topk's oracle."""
+    return _round_score(_index(spark, sf_dir).match_topk(Q_MATCH, k=10))
 
 
 def q_doclen_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
         "doclen_quantized": q_doclen_quantized,
         "corpus_adapter": q_corpus_adapter,
         "hybrid_minmax_arith": q_hybrid_minmax_arith,
@@ -153,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered_topk": osql.bm25_topk_sql(
             tt(Q_FILTERED), k=10, doc_filter=FILTER_PRED
         ),
+        "bm25_wand_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "doclen_quantized": osql.doclen_quantized_sql(),
         "corpus_adapter": osql.corpus_adapter_sql(),
         "hybrid_minmax_arith": osql.hybrid_topk_sql(h2, "min_max", "arithmetic_mean", depth=HYBRID_DEPTH),
