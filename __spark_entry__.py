@@ -145,6 +145,147 @@ def q_hybrid_agg_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_DELIM = "table"
+SPARSE_QTOK = {"spark": 1.2, "table": 0.8, "join": 2.0, "data": 0.5}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"), "lang", "n_chars"
+    )
+
+
+def q_chunk_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.analysis.chunking import chunk_table
+
+    c = corpus_from_documents(spark, sf_dir)
+    return chunk_table(c, "content", "docID", "delimiter", delimiter=CHUNK_DELIM).orderBy(
+        "docID", "chunk_idx"
+    )
+
+
+def q_chunk_fixed_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.analysis.chunking import chunk_table
+
+    c = corpus_from_documents(spark, sf_dir)
+    return chunk_table(
+        c, "content", "docID", "fixed_char_length", char_limit=64, overlap_rate=0.25
+    ).orderBy("docID", "chunk_idx")
+
+
+def q_chunk_fixed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.analysis.chunking import chunk_table
+
+    c = corpus_from_documents(spark, sf_dir)
+    chunks = chunk_table(
+        c, "content", "docID", "fixed_token_length", token_limit=20, overlap_rate=0.25
+    )
+    counts = chunks.groupBy("docID").agg(F.count("*").alias("n_chunks"))
+    return (
+        c.select("docID")
+        .join(counts, "docID", "left")
+        .select("docID", F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"))
+        .orderBy("docID")
+    )
+
+
+def _sparse_postings(spark: SparkSession, sf_dir: str, prune=None) -> DataFrame:
+    from neural_search_spark.search.sparse import (
+        prune_map_udf,
+        sparse_features_from_tf,
+        sparse_postings,
+    )
+
+    feats = sparse_features_from_tf(corpus_from_documents(spark, sf_dir))
+    if prune is not None:
+        ptype, ratio = prune
+        feats = feats.select("docID", prune_map_udf(ptype, ratio)("features").alias("features"))
+    return sparse_postings(feats)
+
+
+def q_sparse_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.sparse import neural_sparse_score
+
+    scored = neural_sparse_score(spark, _sparse_postings(spark, sf_dir), SPARSE_QTOK)
+    return _round_score(topk(scored, 10))
+
+
+def q_sparse_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.sparse import two_phase_topk
+
+    out = two_phase_topk(
+        spark, _sparse_postings(spark, sf_dir), SPARSE_QTOK, k=10, expansion_rate=5.0
+    )
+    return _round_score(out)
+
+
+def q_sparse_doc_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.sparse import neural_sparse_score
+
+    postings = _sparse_postings(spark, sf_dir, prune=("max_ratio", 0.4))
+    return _round_score(topk(neural_sparse_score(spark, postings, SPARSE_QTOK), 10))
+
+
+def q_rerank_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.ops import rerank_by_field
+
+    eng = _engine(spark, sf_dir)
+    cand = topk(eng.match(Q_MATCH), 50)
+    return rerank_by_field(cand, _documents(spark, sf_dir), "n_chars").limit(10)
+
+
+def q_sort_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.ops import search_after, sort_by_fields
+
+    eng = _engine(spark, sf_dir)
+    cand = topk(eng.match(Q_MATCH), 50)
+    s = sort_by_fields(cand, _documents(spark, sf_dir), [("lang", True)])
+    return search_after(s, [("lang", True)], ["es", 100]).limit(10)
+
+
+def q_hybrid_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    from neural_search_spark.search.ops import paginate
+
+    clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
+    full = hybrid_search(
+        clause_dfs, "min_max", "arithmetic_mean", k=HYBRID_DEPTH, depth=HYBRID_DEPTH
+    )
+    return _round_score(paginate(full, 10, 10, pagination_depth=HYBRID_DEPTH))
+
+
+def q_hybrid_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.search.ops import collapse_best_per_field
+
+    eng = _engine(spark, sf_dir)
+    clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
+    combined = hybrid_search(
+        clause_dfs, "min_max", "arithmetic_mean", k=1000, depth=HYBRID_DEPTH
+    )
+    best = collapse_best_per_field(combined, _documents(spark, sf_dir), "lang")
+    return best.select("docID", "lang", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("docID")
+    ).limit(10)
+
+
+def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
+    out = hybrid_search(
+        clause_dfs,
+        "min_max",
+        "arithmetic_mean",
+        k=10,
+        depth=HYBRID_DEPTH,
+        keep_clause_columns=True,
+    )
+    return out.select(
+        "docID",
+        F.round("score", 4).alias("score"),
+        *[F.round(f"s_{i}", 4).alias(f"clause_{i}") for i in range(len(HYBRID_CLAUSES))],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid BM25 two-clause
     min_max + arithmetic_mean (the reference's default pipeline)."""
@@ -165,6 +306,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
+        "chunk_delimiter": q_chunk_delimiter,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
+        "sparse_score_topk": q_sparse_score_topk,
+        "sparse_two_phase_topk": q_sparse_two_phase_topk,
+        "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
+        "rerank_by_field": q_rerank_by_field,
+        "sort_search_after": q_sort_search_after,
+        "hybrid_paginated": q_hybrid_paginated,
+        "hybrid_collapse_lang": q_hybrid_collapse_lang,
+        "hybrid_explain": q_hybrid_explain,
     }
 
 
@@ -191,4 +343,19 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_zscore_geometric": osql.hybrid_topk_sql(h2, "z_score", "geometric_mean", depth=HYBRID_DEPTH),
         "hybrid_rrf": osql.hybrid_topk_sql(h3, "rrf", "rrf", depth=HYBRID_DEPTH),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
+        "chunk_delimiter": osql.chunk_delimiter_sql(CHUNK_DELIM),
+        "chunk_fixed_char": osql.chunk_fixed_char_sql(64, 0.25),
+        "chunk_fixed_token_counts": osql.chunk_fixed_token_counts_sql(20, 0.25),
+        "sparse_score_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
+        "sparse_two_phase_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
+        "sparse_doc_pruned_topk": osql.sparse_score_topk_sql(
+            SPARSE_QTOK, k=10, doc_prune=("max_ratio", 0.4)
+        ),
+        "rerank_by_field": osql.rerank_by_field_sql(tt(Q_MATCH), "n_chars", depth=50, k=10),
+        "sort_search_after": osql.sort_search_after_sql(
+            tt(Q_MATCH), depth=50, after_lang="es", after_doc=100, k=10
+        ),
+        "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
+        "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
+        "hybrid_explain": osql.hybrid_explain_sql(h2, k=10, depth=HYBRID_DEPTH),
     }

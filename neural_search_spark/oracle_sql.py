@@ -236,6 +236,211 @@ ORDER BY dls.docID
 """
 
 
+def chunk_delimiter_sql(delimiter: str) -> str:
+    """Delimiter chunker (delimiter kept on the preceding chunk; empty
+    trailing remainder dropped), exploded to (docID, chunk_idx, chunk)."""
+    d = delimiter.replace("'", "''")
+    return f"""
+WITH split AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, string_split(text, '{d}') AS parts
+    FROM documents
+),
+parts AS (
+    SELECT docID,
+           unnest(parts) AS part,
+           unnest(range(1, len(parts) + 1)) AS ord,
+           len(parts) AS n
+    FROM split
+)
+SELECT docID,
+       CAST(ord - 1 AS INT) AS chunk_idx,
+       part || CASE WHEN ord < n THEN '{d}' ELSE '' END AS chunk
+FROM parts
+WHERE NOT (ord = n AND part = '')
+ORDER BY docID, chunk_idx
+"""
+
+
+def chunk_fixed_char_sql(char_limit: int, overlap_rate: float) -> str:
+    """Fixed-char chunker windows as substr arithmetic."""
+    import math
+
+    interval = char_limit - math.floor(char_limit * overlap_rate)
+    return f"""
+WITH c AS (SELECT CAST(doc_id AS BIGINT) AS docID, text, length(text) AS len FROM documents)
+SELECT docID,
+       CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i * {interval} + 1 AS BIGINT),
+              CAST(CASE WHEN i * {interval} + {char_limit} >= len
+                        THEN len - i * {interval} ELSE {char_limit} END AS BIGINT)) AS chunk
+FROM c,
+     (SELECT unnest(range(0, (SELECT CAST(MAX(length(text)) / {interval} AS BIGINT) + 1 FROM documents))) AS i) g
+WHERE len > 0 AND (i = 0 OR (i - 1) * {interval} + {char_limit} < len)
+ORDER BY docID, chunk_idx
+"""
+
+
+def chunk_fixed_token_counts_sql(token_limit: int, overlap_rate: float) -> str:
+    """Fixed-token chunker: chunk COUNT per doc (chunk text needs token
+    offsets, which SQL can't extract — counts depend only on token totals;
+    text equality is asserted by the pure-Python oracle in pytest)."""
+    import math
+
+    step = token_limit - math.floor(token_limit * overlap_rate)
+    return f"""
+WITH n AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS nt
+    FROM documents
+)
+SELECT docID,
+       CAST(CASE WHEN nt = 0 THEN 0
+            ELSE 1 + GREATEST(0, CAST(ceil((nt - {token_limit}) / {step}.0) AS BIGINT))
+       END AS BIGINT) AS n_chunks
+FROM n
+ORDER BY docID
+"""
+
+
+def _qtok_values(query_tokens: dict[str, float]) -> str:
+    return ", ".join(
+        f"('{t}', {repr(float(w))})" for t, w in sorted(query_tokens.items())
+    )
+
+
+def sparse_score_topk_sql(
+    query_tokens: dict[str, float], k: int = 10, doc_prune: tuple[str, float] | None = None
+) -> str:
+    """neural_sparse scoring: doc features = term frequency (exact under
+    FeatureField quantization), score = Σ qw·tf. ``doc_prune`` optionally
+    applies max_ratio/abs_value pruning to the stored doc vectors first."""
+    prune = ""
+    if doc_prune is not None:
+        ptype, ratio = doc_prune
+        if ptype == "max_ratio":
+            prune = f"QUALIFY tf >= {ratio} * MAX(tf) OVER (PARTITION BY docID)"
+        elif ptype == "abs_value":
+            prune = f"QUALIFY tf >= {ratio}"
+        else:
+            raise ValueError(f"no SQL oracle for prune type {ptype}")
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT docID, term, COUNT(*) AS tf FROM toks GROUP BY docID, term {prune}
+),
+q(term, qw) AS (VALUES {_qtok_values(query_tokens)})
+SELECT tf.docID, ROUND(SUM(q.qw * tf.tf), 4) AS score
+FROM tf JOIN q USING (term)
+GROUP BY tf.docID
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def rerank_by_field_sql(terms: list[str], target_field: str, depth: int, k: int) -> str:
+    """BM25 top-``depth`` candidates reranked by a numeric source field."""
+    inner = bm25_topk_sql(terms, k=depth)
+    return f"""
+WITH cand AS ({inner})
+SELECT cand.docID, CAST(d.{target_field} AS DOUBLE) AS score
+FROM cand JOIN documents d ON cand.docID = CAST(d.doc_id AS BIGINT)
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def sort_search_after_sql(terms: list[str], depth: int, after_lang: str, after_doc: int, k: int) -> str:
+    """Sort-by-field (lang asc, docID asc) + search_after cursor."""
+    inner = bm25_topk_sql(terms, k=depth)
+    return f"""
+WITH cand AS ({inner})
+SELECT cand.docID, d.lang
+FROM cand JOIN documents d ON cand.docID = CAST(d.doc_id AS BIGINT)
+WHERE d.lang > '{after_lang}' OR (d.lang = '{after_lang}' AND cand.docID > {after_doc})
+ORDER BY d.lang, cand.docID
+LIMIT {k}
+"""
+
+
+def hybrid_paginated_sql(
+    clause_terms: list[list[str]],
+    from_: int,
+    size: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    inner = hybrid_topk_sql(
+        clause_terms, normalization, combination, k=from_ + size, depth=depth
+    )
+    return f"SELECT * FROM ({inner}) OFFSET {from_} LIMIT {size}"
+
+
+def hybrid_collapse_sql(
+    clause_terms: list[list[str]],
+    field: str,
+    k: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    """Best doc per distinct field value over the combined scores."""
+    n = len(clause_terms)
+    w = [1.0] * n
+    clause_sql = ",".join(_clause_ctes(i, t, 1.2, 0.75, depth, None) for i, t in enumerate(clause_terms))
+    norm_sql = ",".join(_normalize_cte(i, normalization, 60) for i in range(n))
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    return f"""{_PRELUDE},{clause_sql},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
+comb AS (SELECT docID, {_combine_expr(combination, w)} AS score FROM wide),
+best AS (
+    SELECT comb.docID, c.{field} AS {field}, comb.score,
+           ROW_NUMBER() OVER (PARTITION BY c.{field} ORDER BY comb.score DESC, comb.docID) AS rn
+    FROM comb JOIN corpus c ON comb.docID = c.docID
+)
+SELECT docID, {field}, ROUND(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def hybrid_explain_sql(
+    clause_terms: list[list[str]],
+    k: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    """Per-doc breakdown: combined score plus each clause's normalized score
+    (the explanation_response_processor payload as columns)."""
+    n = len(clause_terms)
+    w = [1.0] * n
+    clause_sql = ",".join(_clause_ctes(i, t, 1.2, 0.75, depth, None) for i, t in enumerate(clause_terms))
+    norm_sql = ",".join(_normalize_cte(i, normalization, 60) for i in range(n))
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    out_cols = ", ".join(f"ROUND(s_{i}, 4) AS clause_{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID)
+SELECT docID, ROUND({_combine_expr(combination, w)}, 4) AS score, {out_cols}
+FROM wide
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def corpus_adapter_sql() -> str:
     """The corpus-shape adapter incl. the sha256 invariant column."""
     return """

@@ -1,0 +1,111 @@
+"""Secondary query operators: rerank, sort-by-field, search_after,
+pagination, collapse — thin declarative DataFrame compositions.
+
+Reference parity notes per operator in each docstring; all tie-breaks are
+(score desc, docID asc) per ``processor/combination/ScoreCombiner.java:43-56``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rerank_by_field(
+    results: DataFrame,
+    docs: DataFrame,
+    target_field: str,
+    keep_previous_score: bool = False,
+    id_col: str = "docID",
+) -> DataFrame:
+    """``rerank.by_field`` response processor
+    (``processor/rerank/ByFieldRerankProcessor.java:72-107``): replace the
+    score with a numeric field from the hit source, optionally keeping the
+    previous score as ``previous_score``, then re-sort."""
+    joined = results.join(docs.select(F.col(id_col).alias("docID"), target_field), "docID")
+    cols = [F.col("docID"), F.col(target_field).cast("double").alias("score")]
+    if keep_previous_score:
+        cols.append(F.col("score").alias("previous_score"))
+    return joined.select(*cols).orderBy(F.desc("score"), F.asc("docID"))
+
+
+def sort_by_fields(
+    results: DataFrame,
+    docs: DataFrame,
+    sort_fields: list[tuple[str, bool]],
+    track_scores: bool = False,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Sort-by-field collection
+    (``search/collector/HybridTopFieldDocSortCollector.java``): result order
+    comes from the sort fields (docID as final tie-break); the relevance
+    score column is kept only when ``track_scores``."""
+    joined = results.join(
+        docs.select(F.col(id_col).alias("docID"), *[f for f, _ in sort_fields]), "docID"
+    )
+    order = [F.asc(f) if asc else F.desc(f) for f, asc in sort_fields] + [F.asc("docID")]
+    cols = ["docID"] + [f for f, _ in sort_fields] + (["score"] if track_scores else [])
+    return joined.select(*cols).orderBy(*order)
+
+
+def search_after(
+    sorted_results: DataFrame,
+    sort_fields: list[tuple[str, bool]],
+    cursor: list,
+) -> DataFrame:
+    """``search_after`` (``search/collector/PagingFieldCollector.java``):
+    keep only rows strictly after the cursor in the sort order
+    (lexicographic over the sort fields, docID last)."""
+    fields = [f for f, _ in sort_fields] + ["docID"]
+    ascs = [asc for _, asc in sort_fields] + [True]
+    if len(cursor) != len(fields):
+        raise ValueError("cursor must carry one value per sort field plus docID")
+    pred = F.lit(False)
+    eq = F.lit(True)
+    for f, asc, v in zip(fields, ascs, cursor):
+        cmp = (F.col(f) > F.lit(v)) if asc else (F.col(f) < F.lit(v))
+        pred = pred | (eq & cmp)
+        eq = eq & (F.col(f) == F.lit(v))
+    return sorted_results.where(pred)
+
+
+def paginate(
+    results: DataFrame,
+    from_: int,
+    size: int,
+    pagination_depth: int | None = None,
+    order=None,
+) -> DataFrame:
+    """from/size over the final ranked list. ``from > 0`` requires
+    ``pagination_depth`` (``HybridCollectorManager.java:591-607``), and the
+    window may not reach past the collected depth."""
+    if from_ > 0 and pagination_depth is None:
+        raise ValueError("pagination_depth is required when from > 0")
+    if from_ < 0 or size < 0:
+        raise ValueError("from and size must be non-negative")
+    depth = pagination_depth if pagination_depth is not None else from_ + size
+    if from_ + size > depth:
+        raise ValueError("from + size must not exceed pagination_depth")
+    order = order or [F.desc("score"), F.asc("docID")]
+    w = Window.orderBy(*order)
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > from_) & (F.col("_rn") <= from_ + size))
+        .drop("_rn")
+    )
+
+
+def collapse_best_per_field(
+    results: DataFrame,
+    docs: DataFrame,
+    field: str,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Collapse (``search/collector/HybridCollapsingTopDocsCollector.java``):
+    keep the best-scoring doc per distinct ``field`` value."""
+    joined = results.join(docs.select(F.col(id_col).alias("docID"), field), "docID")
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("docID"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("docID", field, "score")
+    )
