@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neural_search_spark import oracle_sql as osql
+from neural_search_spark.pipeline import sql as psql
 from neural_search_spark.corpus import corpus_from_documents
 from neural_search_spark.search.bm25 import BM25Engine, topk
 from neural_search_spark.search.hybrid import hybrid_raw_sum, hybrid_search
@@ -286,6 +287,122 @@ def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / ANN / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_ID = 0
+FRAME_STRIDE = 64
+MAX_FRAMES = 16
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import exact_dups
+
+    return exact_dups(inject_duplicates(spark, sf_dir)).orderBy("docID")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import minhash_near_dups
+
+    return minhash_near_dups(inject_duplicates(spark, sf_dir)).orderBy("docA", "docB")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import simhash_near_dups
+
+    out = simhash_near_dups(inject_duplicates(spark, sf_dir))
+    return out.select(
+        "docA", "docB", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("docA", "docB")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(inject_duplicates(spark, sf_dir), "lang").orderBy(
+        "docA", "docB"
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.corpus import inject_vector_duplicates
+    from neural_search_spark.pipeline.dedup import embedding_near_dups
+
+    return embedding_near_dups(inject_vector_duplicates(spark, sf_dir)).orderBy(
+        "idA", "idB"
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.ann import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.ann import ann_lsh_topk
+
+    return ann_lsh_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"), F.col("text").alias("content")
+    )
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.textstats import token_counts
+
+    return token_counts(_doc_corpus(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.textstats import lang_id
+
+    return lang_id(_doc_corpus(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.textstats import quality_scores
+
+    return quality_scores(_doc_corpus(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.textstats import fingerprints
+
+    return fingerprints(_doc_corpus(spark, sf_dir))
+
+
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.multimodal import (
+        extract_binary_features,
+        with_binary_payload,
+    )
+
+    return extract_binary_features(with_binary_payload(_doc_corpus(spark, sf_dir)))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.multimodal import frame_sample, with_binary_payload
+
+    return frame_sample(
+        with_binary_payload(_doc_corpus(spark, sf_dir)), FRAME_STRIDE, MAX_FRAMES
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid BM25 two-clause
     min_max + arithmetic_mean (the reference's default pipeline)."""
@@ -317,6 +434,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_paginated": q_hybrid_paginated,
         "hybrid_collapse_lang": q_hybrid_collapse_lang,
         "hybrid_explain": q_hybrid_explain,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -358,4 +488,17 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
         "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
         "hybrid_explain": osql.hybrid_explain_sql(h2, k=10, depth=HYBRID_DEPTH),
+        "dedup_exact": psql.dedup_exact_sql(),
+        "dedup_minhash_lsh": psql.dedup_minhash_sql(),
+        "dedup_simhash": psql.dedup_simhash_sql(),
+        "dedup_ngram_jaccard": psql.dedup_ngram_jaccard_sql(),
+        "dedup_embedding_cosine": psql.dedup_embedding_cosine_sql(),
+        "ann_cosine_topk": psql.ann_cosine_topk_sql(ANN_QUERY_ID, 10),
+        "ann_lsh_topk": psql.ann_lsh_topk_sql(ANN_QUERY_ID, 10),
+        "text_token_counts": psql.text_token_counts_sql(),
+        "text_lang_id": psql.text_lang_id_sql(),
+        "text_quality": psql.text_quality_sql(),
+        "text_fingerprint": psql.text_fingerprint_sql(),
+        "mm_image_meta": psql.mm_image_meta_sql(),
+        "mm_frame_sample": psql.mm_frame_sample_sql(FRAME_STRIDE, MAX_FRAMES),
     }

@@ -107,6 +107,39 @@ def synthetic_code_corpus_pdf(
     return pd.DataFrame(rows)
 
 
+def inject_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dup-injected corpus for the dedup operators (the raw
+    synthetic texts are all distinct): every doc_id % 5 == 0 gets an
+    80%-prefix near-copy at +100000; every doc_id % 7 == 0 an exact copy
+    at +200000. Mirrors ``pipeline/sql.py DUPDOCS_CTE`` byte-for-byte."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"), "lang", F.col("text").alias("content")
+    )
+    near = doc.where(F.col("docID") % 5 == 0).select(
+        (F.col("docID") + 100000).alias("docID"),
+        "lang",
+        F.expr("substring(content, 1, CAST(floor(length(content) * 0.8) AS INT))").alias(
+            "content"
+        ),
+    )
+    exact = doc.where(F.col("docID") % 7 == 0).select(
+        (F.col("docID") + 200000).alias("docID"), "lang", "content"
+    )
+    return doc.unionByName(near).unionByName(exact)
+
+
+def inject_vector_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ exact copies at +100000 for vec_id % 10 == 0
+    (mirrors ``pipeline/sql.py DUPVECS_CTE``)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dups)
+
+
 def assert_sha256_invariant(df: DataFrame, content_col: str = "content", sha_col: str = "content_sha256") -> None:
     """The per-row invariant (BASELINE.json input_hint): recompute
     sha256(content) and compare to the carried column; raises on drift."""

@@ -1,0 +1,346 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All plans are declarative DataFrame ops (JVM-side, whole-stage codegen) —
+no Python in the hot path. Scale notes per operator:
+
+- exact: one shuffle on sha256(content); at 10^12 rows this is the
+  cheapest possible dedup (hash-partitioned groupBy, map-side combine).
+- MinHash+LSH: shingle explode → per-doc signature agg (one shuffle on
+  docID) → band explode → self-join on (band_idx, band_val) (one shuffle
+  on the band key; bucket sizes are bounded by the LSH S-curve, and AQE
+  skew-join splits any hot bucket) → exact-Jaccard verification joins on
+  shingle hash restricted to the candidate pairs. No all-pairs product
+  ever materializes.
+- SimHash: 4 bands × 8 bits make the band join an *exact* prefilter for
+  Hamming ≤ 3 (pigeonhole), so the plan is both scalable and lossless.
+- embedding near-dup: random-hyperplane buckets prefilter the self-join;
+  exact cosine verifies inside each bucket.
+
+The reference has no dedup (it is a search plugin); these follow its
+inference-skip idea (``processor/optimization/InferenceFilter.java``:
+reuse work when ``sha256(content)`` is unchanged) extended to the
+standard training-data dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+from neural_search_spark.pipeline import params as P
+
+
+def _tokens(col: str) -> Column:
+    """JVM-side analyzer: lowercase + maximal [a-z0-9_]+ runs (same
+    contract as the tokenizer pandas UDF, but codegen-friendly here)."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+
+
+def _hash32(col: Column) -> Column:
+    """32-bit md5-prefix hash (params.hash32_*): identical in Spark,
+    DuckDB and Python."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dups(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """Rows whose content is an exact duplicate of an earlier (min-id) row.
+
+    Returns (docID, keep_docID): one row per *redundant* document, mapping
+    it to the group's keeper. One shuffle on the content hash.
+    """
+    hashed = df.select(F.col(id_col).alias("docID"), F.sha2(F.col(text_col), 256).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min("docID").alias("keep_docID"))
+    return (
+        hashed.join(keepers, "h")
+        .where(F.col("docID") != F.col("keep_docID"))
+        .select("docID", "keep_docID")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles (token n-grams) — shared by MinHash and n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "content", id_col: str = "docID", n: int = P.SHINGLE_N
+) -> DataFrame:
+    """(docID, sh): distinct 32-bit hashes of token n-gram shingles."""
+    toks = _tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    shingles = F.transform(
+        idx, lambda i: _hash32(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return (
+        df.select(F.col(id_col).alias("docID"), F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(docID, m0..m{k-1}): k permutation-min hashes per doc.
+
+    Docs with zero shingles drop out (no signature — matches the oracle).
+    Map-side partial min keeps the shuffle tiny regardless of doc size.
+    """
+    aggs = [
+        F.min(
+            (F.lit(P.MINHASH_A[i]) * F.col("sh") + F.lit(P.MINHASH_B[i])) % F.lit(P.MERSENNE_P)
+        ).alias(f"m{i}")
+        for i in range(P.NUM_MINHASHES)
+    ]
+    return shingles.groupBy("docID").agg(*aggs)
+
+
+def _band_col(sigs: DataFrame, b: int) -> Column:
+    acc = F.lit(0).cast("long")
+    for r in range(P.LSH_ROWS):
+        acc = (acc * 31 + F.col(f"m{b * P.LSH_ROWS + r}")) % F.lit(P.MERSENNE_P)
+    return acc
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """(docA, docB) distinct pairs sharing at least one LSH band."""
+    bands = None
+    for b in range(P.LSH_BANDS):
+        part = sigs.select(
+            "docID", F.lit(b).alias("band_idx"), _band_col(sigs, b).alias("band_val")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.docID") < F.col("y.docID")),
+        )
+        .select(F.col("x.docID").alias("docA"), F.col("y.docID").alias("docB"))
+        .distinct()
+    )
+
+
+def verify_jaccard(shingles: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
+
+    Returns (docA, docB, jaccard). The shingle join is restricted to the
+    candidate pairs, so cost is O(candidates × shared shingles), not
+    all-pairs.
+    """
+    sizes = shingles.groupBy("docID").agg(F.count("*").alias("cnt"))
+    sa = shingles.select(F.col("docID").alias("docA"), "sh")
+    sb = shingles.select(F.col("docID").alias("docB"), "sh")
+    inter = (
+        pairs.join(sa, "docA")
+        .join(sb, ["docB", "sh"])
+        .groupBy("docA", "docB")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = sizes.select(F.col("docID").alias("docA"), F.col("cnt").alias("ca"))
+    cb = sizes.select(F.col("docID").alias("docB"), F.col("cnt").alias("cb"))
+    return (
+        inter.join(ca, "docA")
+        .join(cb, "docB")
+        .select(
+            "docA",
+            "docB",
+            (F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    threshold: float = P.MINHASH_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard.
+
+    Result contract (deterministic, oracle-checkable): pairs that share
+    >= 1 LSH band AND have exact Jaccard >= threshold.
+    """
+    sh = doc_shingles(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return verify_jaccard(sh, pairs, threshold).select(
+        "docA", "docB", P.round4(F.col("jaccard")).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, simhash): 32-bit tf-weighted SimHash fingerprint."""
+    tf = (
+        df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("docID", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", _hash32(F.col("term")))
+    )
+    gs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"g{j}")
+        for j in range(P.SIMHASH_BITS)
+    ]
+    per_doc = tf.groupBy("docID").agg(*gs)
+    sh = F.lit(0).cast("long")
+    for j in range(P.SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"g{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_doc.select("docID", sh.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    max_hamming: int = P.SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(docA, docB, hamming) pairs with Hamming(simhash) <= max_hamming.
+
+    Exact result: the band join (4 bands × 8 bits) cannot miss a pair
+    within Hamming 3, so this equals the brute-force all-pairs answer
+    while shuffling only on band keys.
+    """
+    fp = simhash(df, text_col, id_col)
+    bands = None
+    for b in range(P.SIMHASH_BANDS):
+        part = fp.select(
+            "docID",
+            "simhash",
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * P.SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << P.SIMHASH_BAND_BITS) - 1))
+            .alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.docID") < F.col("y.docID")),
+        )
+        .select(
+            F.col("x.docID").alias("docA"),
+            F.col("y.docID").alias("docB"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "content",
+    id_col: str = "docID",
+    threshold: float = P.NGRAM_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs within a blocking key (e.g. lang).
+
+    The blocking key bounds the self-join; at 10^12 scale you'd compose
+    this after an LSH prefilter (see minhash_near_dups) rather than rely
+    on blocking alone.
+    """
+    sh = doc_shingles(df, text_col, id_col).join(
+        df.select(F.col(id_col).alias("docID"), F.col(block_col).alias("blk")), "docID"
+    )
+    sa = sh.select(F.col("docID").alias("docA"), "sh", "blk")
+    sb = sh.select(F.col("docID").alias("docB"), "sh", "blk")
+    inter = (
+        sa.join(sb, ["sh", "blk"])
+        .where(F.col("docA") < F.col("docB"))
+        .groupBy("docA", "docB")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("docID").agg(F.count("*").alias("cnt"))
+    ca = sizes.select(F.col("docID").alias("docA"), F.col("cnt").alias("ca"))
+    cb = sizes.select(F.col("docID").alias("docB"), F.col("cnt").alias("cb"))
+    return (
+        inter.join(ca, "docA")
+        .join(cb, "docB")
+        .select(
+            "docA",
+            "docB",
+            P.round4(
+                F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (hyperplane-LSH prefilter + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_bucket_expr(vec_col: str) -> Column:
+    """Random-hyperplane sign bucket (params.HYPERPLANES)."""
+    from neural_search_spark.pipeline.ann import bucket_col
+
+    return bucket_col(vec_col)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = P.COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """(idA, idB, cosine) pairs in the same LSH bucket with cosine >= threshold.
+
+    Identical/near-identical vectors always share the bucket (same signs),
+    so the prefilter is lossless for the near-dup regime; the exact cosine
+    runs only inside buckets.
+    """
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        embedding_bucket_expr(vec_col).alias("bucket"),
+    )
+    from neural_search_spark.pipeline.ann import _dot
+
+    x, y = b.alias("x"), b.alias("y")
+    dot = _dot("x.v", "y.v")
+    na = _dot("x.v", "x.v")
+    nb = _dot("y.v", "y.v")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("idA"),
+            F.col("y.id").alias("idB"),
+            P.round4(dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,173 @@
+"""Shared constants for the pipeline operators.
+
+Every constant here is consumed by BOTH the Spark implementation and the
+DuckDB oracle-SQL generator, so the two sides cannot drift. All hash
+arithmetic is sized so intermediate products fit in signed int64 in both
+engines (DuckDB errors on bigint overflow; Spark wraps silently — either
+behavior would break parity, so we never get near 2^63).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# 32-bit content hash: first 8 hex chars of md5, parsed as an integer.
+# md5 is available and byte-identical in Spark (F.md5), DuckDB (md5) and
+# Python (hashlib.md5), making it the one hash we can share across all
+# three implementations. Range [0, 2^32), always non-negative.
+# ---------------------------------------------------------------------------
+
+
+def hash32_sql_duckdb(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def hash32_sql_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def hash32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# MinHash: h_i(x) = (a_i * x + b_i) mod P  over 32-bit shingle hashes x.
+# P = 2^31 - 1 (Mersenne prime). a_i < 2^29, x < 2^32 → a_i*x < 2^61,
+# safely inside int64 for both engines. 16 hashes = 4 bands × 4 rows,
+# the classic S-curve with ~50% collision probability at Jaccard ≈ 0.72.
+# Coefficients are fixed literals (seeded once, frozen) so Spark, DuckDB
+# and tests share them verbatim.
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+NUM_MINHASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_MINHASHES // LSH_BANDS
+SHINGLE_N = 3  # token 3-gram shingles
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+_rng = np.random.RandomState(20260816)
+MINHASH_A: list[int] = [int(x) for x in _rng.randint(1, 2**29, size=NUM_MINHASHES)]
+MINHASH_B: list[int] = [int(x) for x in _rng.randint(0, MERSENNE_P, size=NUM_MINHASHES)]
+
+
+def minhash_sql(i: int, x_expr: str) -> str:
+    """One permutation hash, identical text for Spark SQL and DuckDB."""
+    return f"(({MINHASH_A[i]} * {x_expr} + {MINHASH_B[i]}) % {MERSENNE_P})"
+
+
+# Band value: fold the band's ROWS minhash values with a 31-polynomial mod P.
+# m_i < P < 2^31; acc*31 + m < 2^36 + 2^31 — int64-safe.
+def band_sql(sig_exprs: list[str]) -> str:
+    acc = "0"
+    for e in sig_exprs:
+        acc = f"(({acc} * 31 + {e}) % {MERSENNE_P})"
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit, token-tf weighted. Bit j of the fingerprint is 1 iff
+# sum over terms of tf * (bit j of hash32(term) ? +1 : -1) > 0.
+# Near-dup pairs: Hamming distance <= 3. With 4 bands of 8 bits, any pair
+# within Hamming 3 shares at least one exact band (pigeonhole), so the
+# band join is an EXACT prefilter, not an approximation.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+# ---------------------------------------------------------------------------
+# Embedding LSH: random-hyperplane sign bits. 4 planes → 16 buckets.
+# Components are frozen literals via repr(float) so the decimal string
+# parses to the identical IEEE-754 double in Spark, DuckDB and Python.
+# ---------------------------------------------------------------------------
+
+EMBEDDING_DIM = 64
+N_HYPERPLANES = 4
+COSINE_DUP_THRESHOLD = 0.99
+ANN_K = 10
+
+_hp = np.random.RandomState(7).randn(N_HYPERPLANES, EMBEDDING_DIM)
+HYPERPLANES: list[list[float]] = [[float(round(v, 6)) for v in row] for row in _hp]
+
+
+def dot_sql(vec_expr: str, plane: list[float], one_based: bool) -> str:
+    """Unrolled, left-associated dot product so both engines sum in the
+    same order → bit-identical doubles. `one_based` for DuckDB indexing."""
+    off = 1 if one_based else 0
+    terms = [
+        f"CAST({vec_expr}[{i + off}] AS DOUBLE) * {plane[i]!r}"
+        for i in range(len(plane))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def pairwise_dot_sql(a_expr: str, b_expr: str, dim: int, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    terms = [
+        f"CAST({a_expr}[{i + off}] AS DOUBLE) * CAST({b_expr}[{i + off}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucket_sql(vec_expr: str, one_based: bool) -> str:
+    bits = [
+        f"(CASE WHEN {dot_sql(vec_expr, HYPERPLANES[j], one_based)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+#: language → stopword list for the n-gram/stopword language-ID heuristic.
+#: Order of LANGS is the deterministic tie-break (first wins).
+LANGS: list[str] = ["en", "de", "es", "fr", "zh"]
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "zh": ["shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "na", "bu"],
+}
+
+#: "BPE-ish" token regex: words, numbers, or single punctuation marks —
+#: the usual pre-tokenizer shape (GPT-2 style, ASCII simplification).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+FINGERPRINT_MULT = 31  # rolling polynomial base, mod MERSENNE_P
+
+# quality-score weights (length, alpha ratio, stopword ratio, mean token len)
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 4-dp rounding. Engine round() implementations disagree on
+# half-way cases (Spark: BigDecimal HALF_UP; DuckDB: float-path), which
+# matters for ratio columns that land exactly on x.xxxx5. floor(x*1e4+0.5)
+# is the same IEEE arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+
+def round4_sql(expr: str) -> str:
+    return f"(floor({expr} * 10000 + 0.5) / 10000)"
+
+
+def round4(col):
+    from pyspark.sql import functions as F
+
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000

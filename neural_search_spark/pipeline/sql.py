@@ -1,0 +1,370 @@
+"""DuckDB oracle-SQL generators for the pipeline operators.
+
+Rendered from the SAME constants as the Spark plans
+(:mod:`neural_search_spark.pipeline.params`): hash formulas, MinHash
+coefficients, hyperplane literals, stopword lists. Tables `documents`
+and `embeddings` are the driver's pre-registered views.
+
+The near-dup queries inject duplicates deterministically (the raw
+synthetic corpus has none): every doc_id % 5 == 0 gets an 80%-prefix
+near-copy at +100000, every doc_id % 7 == 0 an exact copy at +200000;
+embeddings get exact copies at +100000 for vec_id % 10 == 0. The Spark
+side builds the identical tables (``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from neural_search_spark.analysis.tokenizer import SQL_TOKEN_PATTERN
+from neural_search_spark.pipeline import params as P
+
+# ---------------------------------------------------------------------------
+# Shared CTEs
+# ---------------------------------------------------------------------------
+
+DUPDOCS_CTE = """
+dupdocs AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, lang, text AS content FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) + 100000, lang,
+           substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) + 200000, lang, text
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+DUPVECS_CTE = """
+dupvecs AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT) + 100000, embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+def _h32(expr: str) -> str:
+    return P.hash32_sql_duckdb(expr)
+
+
+def _shingle_ctes(src: str = "dupdocs") -> str:
+    n = P.SHINGLE_N
+    return f"""
+toks AS (
+    SELECT docID, lang, regexp_extract_all(lower(content), '{SQL_TOKEN_PATTERN}') AS toks
+    FROM {src}
+),
+pos AS (
+    SELECT docID, lang, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i
+    FROM toks
+),
+sh AS (
+    SELECT DISTINCT docID, lang,
+           {_h32(f"array_to_string(toks[i:i+{n - 1}], ' ')")} AS sh
+    FROM pos
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+WITH {DUPDOCS_CTE.strip()},
+h AS (SELECT docID, sha256(content) AS h FROM dupdocs),
+k AS (SELECT h, MIN(docID) AS keep_docID FROM h GROUP BY h)
+SELECT h.docID AS docID, k.keep_docID AS keep_docID
+FROM h JOIN k USING (h)
+WHERE h.docID != k.keep_docID
+ORDER BY docID
+"""
+
+
+def dedup_minhash_sql() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN({P.minhash_sql(i, 'sh')}) AS m{i}" for i in range(P.NUM_MINHASHES)
+    )
+    band_selects = []
+    for b in range(P.LSH_BANDS):
+        exprs = [f"m{b * P.LSH_ROWS + r}" for r in range(P.LSH_ROWS)]
+        band_selects.append(
+            f"SELECT docID, {b} AS band_idx, {P.band_sql(exprs)} AS band_val FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    thr = P.MINHASH_JACCARD_THRESHOLD
+    return f"""
+WITH {DUPDOCS_CTE.strip()},
+{_shingle_ctes().strip()},
+sig AS (
+    SELECT docID, {sig_cols}
+    FROM sh GROUP BY docID
+),
+bands AS (
+    {bands}
+),
+cand AS (
+    SELECT DISTINCT x.docID AS docA, y.docID AS docB
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.docID < y.docID
+),
+sizes AS (SELECT docID, COUNT(*) AS cnt FROM sh GROUP BY docID),
+inter AS (
+    SELECT c.docA, c.docB, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.docID = c.docA
+    JOIN sh b ON b.docID = c.docB AND b.sh = a.sh
+    GROUP BY c.docA, c.docB
+)
+SELECT i.docA AS docA, i.docB AS docB,
+       (floor(i.inter / (ca.cnt + cb.cnt - i.inter) * 10000 + 0.5) / 10000) AS jaccard
+FROM inter i
+JOIN sizes ca ON ca.docID = i.docA
+JOIN sizes cb ON cb.docID = i.docB
+WHERE i.inter / (ca.cnt + cb.cnt - i.inter) >= {thr}
+ORDER BY docA, docB
+"""
+
+
+def dedup_simhash_sql() -> str:
+    """Brute-force Hamming <= max over all pairs — equals the engine's
+    band-join plan exactly (pigeonhole: <=3 differing bits over 4 bands)."""
+    g_cols = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS g{j}"
+        for j in range(P.SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN g{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(P.SIMHASH_BITS)
+    )
+    return f"""
+WITH {DUPDOCS_CTE.strip()},
+toks AS (
+    SELECT docID, regexp_extract_all(lower(content), '{SQL_TOKEN_PATTERN}') AS toks
+    FROM dupdocs
+),
+tf AS (
+    SELECT docID, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT docID, unnest(toks) AS term FROM toks)
+    GROUP BY docID, term
+),
+th AS (SELECT docID, tf, {_h32('term')} AS th FROM tf),
+g AS (
+    SELECT docID, {g_cols}
+    FROM th GROUP BY docID
+),
+fp AS (SELECT docID, CAST({fp_expr} AS BIGINT) AS simhash FROM g)
+SELECT x.docID AS docA, y.docID AS docB,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM fp x JOIN fp y ON x.docID < y.docID
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {P.SIMHASH_MAX_HAMMING}
+ORDER BY docA, docB
+"""
+
+
+def dedup_ngram_jaccard_sql() -> str:
+    thr = P.NGRAM_JACCARD_THRESHOLD
+    return f"""
+WITH {DUPDOCS_CTE.strip()},
+{_shingle_ctes().strip()},
+inter AS (
+    SELECT a.docID AS docA, b.docID AS docB, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.docID < b.docID
+    GROUP BY a.docID, b.docID
+),
+sizes AS (SELECT docID, COUNT(*) AS cnt FROM sh GROUP BY docID)
+SELECT i.docA AS docA, i.docB AS docB,
+       (floor(i.inter / (ca.cnt + cb.cnt - i.inter) * 10000 + 0.5) / 10000) AS jaccard
+FROM inter i
+JOIN sizes ca ON ca.docID = i.docA
+JOIN sizes cb ON cb.docID = i.docB
+WHERE (floor(i.inter / (ca.cnt + cb.cnt - i.inter) * 10000 + 0.5) / 10000) >= {thr}
+ORDER BY docA, docB
+"""
+
+
+def dedup_embedding_cosine_sql() -> str:
+    dot = P.pairwise_dot_sql("x.v", "y.v", P.EMBEDDING_DIM, one_based=True)
+    na = P.pairwise_dot_sql("x.v", "x.v", P.EMBEDDING_DIM, one_based=True)
+    nb = P.pairwise_dot_sql("y.v", "y.v", P.EMBEDDING_DIM, one_based=True)
+    cos = P.round4_sql(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH {DUPVECS_CTE.strip()},
+b AS (
+    SELECT vec_id AS id, embedding AS v, {P.bucket_sql('embedding', one_based=True)} AS bucket
+    FROM dupvecs
+)
+SELECT x.id AS idA, y.id AS idB, {cos} AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+WHERE {cos} >= {P.COSINE_DUP_THRESHOLD}
+ORDER BY idA, idB
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk_sql(query_id: int, k: int) -> str:
+    dot = P.pairwise_dot_sql("e.embedding", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    na = P.pairwise_dot_sql("e.embedding", "e.embedding", P.EMBEDDING_DIM, one_based=True)
+    nb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    score_expr = P.round4_sql(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       {score_expr} AS score
+FROM embeddings e, q
+WHERE e.vec_id != {query_id}
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_lsh_topk_sql(query_id: int, k: int) -> str:
+    dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    nb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    score_expr = P.round4_sql(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH b AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v,
+           {P.bucket_sql('embedding', one_based=True)} AS bucket
+    FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = {query_id})
+SELECT e.vec_id AS vec_id,
+       {score_expr} AS score
+FROM b e, q
+WHERE e.vec_id != {query_id} AND e.bucket = q.qbucket
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (over the raw documents view)
+# ---------------------------------------------------------------------------
+
+_DOC_TOKS = f"""
+toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, text,
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS toks
+    FROM documents
+)
+"""
+
+
+def _in_list(items: list[str]) -> str:
+    return ", ".join("'" + w + "'" for w in items)
+
+
+def text_token_counts_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docID,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{P.BPE_ISH_PATTERN}')) AS BIGINT)
+           AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def text_lang_id_sql() -> str:
+    cnt = {
+        lang: f"len(list_filter(toks, t -> t IN ({_in_list(P.STOPWORDS[lang])})))"
+        for lang in P.LANGS
+    }
+    sel = ",\n           ".join(f"{cnt[lang]} AS c_{lang}" for lang in P.LANGS)
+    g = "greatest(" + ", ".join(f"c_{lang}" for lang in P.LANGS) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = {g} THEN '{lang}'" for lang in P.LANGS
+    ) + " END"
+    return f"""
+WITH {_DOC_TOKS.strip()},
+c AS (
+    SELECT docID, {sel}
+    FROM toks
+)
+SELECT docID, {case} AS pred_lang FROM c
+"""
+
+
+def text_quality_sql() -> str:
+    stop = _in_list(P.QUALITY_STOPWORDS)
+    return f"""
+WITH {_DOC_TOKS.strip()},
+m AS (
+    SELECT docID,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+           CAST(len(list_filter(toks, t -> t IN ({stop}))) AS DOUBLE) AS stop,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> strlen(t))), 0) AS DOUBLE)
+               AS tok_chars
+    FROM toks
+),
+r AS (
+    SELECT docID, n_chars, n_tokens,
+           CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_token_len
+    FROM m
+)
+SELECT docID, n_chars, n_tokens,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(alpha_ratio * (1.0 - punct_ratio) * least(n_tokens / 64.0, 1.0), 4) AS quality
+FROM r
+"""
+
+
+def text_fingerprint_sql() -> str:
+    return f"""
+WITH {_DOC_TOKS.strip()}
+SELECT docID,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> {_h32('t')})),
+           (a, b) -> (a * {P.FINGERPRINT_MULT} + b) % {P.MERSENNE_P}
+       ) AS fingerprint
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def mm_image_meta_sql() -> str:
+    # strlen counts BYTES; the corpus is ASCII so this equals the utf-8
+    # payload length the Spark side measures. md5(text) == md5(utf-8 bytes).
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docID,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {_h32('text')} AS checksum
+FROM documents
+"""
+
+
+def mm_frame_sample_sql(frame_stride: int, max_frames: int) -> str:
+    return f"""
+WITH f AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           least(CAST(floor((strlen(text) + {frame_stride - 1}) / {frame_stride}) AS INT),
+                 {max_frames}) AS n_frames
+    FROM documents
+)
+SELECT docID,
+       CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS frame_idx,
+       CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) * {frame_stride}
+           AS byte_offset
+FROM f
+WHERE n_frames > 0
+"""

@@ -1,0 +1,108 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (JVM codegen, zero Python in the hot
+path) sharing constants with the DuckDB oracles via
+:mod:`neural_search_spark.pipeline.params`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+from neural_search_spark.pipeline import params as P
+
+
+def _tokens(col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+
+
+def _stopword_count(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_counts(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, ws_tokens, bpe_ish_tokens): whitespace split count + a
+    BPE-style pre-tokenizer count (words | numbers | single punct)."""
+    # patterns passed as literal Columns (not SQL string literals) so the
+    # backslashes reach the regex engine un-mangled
+    ws = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(P.BPE_ISH_PATTERN), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col).alias("docID"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, pred_lang): stopword-hit language heuristic.
+
+    argmax over per-language stopword hit counts; ties break by
+    params.LANGS order (first wins); zero hits everywhere → 'und'.
+    """
+    toks = _tokens(text_col)
+    counts = {lang: _stopword_count(toks, P.STOPWORDS[lang]) for lang in P.LANGS}
+    g = F.greatest(*counts.values())
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in P.LANGS:
+        pred = pred.when(counts[lang] == g, F.lit(lang))
+    return df.select(F.col(id_col).alias("docID"), pred.alias("pred_lang"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, n_chars, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+    mean_token_len, quality): length/punctuation/stopword heuristics.
+
+    quality = alpha_ratio * (1 - punct_ratio) * least(n_tokens/64, 1) —
+    a simple monotone composite; the contract is determinism, not a
+    claim about linguistic quality.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")).cast("double")
+    punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
+    ).cast("double")
+    stop = _stopword_count(toks, P.QUALITY_STOPWORDS).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
+    quality = alpha_ratio * (F.lit(1.0) - punct_ratio) * F.least(
+        n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)
+    )
+    return df.select(
+        F.col(id_col).alias("docID"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        P.round4(alpha_ratio).alias("alpha_ratio"),
+        P.round4(punct_ratio).alias("punct_ratio"),
+        P.round4(stop_ratio).alias("stopword_ratio"),
+        P.round4(mean_tok).alias("mean_token_len"),
+        P.round4(quality).alias("quality"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, fingerprint): rolling polynomial hash over analyzed tokens,
+    acc = (acc*31 + hash32(token)) mod P. Order-sensitive (unlike the
+    shingle-set hashes), so it fingerprints the document *sequence*."""
+    toks = _tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(P.FINGERPRINT_MULT)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+        % F.lit(P.MERSENNE_P),
+    )
+    return df.select(F.col(id_col).alias("docID"), fp.alias("fingerprint"))

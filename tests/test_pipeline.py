@@ -1,0 +1,212 @@
+"""Training-data pipeline operators: dedup / ANN / textstats / multimodal.
+
+Numpy/pure-Python oracles mirror each Spark plan on tiny hand-built data;
+the DuckDB side is covered by the driver's correctness gate (the oracle
+SQL in neural_search_spark/pipeline/sql.py shares every constant via
+pipeline/params.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.pipeline import params as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "en", "the quick brown fox jumps over the lazy dog"),
+        (1, "en", "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "en", "the quick brown fox jumps over a sleepy dog"),  # near dup of 0
+        (3, "de", "der schnelle fuchs springt und der hund schlaeft"),
+        (4, "en", "completely different text about spark dataframes and shuffles"),
+        (5, "en", ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "docID long, lang string, content string")
+
+
+def test_exact_dups(docs):
+    from neural_search_spark.pipeline.dedup import exact_dups
+
+    got = {(r["docID"], r["keep_docID"]) for r in exact_dups(docs).collect()}
+    assert got == {(1, 0)}
+
+
+def test_doc_shingles_match_python(docs):
+    from neural_search_spark.pipeline.dedup import doc_shingles
+
+    got = {
+        (r["docID"], r["sh"]) for r in doc_shingles(docs).collect()
+    }
+    exp = set()
+    for row in docs.collect():
+        toks = __import__("re").findall(r"[a-z0-9_]+", row["content"].lower())
+        for i in range(len(toks) - P.SHINGLE_N + 1):
+            exp.add((row["docID"], P.hash32_py(" ".join(toks[i : i + P.SHINGLE_N]))))
+    assert got == exp
+    # empty doc contributes nothing
+    assert not any(d == 5 for d, _ in got)
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    from neural_search_spark.pipeline.dedup import minhash_near_dups
+
+    got = {(r["docA"], r["docB"]): r["jaccard"] for r in minhash_near_dups(docs).collect()}
+    assert got[(0, 1)] == 1.0
+    # 1 is an exact copy of 0, so (0,2) and (1,2) must agree (both absent
+    # or both present with equal jaccard)
+    assert got.get((1, 2)) == got.get((0, 2))
+    # unrelated docs never pair
+    assert not any(4 in pair or 3 in pair for pair in got)
+
+
+def test_simhash_band_join_equals_bruteforce(docs):
+    from neural_search_spark.pipeline.dedup import simhash, simhash_near_dups
+
+    fp = {r["docID"]: r["simhash"] for r in simhash(docs).collect()}
+    brute = set()
+    for a in fp:
+        for b in fp:
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= P.SIMHASH_MAX_HAMMING:
+                brute.add((a, b))
+    got = {(r["docA"], r["docB"]) for r in simhash_near_dups(docs).collect()}
+    assert got == brute
+    assert (0, 1) in got  # exact dups share the fingerprint
+
+
+def test_ngram_jaccard_blocks_by_lang(docs):
+    from neural_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    got = {(r["docA"], r["docB"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "lang").collect()}
+    assert got[(0, 1)] == 1.0
+    assert all(a != 3 and b != 3 for a, b in got)  # de never pairs with en
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(P.EMBEDDING_DIM).astype(np.float32)]) for i in range(30)]
+    rows.append((100, rows[4][1]))  # exact copy of vec 4
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dups_finds_copy(vecs):
+    from neural_search_spark.pipeline.dedup import embedding_near_dups
+
+    got = [(r["idA"], r["idB"], r["cosine"]) for r in embedding_near_dups(vecs).collect()]
+    assert got == [(4, 100, 1.0)]
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    from neural_search_spark.pipeline.ann import cosine_topk
+
+    got = [(r["vec_id"], r["score"]) for r in cosine_topk(vecs, 0, k=5).collect()]
+    pdf = vecs.toPandas()
+    m = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    q = m[pdf["vec_id"] == 0][0]
+    cos = m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = [
+        (int(v), round(float(c), 4))
+        for v, c in sorted(
+            zip(pdf["vec_id"], cos), key=lambda t: (-t[1], t[0])
+        )
+        if v != 0
+    ][:5]
+    assert [(v, pytest.approx(c, abs=2e-4)) for v, c in order] == got
+
+
+def test_ann_lsh_topk_subset_of_bucket(vecs):
+    from neural_search_spark.pipeline.ann import ann_lsh_topk, lsh_buckets
+
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(vecs).collect()}
+    got = [r["vec_id"] for r in ann_lsh_topk(vecs, 0, k=5).collect()]
+    assert all(b[v] == b[0] for v in got)
+    assert 0 not in got
+
+
+def test_lang_id(spark):
+    from neural_search_spark.pipeline.textstats import lang_id
+
+    rows = [
+        (0, "the cat sat of the mat and it is a cat"),
+        (1, "der hund und die katze und das haus ist nicht ein"),
+        (2, "xyzzy qwerty"),  # no stopwords anywhere
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    got = {r["docID"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "und", 3: "und"}
+
+
+def test_token_counts(spark):
+    from neural_search_spark.pipeline.textstats import token_counts
+
+    df = spark.createDataFrame([(0, "Hello, world! x2  ok")], "docID long, content string")
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hello , world ! x 2 ok  → 7 BPE-ish pieces
+    assert r["bpe_ish_tokens"] == 7
+
+
+def test_quality_empty_doc(spark):
+    from neural_search_spark.pipeline.textstats import quality_scores
+
+    df = spark.createDataFrame([(0, ""), (1, "good clean text here")], "docID long, content string")
+    got = {r["docID"]: r for r in quality_scores(df).collect()}
+    assert got[0]["quality"] == 0.0
+    assert got[0]["n_tokens"] == 0
+    assert 0 < got[1]["alpha_ratio"] <= 1.0
+
+
+def test_fingerprint_matches_python(docs):
+    from neural_search_spark.pipeline.textstats import fingerprints
+
+    got = {r["docID"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    import re
+
+    for row in docs.collect():
+        acc = 0
+        for t in re.findall(r"[a-z0-9_]+", row["content"].lower()):
+            acc = (acc * P.FINGERPRINT_MULT + P.hash32_py(t)) % P.MERSENNE_P
+        assert got[row["docID"]] == acc
+    # order sensitivity: same tokens, different order → different fingerprint
+    assert got[0] != got[2]
+
+
+def test_binary_features_checksum(docs):
+    from neural_search_spark.pipeline.multimodal import (
+        extract_binary_features,
+        with_binary_payload,
+    )
+
+    got = {r["docID"]: r for r in extract_binary_features(with_binary_payload(docs)).collect()}
+    for row in docs.collect():
+        raw = row["content"].encode()
+        assert got[row["docID"]]["n_bytes"] == len(raw)
+        assert got[row["docID"]]["checksum"] == int(hashlib.md5(raw).hexdigest()[:8], 16)
+
+
+def test_decode_stub_raises():
+    from neural_search_spark.pipeline.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+
+def test_frame_sample(docs):
+    from neural_search_spark.pipeline.multimodal import frame_sample, with_binary_payload
+
+    got = frame_sample(with_binary_payload(docs), frame_stride=10, max_frames=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["docID"], []).append((r["frame_idx"], r["byte_offset"]))
+    lens = {r["docID"]: len(r["content"]) for r in docs.collect()}
+    for d, frames in by_doc.items():
+        exp_n = min((lens[d] + 9) // 10, 3)
+        assert sorted(frames) == [(i, i * 10) for i in range(exp_n)]
+    assert 5 not in by_doc  # empty payload → no frames
