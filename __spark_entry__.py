@@ -115,8 +115,45 @@ def _hybrid(spark, sf_dir, norm, comb, weights=None, clauses=HYBRID_CLAUSES, k=1
     return _round_score(out)
 
 
+MINMAX_LOWER_BOUNDS = [("apply", 1.0), ("clip", 0.5)]
+MINMAX_UPPER_BOUNDS = [("clip", 3.0), ("apply", 2.5)]
+POST_FILTER_PRED = "lang = 'es'"
+
+
 def q_hybrid_minmax_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "min_max", "arithmetic_mean")
+
+
+def q_hybrid_minmax_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_max with per-clause lower/upper bounds (apply + clip modes),
+    MinMaxScoreNormalizationTechnique.java:52-64 + normalization/bounds/."""
+    eng = _engine(spark, sf_dir)
+    out = hybrid_search(
+        [eng.match(t) for t in HYBRID_CLAUSES],
+        "min_max",
+        "arithmetic_mean",
+        k=10,
+        depth=HYBRID_DEPTH,
+        lower_bounds=MINMAX_LOWER_BOUNDS,
+        upper_bounds=MINMAX_UPPER_BOUNDS,
+    )
+    return _round_score(out)
+
+
+def q_hybrid_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """post_filter: membership-only predicate applied after combination,
+    before the final cut (HybridCollectorManager.java:121-133)."""
+    eng = _engine(spark, sf_dir)
+    pf_docs = eng.corpus.where(POST_FILTER_PRED).select("docID")
+    out = hybrid_search(
+        [eng.match(t) for t in HYBRID_CLAUSES],
+        "min_max",
+        "arithmetic_mean",
+        k=10,
+        depth=HYBRID_DEPTH,
+        post_filter_docs=pf_docs,
+    )
+    return _round_score(out)
 
 
 def q_hybrid_minmax_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_quantized": q_doclen_quantized,
         "corpus_adapter": q_corpus_adapter,
         "hybrid_minmax_arith": q_hybrid_minmax_arith,
+        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+        "hybrid_post_filter": q_hybrid_post_filter,
         "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
         "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
         "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
@@ -466,6 +505,17 @@ def oracle_sql() -> dict[str, str]:
         "doclen_quantized": osql.doclen_quantized_sql(),
         "corpus_adapter": osql.corpus_adapter_sql(),
         "hybrid_minmax_arith": osql.hybrid_topk_sql(h2, "min_max", "arithmetic_mean", depth=HYBRID_DEPTH),
+        "hybrid_minmax_bounded": osql.hybrid_topk_sql(
+            h2,
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+            lower_bounds=MINMAX_LOWER_BOUNDS,
+            upper_bounds=MINMAX_UPPER_BOUNDS,
+        ),
+        "hybrid_post_filter": osql.hybrid_topk_sql(
+            h2, "min_max", "arithmetic_mean", depth=HYBRID_DEPTH, post_filter=POST_FILTER_PRED
+        ),
         "hybrid_minmax_weighted": osql.hybrid_topk_sql(
             h2, "min_max", "arithmetic_mean", weights=[0.3, 0.7], depth=HYBRID_DEPTH
         ),

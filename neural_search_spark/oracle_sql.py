@@ -114,14 +114,54 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
-def _normalize_cte(i: int, technique: str, rank_constant: int) -> str:
+def _bound_exprs(
+    lower_bound: tuple[str, float] | None, upper_bound: tuple[str, float] | None
+) -> tuple[str, str, str]:
+    """(eff_min, eff_max, clip_cases) SQL fragments mirroring
+    ``normalization/bounds/{Lower,Upper}Bound.java:determineEffectiveScore``
+    and the clip short-circuits in ``MinMaxScoreNormalizationTechnique.java``."""
+    if lower_bound is None or lower_bound[0] == "ignore":
+        eff_min = "mn"
+    else:
+        mode, bv = lower_bound
+        b = repr(float(bv))
+        if mode == "apply":
+            eff_min = f"CASE WHEN mx > {b} AND score > {b} THEN {b} ELSE mn END"
+        else:  # clip
+            eff_min = f"CASE WHEN mx < {b} THEN mn ELSE {b} END"
+    if upper_bound is None or upper_bound[0] == "ignore":
+        eff_max = "mx"
+    else:
+        mode, bv = upper_bound
+        b = repr(float(bv))
+        if mode == "apply":
+            eff_max = f"CASE WHEN mn < {b} AND score < {b} THEN {b} ELSE mx END"
+        else:  # clip
+            eff_max = f"CASE WHEN mn > {b} THEN mx ELSE {b} END"
+    clip = ""
+    if lower_bound is not None and lower_bound[0] == "clip":
+        clip += f"WHEN score < ({eff_min}) THEN 0.001\n                "
+    if upper_bound is not None and upper_bound[0] == "clip":
+        clip += f"WHEN score > ({eff_max}) THEN 1.0\n                "
+    return eff_min, eff_max, clip
+
+
+def _normalize_cte(
+    i: int,
+    technique: str,
+    rank_constant: int,
+    lower_bound: tuple[str, float] | None = None,
+    upper_bound: tuple[str, float] | None = None,
+) -> str:
     if technique == "min_max":
+        eff_min, eff_max, clip = _bound_exprs(lower_bound, upper_bound)
         return f"""
 n{i} AS (
     SELECT docID,
-           CASE WHEN mx = mn THEN 1.0
-                WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
-                ELSE (score - mn) / (mx - mn) END AS nscore
+           CASE WHEN mx = mn AND mx = score THEN 1.0
+                {clip}WHEN ({eff_max}) = ({eff_min}) THEN 1.0
+                WHEN (score - ({eff_min})) / (({eff_max}) - ({eff_min})) = 0.0 THEN 0.001
+                ELSE (score - ({eff_min})) / (({eff_max}) - ({eff_min})) END AS nscore
     FROM (SELECT docID, score, MIN(score) OVER () AS mn, MAX(score) OVER () AS mx FROM cut{i})
 )"""
     if technique == "l2":
@@ -186,16 +226,32 @@ def hybrid_topk_sql(
     k1: float = 1.2,
     b: float = 0.75,
     doc_filter: str | None = None,
+    lower_bounds: list[tuple[str, float] | None] | None = None,
+    upper_bounds: list[tuple[str, float] | None] | None = None,
+    post_filter: str | None = None,
 ) -> str:
     """Full hybrid pipeline in DuckDB SQL, mirroring
-    :func:`neural_search_spark.search.hybrid.hybrid_search`."""
+    :func:`neural_search_spark.search.hybrid.hybrid_search`.
+
+    ``post_filter``: membership-only predicate over ``corpus`` columns,
+    applied to combined results before the final cut (post_filter
+    semantics, ``HybridCollectorManager.java:121-133``)."""
     n = len(clause_terms)
     w = weights or [1.0] * n
+    lbs = lower_bounds or [None] * n
+    ubs = upper_bounds or [None] * n
     clause_sql = ",".join(_clause_ctes(i, t, k1, b, depth, doc_filter) for i, t in enumerate(clause_terms))
-    norm_sql = ",".join(_normalize_cte(i, normalization, rank_constant) for i in range(n))
+    norm_sql = ",".join(
+        _normalize_cte(i, normalization, rank_constant, lbs[i], ubs[i]) for i in range(n)
+    )
     union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
     wide_cols = ", ".join(
         f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    pf = (
+        f"WHERE docID IN (SELECT docID FROM corpus WHERE {post_filter})"
+        if post_filter
+        else ""
     )
     return f"""{_PRELUDE},{clause_sql},{norm_sql},
 long AS ({union}),
@@ -203,6 +259,7 @@ wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
 comb AS (SELECT docID, {_combine_expr(combination, w)} AS score FROM wide)
 SELECT docID, ROUND(score, 4) AS score
 FROM comb
+{pf}
 ORDER BY score DESC, docID
 LIMIT {k}
 """

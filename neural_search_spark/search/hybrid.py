@@ -36,9 +36,11 @@ from pyspark.sql import DataFrame, functions as F, Window
 
 MAX_SUB_QUERIES = 5  # HybridQueryBuilder.java:67
 MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java MIN_SCORE
+MAX_SCORE = 1.0  # MinMaxScoreNormalizationTechnique.java MAX_SCORE
 
 NORMALIZATIONS = ("min_max", "l2", "z_score", "rrf")
 COMBINATIONS = ("arithmetic_mean", "harmonic_mean", "geometric_mean", "rrf")
+BOUND_MODES = ("apply", "clip", "ignore")  # bounds/BoundMode.java:18-23
 
 
 def validate_weights(weights: list[float] | None, n_clauses: int) -> None:
@@ -72,18 +74,71 @@ def clause_depth_cut(scored: DataFrame, depth: int | None) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("docID")).limit(depth)
 
 
+def _effective_bounds(s, mn, mx, lower_bound, upper_bound):
+    """Effective min/max under optional bounds — exact branch order of
+    ``normalization/bounds/LowerBound.java:determineEffectiveScore`` and
+    ``UpperBound.java:determineEffectiveScore``."""
+    if lower_bound is None:
+        eff_min = mn
+    else:
+        mode, bv = lower_bound
+        b = F.lit(float(bv))
+        if mode == "apply":
+            eff_min = F.when((mx > b) & (s > b), b).otherwise(mn)
+        elif mode == "clip":
+            eff_min = F.when(mx < b, mn).otherwise(b)
+        elif mode == "ignore":
+            eff_min = mn
+        else:
+            raise ValueError(f"invalid bound mode: {mode}, valid values are: {', '.join(BOUND_MODES)}")
+    if upper_bound is None:
+        eff_max = mx
+    else:
+        mode, bv = upper_bound
+        b = F.lit(float(bv))
+        if mode == "apply":
+            eff_max = F.when((mn < b) & (s < b), b).otherwise(mx)
+        elif mode == "clip":
+            eff_max = F.when(mn > b, mx).otherwise(b)
+        elif mode == "ignore":
+            eff_max = mx
+        else:
+            raise ValueError(f"invalid bound mode: {mode}, valid values are: {', '.join(BOUND_MODES)}")
+    return eff_min, eff_max
+
+
 def normalize_clause(
-    scored: DataFrame, technique: str, rank_constant: int = 60
+    scored: DataFrame,
+    technique: str,
+    rank_constant: int = 60,
+    lower_bound: tuple[str, float] | None = None,
+    upper_bound: tuple[str, float] | None = None,
 ) -> DataFrame:
-    """(docID, score) → (docID, nscore), reference edge cases included."""
+    """(docID, score) → (docID, nscore), reference edge cases included.
+
+    ``lower_bound``/``upper_bound``: optional ("apply"|"clip"|"ignore", value)
+    pairs, min_max only — ``MinMaxScoreNormalizationTechnique.java:258-295``
+    with the bound substitution/clip rules from ``normalization/bounds/``.
+    """
     s = F.col("score")
+    if technique != "min_max" and (lower_bound is not None or upper_bound is not None):
+        raise ValueError("bounds are only supported by min_max normalization")
     if technique == "min_max":
         stats = scored.agg(F.min("score").alias("_mn"), F.max("score").alias("_mx"))
         df = scored.crossJoin(F.broadcast(stats))
-        raw = (s - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
-        n = (
-            F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))  # single/equal-score → 1.0
-            .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+        mn, mx = F.col("_mn"), F.col("_mx")
+        eff_min, eff_max = _effective_bounds(s, mn, mx, lower_bound, upper_bound)
+        raw = (s - eff_min) / (eff_max - eff_min)
+        # normalizeSingleScore branch order (MinMaxScoreNormalizationTechnique
+        # .java:258-280): single-score → 1.0; clip-below → MIN_SCORE;
+        # clip-above → MAX_SCORE; effMax==effMin → 1.0; raw==0 → MIN_SCORE.
+        n = F.when((mx == mn) & (mx == s), F.lit(1.0))
+        if lower_bound is not None and lower_bound[0] == "clip":
+            n = n.when(s < eff_min, F.lit(MIN_SCORE))
+        if upper_bound is not None and upper_bound[0] == "clip":
+            n = n.when(s > eff_max, F.lit(MAX_SCORE))
+        n = n.when(eff_max == eff_min, F.lit(1.0)).otherwise(
+            F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw)
         )
         return df.select("docID", n.alias("nscore"))
     if technique == "l2":
@@ -189,6 +244,8 @@ def hybrid_search(
     post_filter_docs: DataFrame | None = None,
     collapse: tuple[DataFrame, str] | None = None,
     keep_clause_columns: bool = False,
+    lower_bounds: list[tuple[str, float] | None] | None = None,
+    upper_bounds: list[tuple[str, float] | None] | None = None,
 ) -> DataFrame:
     """Full hybrid pipeline over pre-scored clauses → top-k (docID, score).
 
@@ -197,12 +254,22 @@ def hybrid_search(
     ``post_filter_docs``: docID membership filter applied after scoring,
     before the final cut (post_filter semantics).
     ``collapse``: (docs_df, field) — keep the best doc per field value.
+    ``lower_bounds``/``upper_bounds``: per-clause min_max bounds, one entry
+    (or None) per clause (``MinMaxScoreNormalizationTechnique.java:52-64``).
     """
     if not 1 <= len(clause_scores) <= MAX_SUB_QUERIES:
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
     validate_technique_pair(normalization, combination)
+    for bounds in (lower_bounds, upper_bounds):
+        if bounds is not None and len(bounds) != len(clause_scores):
+            raise ValueError("bounds list must have one entry per sub-query")
+    lbs = lower_bounds or [None] * len(clause_scores)
+    ubs = upper_bounds or [None] * len(clause_scores)
     cut = [clause_depth_cut(df, depth) for df in clause_scores]
-    normalized = [normalize_clause(df, normalization, rank_constant) for df in cut]
+    normalized = [
+        normalize_clause(df, normalization, rank_constant, lower_bound=lb, upper_bound=ub)
+        for df, lb, ub in zip(cut, lbs, ubs)
+    ]
     combined = combine_clauses(normalized, combination, weights)
     if post_filter_docs is not None:
         combined = combined.join(post_filter_docs.select("docID"), "docID", "semi")

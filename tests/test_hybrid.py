@@ -51,6 +51,74 @@ def test_min_max_all_equal_is_one(spark):
     assert out == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
 
 
+def test_min_max_lower_bound_apply(spark):
+    # LowerBound.APPLY: effMin = bound when max>bound AND score>bound, else min
+    out = _collect(
+        normalize_clause(
+            _df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]), "min_max", lower_bound=("apply", 2.5)
+        )
+    )
+    assert out[1] == pytest.approx(0.001)  # s<=bound → effMin=min → raw 0 → floor
+    assert out[3] == pytest.approx((3.0 - 2.5) / (4.0 - 2.5), abs=DELTA)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_min_max_lower_bound_clip(spark):
+    # LowerBound.CLIP: scores below the bound clip to MIN_SCORE
+    out = _collect(
+        normalize_clause(
+            _df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]), "min_max", lower_bound=("clip", 2.5)
+        )
+    )
+    assert out[1] == pytest.approx(0.001)  # clipped below
+    assert out[3] == pytest.approx((3.0 - 2.5) / (4.0 - 2.5), abs=DELTA)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_min_max_upper_bound_apply(spark):
+    # UpperBound.APPLY: effMax = bound when min<bound AND score<bound, else max
+    out = _collect(
+        normalize_clause(
+            _df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]), "min_max", upper_bound=("apply", 3.5)
+        )
+    )
+    assert out[1] == pytest.approx(0.001)
+    assert out[3] == pytest.approx((3.0 - 2.0) / (3.5 - 2.0), abs=DELTA)
+    assert out[2] == pytest.approx(1.0)  # s>=bound → effMax=max → (4-2)/2
+
+
+def test_min_max_upper_bound_clip(spark):
+    # UpperBound.CLIP: scores above the bound clip to MAX_SCORE=1.0
+    out = _collect(
+        normalize_clause(
+            _df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]), "min_max", upper_bound=("clip", 3.5)
+        )
+    )
+    assert out[2] == pytest.approx(1.0)  # clipped above
+    assert out[3] == pytest.approx((3.0 - 2.0) / (3.5 - 2.0), abs=DELTA)
+    assert out[1] == pytest.approx(0.001)
+
+
+def test_min_max_bounds_ignore_is_noop(spark):
+    plain = _collect(normalize_clause(_df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]), "min_max"))
+    ignored = _collect(
+        normalize_clause(
+            _df(spark, [(1, 2.0), (2, 4.0), (3, 3.0)]),
+            "min_max",
+            lower_bound=("ignore", 2.5),
+            upper_bound=("ignore", 3.5),
+        )
+    )
+    assert ignored == {k: pytest.approx(v) for k, v in plain.items()}
+
+
+def test_bounds_rejected_for_non_minmax(spark):
+    with pytest.raises(ValueError):
+        normalize_clause(_df(spark, [(1, 1.0)]), "l2", lower_bound=("apply", 0.5))
+    with pytest.raises(ValueError):
+        normalize_clause(_df(spark, [(1, 1.0)]), "min_max", lower_bound=("bogus", 0.5))
+
+
 def test_l2(spark):
     out = _collect(normalize_clause(_df(spark, [(1, 3.0), (2, 4.0)]), "l2"))
     assert out[1] == pytest.approx(0.6)

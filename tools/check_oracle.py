@@ -46,13 +46,16 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     spark = get_spark(app_name="check-oracle", master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    if only:
+        names = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in names}
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
