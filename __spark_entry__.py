@@ -172,6 +172,57 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "rrf", "rrf", clauses=HYBRID_CLAUSES_3)
 
 
+NESTED_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def q_hybrid_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric aggs under hybrid (§2.7, MetricAggregationsWithHybridQueryIT):
+    doc sees score = SUM of sub-query scores (HybridQueryScorer.java:104-120)."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    docs = _documents(spark, sf_dir)
+    return scored.join(docs, "docID").agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )
+
+
+def q_hybrid_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket + pipeline aggs under hybrid (§2.7): terms buckets by lang,
+    avg_bucket/max_bucket pipeline values over the per-bucket sums."""
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    buckets = (
+        scored.join(_documents(spark, sf_dir).select("docID", "lang"), "docID")
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_count"), F.sum("score").alias("_sum"))
+    )
+    w = Window.partitionBy()
+    return buckets.select(
+        "lang",
+        "doc_count",
+        F.round("_sum", 4).alias("sum_score"),
+        F.round(F.avg("_sum").over(w), 4).alias("avg_bucket_sum"),
+        F.round(F.max("_sum").over(w), 4).alias("max_bucket_sum"),
+    ).orderBy("lang")
+
+
+def q_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested chunks + inner hits (HybridQueryInnerHitsIT analog)."""
+    from neural_search_spark.analysis.chunking import chunk_table
+    from neural_search_spark.search.ops import nested_inner_hits
+
+    c = corpus_from_documents(spark, sf_dir)
+    chunks = chunk_table(c, "content", "docID", "delimiter", delimiter=CHUNK_DELIM)
+    return nested_inner_hits(chunks, NESTED_QUERY_TERMS, k=10)
+
+
 def q_hybrid_agg_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
@@ -462,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
+        "hybrid_agg_metrics": q_hybrid_agg_metrics,
+        "hybrid_agg_pipeline": q_hybrid_agg_pipeline,
+        "nested_inner_hits": q_nested_inner_hits,
         "chunk_delimiter": q_chunk_delimiter,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
@@ -523,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_zscore_geometric": osql.hybrid_topk_sql(h2, "z_score", "geometric_mean", depth=HYBRID_DEPTH),
         "hybrid_rrf": osql.hybrid_topk_sql(h3, "rrf", "rrf", depth=HYBRID_DEPTH),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
+        "hybrid_agg_metrics": osql.hybrid_agg_metrics_sql(h2),
+        "hybrid_agg_pipeline": osql.hybrid_agg_pipeline_sql(h2),
+        "nested_inner_hits": osql.nested_inner_hits_sql(CHUNK_DELIM, NESTED_QUERY_TERMS, k=10),
         "chunk_delimiter": osql.chunk_delimiter_sql(CHUNK_DELIM),
         "chunk_fixed_char": osql.chunk_fixed_char_sql(64, 0.25),
         "chunk_fixed_token_counts": osql.chunk_fixed_token_counts_sql(20, 0.25),

@@ -48,6 +48,19 @@ def main() -> None:
         print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
     total = time.perf_counter() - t_all0
 
+    # attach the latest postings-build scaling evidence (tools/scaling_run.py)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            rep = json.load(f)
+        scaling = {
+            "scaling_efficiency": rep.get("scaling_efficiency"),
+            "build_rows_per_sec": {
+                k: v.get("rows_per_sec") for k, v in rep.get("levels", {}).items()
+            },
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query set wall time (BM25 + hybrid + pipeline ops)",
@@ -58,6 +71,7 @@ def main() -> None:
         "queries_per_sec": round(len(timings) / total, 4) if total else None,
         "index_build_sec": round(index_build, 4),
         "cpus": int(cpus),
+        "scaling": scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -43,12 +43,12 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-from neural_search_spark.analysis.tokenizer import term_freqs_udf
 from neural_search_spark.index.codec import BLOCK_SIZE, encode_posting_list
 from neural_search_spark.index.smallfloat import quantize_length_np
 
@@ -86,53 +86,141 @@ def _append_manifest(out_dir: str, entry: dict) -> None:
         f.write(json.dumps(entry) + "\n")
 
 
-def _encode_factory(block_size: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One group = one (term, shard): sort by docID, compress."""
-        order = np.argsort(pdf["docID"].to_numpy(), kind="stable")
-        d = pdf["docID"].to_numpy()[order]
-        t = pdf["tf"].to_numpy()[order]
-        q = pdf["dlq"].to_numpy()[order]
-        doc_b, tf_b, blocks = encode_posting_list(d, t, q, block_size=block_size)
-        last, maxtf, mindlq, docend, tfend = (list(x) for x in zip(*blocks))
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "df": [int(d.size)],
-                "doc_bytes": [doc_b],
-                "tf_bytes": [tf_b],
-                "blk_last": [last],
-                "blk_maxtf": [maxtf],
-                "blk_mindlq": [mindlq],
-                "blk_docend": [docend],
-                "blk_tfend": [tfend],
-            }
-        )
+def _encode_stream_factory(block_size: int):
+    """Streaming shard encoder for ``mapInPandas``.
 
-    return encode_group
+    Input: a partition holding whole shards, sorted by (shard, term, docID)
+    — every (term, shard) posting list is one contiguous run. Runs are
+    detected vectorized per Arrow batch; a run that straddles a batch
+    boundary is carried over. This replaces a per-(term,shard)
+    ``applyInPandas`` groupBy: at 10^12-file scale the group count is
+    O(vocab x shards) and per-group scheduling/serialization dominates,
+    while one streaming pass per shard keeps memory bounded by a single
+    run and adds zero per-group Spark overhead.
+    """
+
+    def encode_stream(batches):
+        out: list[dict] = []
+        carry: pd.DataFrame | None = None
+
+        def encode_run(term: str, shard: int, d, t, q) -> None:
+            doc_b, tf_b, blocks = encode_posting_list(d, t, q, block_size=block_size)
+            last, maxtf, mindlq, docend, tfend = (list(x) for x in zip(*blocks))
+            out.append(
+                {
+                    "term": term,
+                    "shard": int(shard),
+                    "df": int(len(d)),
+                    "doc_bytes": doc_b,
+                    "tf_bytes": tf_b,
+                    "blk_last": last,
+                    "blk_maxtf": maxtf,
+                    "blk_mindlq": mindlq,
+                    "blk_docend": docend,
+                    "blk_tfend": tfend,
+                }
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            terms = pdf["term"].to_numpy()
+            shards_ = pdf["shard"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (shards_[1:] != shards_[:-1])
+            starts = np.nonzero(change)[0]
+            # the final run may continue into the next batch — carry it
+            carry = pdf.iloc[starts[-1] :]
+            d_all = pdf["docID"].to_numpy()
+            t_all = pdf["tf"].to_numpy()
+            q_all = pdf["dlq"].to_numpy()
+            for i in range(len(starts) - 1):
+                s0, s1 = starts[i], starts[i + 1]
+                encode_run(terms[s0], shards_[s0], d_all[s0:s1], t_all[s0:s1], q_all[s0:s1])
+            if len(out) >= 512:
+                yield pd.DataFrame(out)
+                out = []
+        if carry is not None and len(carry):
+            encode_run(
+                carry["term"].iloc[0],
+                carry["shard"].iloc[0],
+                carry["docID"].to_numpy(),
+                carry["tf"].to_numpy(),
+                carry["dlq"].to_numpy(),
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    return encode_stream
+
+
+_TF_DLQ_SCHEMA = StructType(
+    [
+        StructField("tf_map", MapType(StringType(), IntegerType()), False),
+        StructField("dl", IntegerType(), False),
+        StructField("dlq", IntegerType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_TF_DLQ_SCHEMA)
+def _tf_dlq_udf(texts: pd.Series) -> pd.DataFrame:
+    """content → (map<term,tf>, dl, quantized dl) in ONE Arrow pass.
+
+    Quantization runs here, per doc, BEFORE the explode: doing it after
+    would push every posting row (avg-tf x more rows) through a second
+    Python round-trip for a value that is constant per doc."""
+    from collections import Counter
+
+    from neural_search_spark.analysis.tokenizer import _TOKEN_RE
+
+    toks = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    dl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    return pd.DataFrame(
+        {
+            "tf_map": [dict(Counter(t)) for t in toks],
+            "dl": dl.astype("int32"),
+            "dlq": quantize_length_np(dl).astype("int32"),
+        }
+    )
 
 
 def raw_postings(corpus: DataFrame, n_shards: int, text_col: str = "content", id_col: str = "docID") -> DataFrame:
     """corpus → (docID, shard, term, tf, dl, dlq): tokenize once, carry the
     doc length with every posting row so the encoder never joins doclens
-    (at 10^12 docs that join would be a second full shuffle)."""
-
-    @F.pandas_udf(IntegerType())
-    def _quant(dl: pd.Series) -> pd.Series:
-        return pd.Series(quantize_length_np(dl.to_numpy()), dtype="int32")
-
-    base = corpus.select(
+    (at 10^12 docs that join would be a second full shuffle). The explode
+    runs JVM-side; nothing per-posting ever touches Python here."""
+    return corpus.select(
         F.col(id_col).alias("docID"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
-        term_freqs_udf(F.col(text_col)).alias("_tf"),
+        _tf_dlq_udf(F.col(text_col)).alias("_tf"),
     ).select(
         "docID",
         "shard",
         F.col("_tf.dl").alias("dl"),
+        F.col("_tf.dlq").alias("dlq"),
         F.explode(F.col("_tf.tf_map")).alias("term", "tf"),
     )
-    return base.withColumn("dlq", _quant(F.col("dl")))
+
+
+def _docmap(corpus: DataFrame, n_shards: int, text_col: str, id_col: str) -> DataFrame:
+    """(docID, sha, shard): content identity per doc. Reuses a carried
+    ``content_sha256`` column when present (already verified by the per-row
+    invariant) instead of re-hashing."""
+    sha = (
+        F.col("content_sha256")
+        if "content_sha256" in corpus.columns
+        else F.sha2(F.col(text_col), 256)
+    )
+    return corpus.select(
+        F.col(id_col).alias("docID"),
+        sha.alias("sha"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+    )
 
 
 def build_index(
@@ -156,14 +244,54 @@ def build_index(
     t0 = time.perf_counter()
 
     if not done_stage_a:
-        rp = raw_postings(corpus, n_shards, text_col, id_col)
-        rp.write.partitionBy("shard").mode("overwrite").parquet(raw_dir)
+        # ONE shuffle for the whole build, and it moves the COMPACT per-doc
+        # rows (docID, shard, tf_map, dl, dlq) — one record per document —
+        # not the exploded postings: the explode multiplies record count by
+        # the distinct-terms-per-doc factor (~23x here), and shuffling that
+        # many tiny rows dominates CPU in serialization + GC. The tf_map IS
+        # the map-side combine. Reduce side: explode, then partition-local
+        # sort by (shard, term, docID) so the raw checkpoint is stored
+        # run-contiguous and stage B is a pure scan+encode, shuffle-free.
+        # (Writing partitionBy straight from the 128 map tasks instead
+        # would open n_shards parquet writers per task — buffer explosion.)
+        compact = corpus.select(
+            F.col(id_col).alias("docID"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+            _tf_dlq_udf(F.col(text_col)).alias("_tf"),
+        )
+        (
+            # 4x partitions so hash collisions between shard keys do not
+            # double-load reduce tasks (a key still lands wholly in one task)
+            compact.repartition(4 * n_shards, "shard")
+            .select(
+                "docID",
+                "shard",
+                F.col("_tf.dl").alias("dl"),
+                F.col("_tf.dlq").alias("dlq"),
+                F.explode(F.col("_tf.tf_map")).alias("term", "tf"),
+            )
+            .sortWithinPartitions("shard", "term", "docID")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(raw_dir)
+        )
+        # docmap: (docID, sha) per shard — the content-identity checkpoint
+        # that update_index anti-joins against to skip unchanged docs (the
+        # reference's inference-skip filter,
+        # processor/optimization/InferenceFilter.java)
+        _docmap(corpus, n_shards, text_col, id_col).repartition(
+            n_shards, "shard"
+        ).write.partitionBy("shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "docmap")
+        )
         # doclens: distinct per doc, cheap projection of the same raw rows
         spark.read.parquet(raw_dir).groupBy("docID", "shard").agg(
             F.first("dl").alias("dl"), F.first("dlq").alias("dlq")
-        ).select("docID", "dl", "dlq", "shard").write.partitionBy("shard").mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "doclens"))
+        ).select("docID", "dl", "dlq", "shard").repartition(
+            n_shards, "shard"
+        ).write.partitionBy("shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "doclens")
+        )
         dstats = (
             spark.read.parquet(os.path.join(out_dir, "doclens"))
             .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
@@ -188,37 +316,195 @@ def build_index(
             },
         )
 
-    encode = _encode_factory(block_size)
     batch = shard_batch or n_shards
     pending = [s for s in range(n_shards) if s not in done_shards]
     for i in range(0, len(pending), batch):
-        shards = pending[i : i + batch]
-        tb = time.perf_counter()
-        src = spark.read.parquet(raw_dir).where(F.col("shard").isin(shards))
-        out = src.groupBy("term", "shard").applyInPandas(encode, POSTINGS_SCHEMA)
-        # dynamic partition overwrite: a crash-retried batch rewrites its own
-        # shard directories instead of appending duplicates
-        out.write.partitionBy("shard").mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(os.path.join(out_dir, "postings"))
-        built = (
-            spark.read.parquet(os.path.join(out_dir, "postings"))
-            .where(F.col("shard").isin(shards))
-            .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
-            .collect()[0]
-        )
-        _append_manifest(
-            out_dir,
-            {
-                "stage": "postings",
-                "shards": shards,
-                "terms": int(built["terms"]),
-                "rows": int(built["postings"] or 0),
-                "wall_s": round(time.perf_counter() - tb, 3),
-            },
-        )
+        _encode_shards(spark, out_dir, raw_dir, pending[i : i + batch], block_size)
 
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     stats["build_wall_s"] = round(time.perf_counter() - t0, 3)
     return stats
+
+
+def _encode_shards(
+    spark: SparkSession, out_dir: str, raw_dir: str, shards: list[int], block_size: int
+) -> None:
+    """Stage B for one shard batch: stream-encode the (already sorted,
+    run-contiguous) raw shard files into compressed posting lists — a pure
+    scan+encode, no shuffle (stage A stored raw sorted per shard).
+    A (term, shard) run split across parquet splits yields two partial
+    posting rows covering disjoint docID ranges — still correct (query-side
+    scores accumulate per doc and global df sums over rows). Dynamic
+    partition overwrite so a crash-retried batch rewrites its own shard
+    directories instead of appending duplicates; then manifest it. Shard
+    count is the reduce-side parallelism knob — size it to the cluster
+    (thousands at 10^12 files)."""
+    tb = time.perf_counter()
+    src = spark.read.parquet(raw_dir).where(F.col("shard").isin(shards))
+    out = src.mapInPandas(_encode_stream_factory(block_size), POSTINGS_SCHEMA)
+    out.write.partitionBy("shard").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(os.path.join(out_dir, "postings"))
+    built = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .where(F.col("shard").isin(shards))
+        .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
+        .collect()[0]
+    )
+    _append_manifest(
+        out_dir,
+        {
+            "stage": "postings",
+            "shards": shards,
+            "terms": int(built["terms"]),
+            "rows": int(built["postings"] or 0),
+            "wall_s": round(time.perf_counter() - tb, 3),
+        },
+    )
+
+
+def _swap_shard_partitions(df: DataFrame, path: str, shards: list[int]) -> None:
+    """Replace ``path/shard=S`` for the given shards with ``df``'s rows.
+
+    Spark cannot overwrite a path it is concurrently reading
+    (self-overwrite), so we stage to a sibling temp dir and swap the shard
+    directories on the driver. On a real deployment this whole dance is an
+    Iceberg ``overwritePartitions`` commit; the logical plan (write new
+    partition content, atomically swap pointers) is identical."""
+    import shutil
+
+    tmp = path + "_swap"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+    for s in shards:
+        dst = os.path.join(path, f"shard={s}")
+        src = os.path.join(tmp, f"shard={s}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)  # shard emptied by the update
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def update_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> dict:
+    """Incremental index maintenance: bring ``out_dir`` up to date with
+    ``corpus`` re-tokenizing ONLY added/changed docs.
+
+    The content-identity skip mirrors the reference's inference filter
+    (``processor/optimization/InferenceFilter.java``: reuse existing
+    embeddings when the source text is unchanged): docs whose
+    ``sha256(content)`` matches the stored docmap are never re-read. Docs
+    present in the index but missing from (or changed in) ``corpus`` have
+    their old postings dropped. Only shards containing dirty docs are
+    re-encoded; untouched shard partitions keep their files byte-identical
+    (verified in tests), so at 10^12-file scale an update touching 0.1% of
+    repos re-encodes ~0.1%-ish of (term, shard) groups, not the index.
+
+    Returns a summary dict {added, changed, removed, shards} (also appended
+    to the manifest with wall-clock lineage).
+    """
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = stats["n_shards"]
+    raw_dir = os.path.join(out_dir, "_postings_raw")
+    doclens_dir = os.path.join(out_dir, "doclens")
+    docmap_dir = os.path.join(out_dir, "docmap")
+    t0 = time.perf_counter()
+
+    new_map = _docmap(corpus, n_shards, text_col, id_col)
+    old_map = spark.read.parquet(docmap_dir).select("docID", "sha", "shard")
+
+    # classify: changed (same doc, new sha), added, removed
+    joined = new_map.alias("n").join(old_map.alias("o"), "docID", "full").select(
+        F.col("docID"),
+        F.col("n.sha").alias("new_sha"),
+        F.col("o.sha").alias("old_sha"),
+        F.coalesce(F.col("n.shard"), F.col("o.shard")).alias("shard"),
+    )
+    dirty = joined.where(
+        F.col("new_sha").isNull()  # removed
+        | F.col("old_sha").isNull()  # added
+        | (F.col("new_sha") != F.col("old_sha"))  # changed
+    ).cache()
+    counts = dirty.agg(
+        F.sum(F.when(F.col("old_sha").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("new_sha").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(
+            F.when(F.col("new_sha").isNotNull() & F.col("old_sha").isNotNull(), 1).otherwise(0)
+        ).alias("changed"),
+    ).collect()[0]
+    shards = sorted(
+        r["shard"] for r in dirty.select("shard").distinct().collect()
+    )
+    summary = {
+        "added": int(counts["added"] or 0),
+        "removed": int(counts["removed"] or 0),
+        "changed": int(counts["changed"] or 0),
+        "shards": shards,
+    }
+    if not shards:
+        dirty.unpersist()
+        return summary
+
+    dirty_ids = dirty.select("docID")
+    # re-tokenize ONLY added/changed docs (inference-skip: unchanged content
+    # never re-read); broadcast the dirty id set — it is small by premise
+    fresh_ids = dirty.where(F.col("new_sha").isNotNull()).select(
+        F.col("docID").alias(id_col)
+    )
+    fresh_corpus = corpus.join(F.broadcast(fresh_ids), id_col, "semi")
+    new_raw = raw_postings(fresh_corpus, n_shards, text_col, id_col)
+
+    kept = lambda df: df.where(F.col("shard").isin(shards)).join(  # noqa: E731
+        F.broadcast(dirty_ids), "docID", "anti"
+    )
+    old_raw = spark.read.parquet(raw_dir)
+    merged_raw = (
+        kept(old_raw)
+        .unionByName(new_raw)
+        .repartition(len(shards), "shard")
+        .sortWithinPartitions("shard", "term", "docID")
+    )
+    _swap_shard_partitions(merged_raw, raw_dir, shards)
+
+    new_doclens = (
+        spark.read.parquet(raw_dir)
+        .where(F.col("shard").isin(shards))
+        .groupBy("docID", "shard")
+        .agg(F.first("dl").alias("dl"), F.first("dlq").alias("dlq"))
+        .select("docID", "dl", "dlq", "shard")
+    )
+    _swap_shard_partitions(new_doclens, doclens_dir, shards)
+    _swap_shard_partitions(
+        kept(spark.read.parquet(docmap_dir)).unionByName(
+            new_map.join(F.broadcast(dirty_ids), "docID", "semi")
+        ),
+        docmap_dir,
+        shards,
+    )
+
+    dstats = (
+        spark.read.parquet(doclens_dir)
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    stats["n_docs"] = int(dstats["n"])
+    stats["total_tokens"] = int(dstats["tot"] or 0)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+    _encode_shards(spark, out_dir, raw_dir, shards, stats["block_size"])
+    _append_manifest(
+        out_dir,
+        {"stage": "update", **summary, "wall_s": round(time.perf_counter() - t0, 3)},
+    )
+    dirty.unpersist()
+    return summary

@@ -283,6 +283,94 @@ ORDER BY {group_col}
 """
 
 
+def hybrid_agg_metrics_sql(clause_terms: list[list[str]], k1: float = 1.2, b: float = 0.75) -> str:
+    """Metric aggregations under a hybrid query (§2.7,
+    ``MetricAggregationsWithHybridQueryIT``): one row of corpus-level
+    metrics over the matched docs, score = SUM of sub-query scores."""
+    n = len(clause_terms)
+    clause_sql = ",".join(_clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID)
+SELECT COUNT(*) AS doc_count,
+       ROUND(AVG(d.n_chars), 4) AS avg_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+       ROUND(SUM(s.score), 4) AS sum_score,
+       ROUND(MAX(s.score), 4) AS max_score
+FROM docsum s JOIN documents d ON s.docID = CAST(d.doc_id AS BIGINT)
+"""
+
+
+def hybrid_agg_pipeline_sql(clause_terms: list[list[str]], k1: float = 1.2, b: float = 0.75) -> str:
+    """Bucket + pipeline aggregation under a hybrid query (§2.7,
+    ``BucketAggregationsWithHybridQueryIT`` /
+    ``PipelineAggregationsWithHybridQueryIT``): terms buckets by lang with
+    per-bucket sum, plus avg_bucket / max_bucket pipeline values."""
+    n = len(clause_terms)
+    clause_sql = ",".join(_clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID),
+buckets AS (
+    SELECT c.lang AS lang, COUNT(*) AS doc_count, SUM(s.score) AS sum_score
+    FROM docsum s JOIN corpus c ON s.docID = c.docID
+    GROUP BY c.lang
+)
+SELECT lang, doc_count,
+       ROUND(sum_score, 4) AS sum_score,
+       ROUND(AVG(sum_score) OVER (), 4) AS avg_bucket_sum,
+       ROUND(MAX(sum_score) OVER (), 4) AS max_bucket_sum
+FROM buckets
+ORDER BY lang
+"""
+
+
+def nested_inner_hits_sql(delimiter: str, terms: list[str], k: int = 10) -> str:
+    """Nested-docs analog: chunks as nested children; chunk score = number
+    of query-term occurrences, parent score = MAX over its chunks
+    (nested score_mode=max), inner hit = the best chunk (lowest chunk_idx
+    on ties). Mirrors the reference's nested/inner-hits surface
+    (``HybridQueryInnerHitsIT``) over the chunk table."""
+    d = delimiter.replace("'", "''")
+    from neural_search_spark.analysis.tokenizer import SQL_TOKEN_PATTERN
+
+    return f"""
+WITH split AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, string_split(text, '{d}') AS parts
+    FROM documents
+),
+chunks AS (
+    SELECT docID,
+           CAST(ord - 1 AS INT) AS chunk_idx,
+           part || CASE WHEN ord < n THEN '{d}' ELSE '' END AS chunk
+    FROM (
+        SELECT docID, unnest(parts) AS part,
+               unnest(range(1, len(parts) + 1)) AS ord, len(parts) AS n
+        FROM split
+    )
+    WHERE NOT (ord = n AND part = '')
+),
+scored AS (
+    SELECT docID, chunk_idx,
+           len(list_filter(regexp_extract_all(lower(chunk), '{SQL_TOKEN_PATTERN}'),
+                           t -> list_contains({_term_list(terms)}, t))) AS cscore
+    FROM chunks
+),
+best AS (
+    SELECT docID, chunk_idx, cscore,
+           ROW_NUMBER() OVER (PARTITION BY docID ORDER BY cscore DESC, chunk_idx) AS rn,
+           MAX(cscore) OVER (PARTITION BY docID) AS score
+    FROM scored
+)
+SELECT docID, CAST(score AS BIGINT) AS score, chunk_idx AS best_chunk_idx
+FROM best
+WHERE rn = 1 AND score > 0
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def doclen_quantized_sql() -> str:
     """Whole-table (docID, dl, dlq) — gates the tokenizer + SmallFloat path."""
     dlq = quantize_length_sql("dls.dl")

@@ -168,6 +168,9 @@ class BM25Engine:
         """``match`` query: analyze the text, OR the terms (Lucene default).
         ``filter_expr`` is a SQL predicate over corpus columns, pushed into
         the clause (restricts candidates, not stats)."""
+        from neural_search_spark import stats as _stats
+
+        _stats.record_event("match_query_requests")
         cand = self.corpus.where(filter_expr).select(F.col(self.id_col).alias("docID")) if filter_expr else None
         return bm25_clause_scores(
             self.spark, self.postings, self.doclens, self.stats,
@@ -176,6 +179,9 @@ class BM25Engine:
 
     def term(self, term: str, k1: float = K1, b: float = B) -> DataFrame:
         """``term`` query: single unanalyzed term."""
+        from neural_search_spark import stats as _stats
+
+        _stats.record_event("term_query_requests")
         return bm25_clause_scores(
             self.spark, self.postings, self.doclens, self.stats, [term], k1=k1, b=b
         )

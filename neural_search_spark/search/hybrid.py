@@ -260,6 +260,12 @@ def hybrid_search(
     if not 1 <= len(clause_scores) <= MAX_SUB_QUERIES:
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
     validate_technique_pair(normalization, combination)
+    # stats-API event counters (stats/events/EventStatName.java analog)
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("hybrid_query_requests")
+    _stats.record_event(f"normalization_{normalization}_executions")
+    _stats.record_event(f"combination_{combination}_executions")
     for bounds in (lower_bounds, upper_bounds):
         if bounds is not None and len(bounds) != len(clause_scores):
             raise ValueError("bounds list must have one entry per sub-query")

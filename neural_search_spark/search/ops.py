@@ -109,3 +109,48 @@ def collapse_best_per_field(
         .where(F.col("_rn") == 1)
         .select("docID", field, "score")
     )
+
+
+def nested_inner_hits(
+    chunks: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    chunk_col: str = "chunk",
+    parent_col: str = "docID",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Nested-docs query with inner hits over a chunk table.
+
+    The reference supports hybrid queries against ``nested`` fields with
+    inner hits (``HybridQueryInnerHitsIT``; nested unwrap in
+    ``HybridQueryPhaseSearcher.java:83-110``). The Spark analog treats
+    chunks as nested children: each chunk scores by query-term occurrence
+    count (JVM-side: tokenize UDF + builtin ``filter``/``size`` — no
+    per-row Python), the parent doc scores as the MAX over its chunks
+    (nested score_mode=max), and the inner hit is the best chunk
+    (lowest ``chunk_idx`` on ties). Returns
+    ``(docID, score, best_chunk_idx)`` top-k by (score desc, docID asc).
+
+    Scale shape: one window over ``parent_col`` (shuffle by parent) — the
+    same plan as collapse; no joins, no driver-side state.
+    """
+    from neural_search_spark.analysis.tokenizer import tokenize_udf
+
+    tset = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    cscore = F.size(
+        F.filter(tokenize_udf(F.col(chunk_col)), lambda t: F.array_contains(tset, t))
+    )
+    scored = chunks.select(
+        F.col(parent_col).alias("docID"),
+        F.col(idx_col).alias("chunk_idx"),
+        cscore.cast("long").alias("cscore"),
+    )
+    w = Window.partitionBy("docID")
+    worder = Window.partitionBy("docID").orderBy(F.desc("cscore"), F.asc("chunk_idx"))
+    best = (
+        scored.withColumn("score", F.max("cscore").over(w))
+        .withColumn("_rn", F.row_number().over(worder))
+        .where((F.col("_rn") == 1) & (F.col("score") > 0))
+        .select("docID", "score", F.col("chunk_idx").alias("best_chunk_idx"))
+    )
+    return best.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -1,0 +1,145 @@
+"""Query-spec parsing: dict-shaped search requests → engine calls.
+
+Mirrors the reference's REST parse/rewrite surface as a library API:
+
+- ``parse_hybrid_spec`` ≈ ``query/HybridQueryBuilder.java:197-267``
+  (``fromXContent``): reads ``queries`` (1..5), ``filter``,
+  ``pagination_depth``; rejects nested hybrid
+  (``search/query/HybridQueryPhaseSearcher.java:147-189``).
+- clause types: ``match`` / ``term`` (lexical BM25, §2.2),
+  ``neural_sparse`` (token-weight map), ``neural`` (stub — requires an
+  external embedding model, out of scope exactly as SURVEY.md §2.2).
+- the pushed ``filter`` restricts every sub-query
+  (``query/HybridQueryBuilder.java:107-122``).
+- ``enrich_spec`` ≈ ``processor/NeuralQueryEnricherProcessor.java``:
+  injects per-index/per-field defaults (model id, analysis params) into
+  clauses that omit them — a request preprocessor, pure dict → dict.
+- pipeline config (normalization/combination + params) follows the
+  search-pipeline processor config shape
+  (``processor/NormalizationProcessor.java:44-110``).
+
+Everything returns DataFrames; no result is collected here.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from neural_search_spark.search.hybrid import MAX_SUB_QUERIES, hybrid_search
+
+LEXICAL_TYPES = ("match", "term")
+CLAUSE_TYPES = LEXICAL_TYPES + ("neural_sparse", "neural")
+
+
+def enrich_spec(spec: dict, defaults: dict[str, Any] | None = None) -> dict:
+    """neural_query_enricher: fill per-clause defaults (e.g. ``model_id``,
+    ``analyzer``) into clauses that do not set them. Returns a new spec;
+    the input is not mutated."""
+    if not defaults:
+        return spec
+    out = {**spec, "queries": []}
+    for clause in spec.get("queries", []):
+        (ctype, body), = clause.items()
+        if not isinstance(body, dict):
+            body = {"query": body}  # string shorthand {"match": "text"}
+        body = {**defaults.get(ctype, {}), **body}
+        out["queries"].append({ctype: body})
+    return out
+
+
+def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
+    (ctype, body), = clause.items()
+    if ctype not in CLAUSE_TYPES:
+        raise ValueError(f"unsupported clause type: {ctype}")
+    if ctype == "hybrid":  # unreachable via CLAUSE_TYPES; kept for clarity
+        raise ValueError("hybrid query cannot be nested inside hybrid")
+    if ctype == "neural":
+        raise NotImplementedError(
+            "neural clause requires an external embedding model "
+            "(NeuralQueryBuilder rewrites via ML-Commons; out of scope, "
+            "SURVEY.md §2.2) — use neural_sparse or match"
+        )
+    if ctype == "neural_sparse":
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.search.sparse import neural_sparse_score
+
+        tokens = body["query_tokens"]
+        postings = body["postings"]  # caller-supplied sparse postings DataFrame
+        scored = neural_sparse_score(engine.spark, postings, tokens)
+        if filter_expr is not None:
+            members = engine.corpus.where(filter_expr).select(
+                F.col(engine.id_col).alias("docID")
+            )
+            scored = scored.join(members, "docID", "semi")
+        return scored
+    text = body["query"] if isinstance(body, dict) else body
+    if ctype == "term":
+        from pyspark.sql import functions as F
+
+        scored = engine.term(text)
+        if filter_expr is not None:
+            members = engine.corpus.where(filter_expr).select(
+                F.col(engine.id_col).alias("docID")
+            )
+            scored = scored.join(members, "docID", "semi")
+        return scored
+    return engine.match(text, filter_expr=filter_expr)
+
+
+def parse_hybrid_spec(
+    engine,
+    spec: dict,
+    pipeline: dict | None = None,
+    k: int = 10,
+    enricher_defaults: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Execute a dict-shaped hybrid query end to end.
+
+    ``spec``: ``{"queries": [{"match": {"query": ...}}, ...],
+    "filter": <sql predicate>, "pagination_depth": int}``.
+    ``pipeline``: ``{"normalization": {"technique": ..., "lower_bounds":
+    ...}, "combination": {"technique": ..., "weights": [...]}}`` — the
+    normalization-processor config shape; defaults min_max/arithmetic_mean
+    (``ScoreNormalizationFactory.java:25``,
+    ``ScoreCombinationFactory.java:17``).
+    """
+    if "hybrid" in spec:
+        spec = spec["hybrid"]
+    spec = enrich_spec(spec, enricher_defaults)
+    clauses = spec.get("queries", [])
+    if not 1 <= len(clauses) <= MAX_SUB_QUERIES:
+        raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
+    for clause in clauses:
+        (ctype, _), = clause.items()
+        if ctype == "hybrid":
+            # HybridQueryPhaseSearcher.java:147-189 — hybrid is top-level only
+            raise ValueError("hybrid query cannot be nested inside another hybrid")
+    filter_expr = spec.get("filter")
+    depth = spec.get("pagination_depth")
+    frm = spec.get("from", 0)
+    if frm > 0 and depth is None:
+        # HybridCollectorManager.java:591-607
+        raise ValueError("pagination_depth is required when 'from' > 0")
+    pipeline = pipeline or {}
+    norm_cfg = pipeline.get("normalization", {})
+    comb_cfg = pipeline.get("combination", {})
+    scored = [_score_clause(engine, c, filter_expr) for c in clauses]
+    out = hybrid_search(
+        scored,
+        norm_cfg.get("technique", "min_max"),
+        comb_cfg.get("technique", "arithmetic_mean"),
+        weights=comb_cfg.get("weights"),
+        k=k + frm,
+        depth=depth or max(k + frm, 10),
+        rank_constant=norm_cfg.get("rank_constant", 60),
+        lower_bounds=norm_cfg.get("lower_bounds"),
+        upper_bounds=norm_cfg.get("upper_bounds"),
+    )
+    if frm:
+        from neural_search_spark.search.ops import paginate
+
+        out = paginate(out, frm, k, pagination_depth=depth)
+    return out

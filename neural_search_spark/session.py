@@ -25,9 +25,15 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "4")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # local-mode "executor" memory is the driver JVM; the 1g default
+    # GC-thrashes under 32 concurrent Arrow-UDF tasks (takes effect only if
+    # this call creates the JVM, which it does in every entry path)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

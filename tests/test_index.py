@@ -119,3 +119,83 @@ def test_rebuild_is_noop_when_complete(spark, tmp_path):
     n1 = len(read_manifest(d))
     build_index(spark, corpus, d, n_shards=2, block_size=16)
     assert len(read_manifest(d)) == n1
+
+
+# ------------------------------------------------------------- incremental
+
+
+def _shard_file_state(d: str, sub: str) -> dict[str, str]:
+    """shard dir -> sorted (name, size) fingerprint of its parquet files."""
+    import hashlib
+
+    out = {}
+    root = os.path.join(d, sub)
+    for shard in os.listdir(root):
+        if not shard.startswith("shard="):
+            continue
+        h = hashlib.sha256()
+        sd = os.path.join(root, shard)
+        for fn in sorted(os.listdir(sd)):
+            if fn.endswith(".parquet"):
+                with open(os.path.join(sd, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+        out[shard] = h.hexdigest()
+    return out
+
+
+def test_update_index_incremental(spark, tmp_path):
+    from neural_search_spark.corpus import synthetic_code_corpus_pdf
+    from neural_search_spark.index.builder import update_index
+
+    base_pdf = synthetic_code_corpus_pdf(n_rows=200, seed=11)
+    d = str(tmp_path / "incr")
+    build_index(spark, spark.createDataFrame(base_pdf), d, n_shards=8, block_size=16)
+    before = _shard_file_state(d, "postings")
+
+    # v2 corpus: change 2 docs, remove 1, add 2
+    v2 = base_pdf.copy()
+    v2.loc[v2["docID"] == 5, "content"] = "import ident1 changed_token_aaa"
+    v2.loc[v2["docID"] == 17, "content"] = "def changed_token_bbb():"
+    v2 = v2[v2["docID"] != 42]
+    extra = synthetic_code_corpus_pdf(n_rows=2, seed=99)
+    extra["docID"] = [10001, 10002]
+    v2 = __import__("pandas").concat([v2, extra], ignore_index=True)
+    # recompute the carried sha for edited rows (the invariant column)
+    import hashlib as _h
+
+    v2["content_sha256"] = [
+        _h.sha256(c.encode()).hexdigest() for c in v2["content"]
+    ]
+
+    summary = update_index(spark, spark.createDataFrame(v2), d)
+    assert summary["changed"] == 2
+    assert summary["removed"] == 1
+    assert summary["added"] == 2
+
+    # untouched shard partitions are byte-identical (no needless rewrite)
+    after = _shard_file_state(d, "postings")
+    touched = {f"shard={s}" for s in summary["shards"]}
+    for shard, fp in before.items():
+        if shard not in touched:
+            assert after[shard] == fp, f"{shard} rewritten but not dirty"
+
+    # updated index == fresh full rebuild of v2 (rank- and score-identical)
+    d2 = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(v2), d2, n_shards=8, block_size=16)
+    for q in ["import ident1", "changed_token_aaa", "def uniq_000003", "import"]:
+        got = _rows(BlockMaxIndex(spark, d).match_topk(q, k=10))
+        want = _rows(BlockMaxIndex(spark, d2).match_topk(q, k=10))
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        np.testing.assert_allclose(
+            [x[1] for x in got], [x[1] for x in want], rtol=0, atol=1e-9
+        )
+
+    # removed doc gone, added docs queryable
+    assert 42 not in [x[0] for x in _rows(BlockMaxIndex(spark, d).match_topk("import", k=300))]
+    man = read_manifest(d)
+    assert any(e["stage"] == "update" for e in man)
+
+    # no-op update: nothing dirty, no shards re-encoded
+    noop = update_index(spark, spark.createDataFrame(v2), d)
+    assert noop == {"added": 0, "removed": 0, "changed": 0, "shards": []}

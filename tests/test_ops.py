@@ -77,3 +77,30 @@ def test_paginate_window_within_depth(results):
 def test_collapse(results, docs):
     got = collapse_best_per_field(results, docs, "repo").orderBy(F.desc("score")).collect()
     assert {(r["docID"], r["repo"]) for r in got} == {(1, "r1"), (3, "r2"), (5, "r3")}
+
+
+def test_nested_inner_hits(spark):
+    from neural_search_spark.search.ops import nested_inner_hits
+
+    chunks = spark.createDataFrame(
+        [
+            # doc 1: best chunk is idx 1 (2 term hits)
+            (1, 0, "alpha beta"),
+            (1, 1, "spark join spark"),  # spark counts twice? no: occurrences of terms
+            (2, 0, "join"),
+            (3, 0, "nothing here"),
+            # doc 4: tie between chunk 0 and 1 -> lowest idx wins
+            (4, 0, "spark"),
+            (4, 1, "join"),
+        ],
+        "docID long, chunk_idx int, chunk string",
+    )
+    out = nested_inner_hits(chunks, ["spark", "join"], k=10).collect()
+    got = {(r["docID"]): (r["score"], r["best_chunk_idx"]) for r in out}
+    # occurrence count: doc1 chunk1 has spark,join,spark = 3 matches
+    assert got[1] == (3, 1)
+    assert got[2] == (1, 0)
+    assert got[4] == (1, 0)  # tie -> lowest chunk_idx
+    assert 3 not in got  # zero-score parents dropped
+    # ordering: score desc, docID asc
+    assert [r["docID"] for r in out] == [1, 2, 4]

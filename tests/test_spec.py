@@ -1,0 +1,130 @@
+"""Query-spec parsing (fromXContent analog), enricher defaulting, and the
+stats-API event counters."""
+
+import pytest
+
+from neural_search_spark import stats
+from neural_search_spark.search.bm25 import BM25Engine, topk
+from neural_search_spark.search.hybrid import hybrid_search
+from neural_search_spark.search.spec import enrich_spec, parse_hybrid_spec
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_corpus):
+    return BM25Engine(spark, tiny_corpus).cache()
+
+
+def _ids(df):
+    return [r["docID"] for r in df.collect()]
+
+
+def test_spec_matches_direct_call(spark, engine):
+    spec = {
+        "queries": [
+            {"match": {"query": "import ident1 ident2"}},
+            {"match": {"query": "def return ident3"}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [engine.match("import ident1 ident2"), engine.match("def return ident3")],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_spec_term_clause_and_filter(spark, engine):
+    spec = {
+        "queries": [{"term": {"query": "import"}}, {"match": {"query": "ident1"}}],
+        "filter": "lang = 'python'",
+        "pagination_depth": 10,
+    }
+    out = parse_hybrid_spec(engine, spec, k=10).collect()
+    assert out
+    py_docs = {r["docID"] for r in engine.corpus.where("lang = 'python'").collect()}
+    assert all(r["docID"] in py_docs for r in out)
+
+
+def test_spec_pipeline_config(spark, engine):
+    spec = {"queries": [{"match": "import"}, {"match": "ident1"}], "pagination_depth": 15}
+    pipeline = {
+        "normalization": {"technique": "l2"},
+        "combination": {"technique": "harmonic_mean"},
+    }
+    got = parse_hybrid_spec(engine, spec, pipeline=pipeline, k=5)
+    want = hybrid_search(
+        [engine.match("import"), engine.match("ident1")],
+        "l2",
+        "harmonic_mean",
+        k=5,
+        depth=15,
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_spec_validation():
+    class _Fake:
+        pass
+
+    with pytest.raises(ValueError):
+        parse_hybrid_spec(_Fake(), {"queries": []})
+    with pytest.raises(ValueError):
+        parse_hybrid_spec(_Fake(), {"queries": [{"match": "a"}] * 6})
+    with pytest.raises(ValueError):
+        parse_hybrid_spec(_Fake(), {"queries": [{"hybrid": {}}, {"match": "a"}]})
+    with pytest.raises(ValueError):
+        # from > 0 without pagination_depth (HybridCollectorManager.java:591-607)
+        parse_hybrid_spec(_Fake(), {"queries": [{"match": "a"}], "from": 5})
+
+
+def test_spec_neural_clause_is_stubbed(engine):
+    with pytest.raises(NotImplementedError):
+        parse_hybrid_spec(
+            engine,
+            {"queries": [{"neural": {"query": "x", "model_id": "m"}}], "pagination_depth": 5},
+        )
+
+
+def test_enricher_defaults():
+    spec = {
+        "queries": [
+            {"neural": {"query": "hello"}},
+            {"neural": {"query": "hi", "model_id": "explicit"}},
+        ]
+    }
+    out = enrich_spec(spec, {"neural": {"model_id": "default-model"}})
+    assert out["queries"][0]["neural"]["model_id"] == "default-model"
+    assert out["queries"][1]["neural"]["model_id"] == "explicit"  # explicit wins
+    assert "model_id" not in spec["queries"][0]["neural"]  # input not mutated
+
+
+def test_event_counters(spark, engine):
+    stats.reset()
+    topk(engine.match("import ident1"), 5).collect()
+    hybrid_search(
+        [engine.match("import"), engine.term("ident1")], "min_max", "arithmetic_mean", k=3
+    ).collect()
+    ev = stats.event_counts()
+    assert ev["match_query_requests"] == 2
+    assert ev["term_query_requests"] == 1
+    assert ev["hybrid_query_requests"] == 1
+    assert ev["normalization_min_max_executions"] == 1
+    assert ev["combination_arithmetic_mean_executions"] == 1
+
+
+def test_build_metrics(spark, tmp_path, tiny_corpus):
+    from neural_search_spark.index.builder import build_index
+
+    d = str(tmp_path / "statsidx")
+    build_index(spark, tiny_corpus, d, n_shards=2, block_size=16)
+    m = stats.build_metrics(d)
+    assert m["raw_rows"] > 0
+    assert m["raw_rows_per_sec"] > 0
+    assert m["encoded_postings"] > 0
+    assert m["lineage_entries"] >= 2
+    snap = stats.snapshot(d)
+    assert "events" in snap and "build" in snap

@@ -1,0 +1,171 @@
+"""Postings-build scaling evidence (BASELINE.json north_rule).
+
+The rule's two-cluster-size criterion (throughput scaling efficiency
+>= 0.8 from N to 4N executors) cannot use a real cluster in this
+sandbox; per the driver instruction we run the SAME build job at two
+parallelism levels (N and 4N cores, default local[2] vs local[8]) on
+the SAME input and report throughput at both plus the efficiency.
+
+Methodology:
+
+- Input: the sf0.1 documents corpus replicated REPLICATE x with
+  distinct docIDs, materialized ONCE to parquet (128 files) before any
+  timing — the real job reads an Iceberg table, so input prep is not
+  part of build throughput, and both levels read byte-identical files.
+- The job is identical at both levels: same input files, same
+  n_shards=32, same 64 shuffle partitions (a deployment fixes its
+  layout to the dataset, not to a transient cluster size); only the
+  core count differs.
+- Default levels are local[2] vs local[8] (N=2, 4N=8): this sandbox VM
+  is hypervisor-overcommitted — /proc/stat shows ~5-8 vCPUs of
+  continuous steal time under load — so thread counts near nproc=32
+  measure the host's throttling, not the job's scalability. Both
+  default levels fit inside the real CPU budget; the 8-vs-32 pair can
+  still be run via SPARK_GRAFT_SCALING_LEVELS=8,32 and its result is
+  reported alongside the steal evidence in BASELINE.md.
+- Each (level, trial) runs in its own subprocess (fresh JVM + Python
+  worker pool) with an untimed warmup job that absorbs the one-time
+  worker-spawn/codegen cost a long-lived cluster pays once.
+- TRIALS trials per level, interleaved across levels, best (min wall)
+  kept: this sandbox VM shows +-2x run-to-run noise from host
+  contention, and min is the standard noise-robust estimator.
+
+Usage:
+    python tools/scaling_run.py              # full report
+    python tools/scaling_run.py --one 8      # single timed run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "800"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_DIR = "/tmp/nss_scaling_corpus"
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+)
+N_SHARDS = 32
+
+
+def prepare_corpus() -> None:
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-prep", master="local[32]", shuffle_partitions=64)
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        doc.crossJoin(F.broadcast(spark.range(REPLICATE).withColumnRenamed("id", "rep")))
+        .select(
+            (F.col("doc_id").cast("long") * REPLICATE + F.col("rep")).alias("docID"),
+            F.col("text").alias("content"),
+        )
+        .repartition(128, "docID")
+        .write.mode("overwrite")
+        .parquet(CORPUS_DIR)
+    )
+    spark.stop()
+
+
+def run_one(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.builder import build_index, raw_postings, read_manifest
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-local{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
+    )
+    corpus = spark.read.parquet(CORPUS_DIR)
+    # untimed warmup: python worker spawn + codegen (per-executor one-time cost)
+    warm = corpus.limit(64 * cpus).repartition(2 * cpus)
+    raw_postings(warm, 4).groupBy("shard").count().collect()
+
+    def cpu_sample() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        busy = int(parts[1]) + int(parts[2]) + int(parts[3])
+        steal = int(parts[8]) if len(parts) > 8 else 0
+        return busy, steal
+
+    out_dir = f"/tmp/nss_scaling_{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    b0, s0 = cpu_sample()
+    t0 = time.perf_counter()
+    stats = build_index(spark, corpus, out_dir, n_shards=N_SHARDS, resume=False)
+    wall = time.perf_counter() - t0
+    b1, s1 = cpu_sample()
+    rows = sum(e["rows"] for e in read_manifest(out_dir) if e["stage"] == "raw")
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_s": round(wall, 3),
+                "posting_rows": rows,
+                "rows_per_sec": round(rows / wall, 1),
+                "n_docs": stats["n_docs"],
+                "total_tokens": stats["total_tokens"],
+                "host_busy_cpus": round((b1 - b0) / 100.0 / wall, 2),
+                "host_steal_cpus": round((s1 - s0) / 100.0 / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    marker = os.path.join(CORPUS_DIR, f"_R{REPLICATE}")
+    if not (os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")) and os.path.exists(marker)):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        prepare_corpus()
+        open(marker, "w").close()
+    trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for t in range(TRIALS):
+        for cpus in LEVELS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            trials[cpus].append(json.loads(line))
+            print(f"trial {t} local[{cpus}]: {line}", file=sys.stderr)
+    best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in trials.items()}
+    n, n4 = LEVELS
+    speedup = best[n]["wall_s"] / best[n4]["wall_s"]
+    efficiency = speedup / (n4 / n)
+    report = {
+        "metric": "postings-build throughput scaling efficiency (N -> 4N cores)",
+        "sf_dir": SF_DIR,
+        "replicate": REPLICATE,
+        "trials": trials,
+        "levels": best,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json"
+    )
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_one(int(sys.argv[2]))
+    else:
+        main()
