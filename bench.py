@@ -34,6 +34,7 @@ def main() -> None:
     eng = entry_mod._engine(spark, sf_dir)
     eng.postings.count()
     _ = eng.stats
+    entry_mod._index(spark, sf_dir)  # compressed block-max index (WAND path)
     index_build = time.perf_counter() - t_idx0
 
     qmap = entry_mod.queries()
