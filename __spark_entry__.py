@@ -315,6 +315,31 @@ def q_sparse_doc_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(neural_sparse_score(spark, postings, SPARSE_QTOK), 10))
 
 
+def q_highlight_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical highlighter analog over BM25 top hits (SemanticHighlighter
+    surface, model replaced by term-occurrence fragment scoring)."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+    from neural_search_spark.search.ops import highlight_best_fragment
+
+    eng = _engine(spark, sf_dir)
+    cand = _round_score(topk(eng.match(Q_MATCH), 10))
+    return highlight_best_fragment(
+        cand, eng.corpus, tokenize_text(Q_MATCH), fragment_delim=CHUNK_DELIM
+    )
+
+
+def q_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_embedding processor plumbing with a deterministic stand-in model
+    (long form for the oracle compare)."""
+    from neural_search_spark.pipeline.embedding import (
+        embedding_long_form,
+        text_embedding_stub,
+    )
+
+    c = corpus_from_documents(spark, sf_dir)
+    return embedding_long_form(text_embedding_stub(c)).orderBy("docID", "dim")
+
+
 def q_rerank_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.search.ops import rerank_by_field
 
@@ -522,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_score_topk": q_sparse_score_topk,
         "sparse_two_phase_topk": q_sparse_two_phase_topk,
         "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
+        "highlight_match": q_highlight_match,
+        "text_embedding": q_text_embedding,
         "rerank_by_field": q_rerank_by_field,
         "sort_search_after": q_sort_search_after,
         "hybrid_paginated": q_hybrid_paginated,
@@ -588,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_doc_pruned_topk": osql.sparse_score_topk_sql(
             SPARSE_QTOK, k=10, doc_prune=("max_ratio", 0.4)
         ),
+        "highlight_match": osql.highlight_sql(tt(Q_MATCH), CHUNK_DELIM, depth=10),
+        "text_embedding": osql.text_embedding_sql(),
         "rerank_by_field": osql.rerank_by_field_sql(tt(Q_MATCH), "n_chars", depth=50, k=10),
         "sort_search_after": osql.sort_search_after_sql(
             tt(Q_MATCH), depth=50, after_lang="es", after_doc=100, k=10

@@ -371,6 +371,63 @@ LIMIT {k}
 """
 
 
+def highlight_sql(terms: list[str], fragment_delim: str, depth: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """Best fragment per BM25 top-``depth`` hit (lexical highlighter analog;
+    fragment score = query-term occurrence count, ties to earliest)."""
+    d = fragment_delim.replace("'", "''")
+    inner = bm25_topk_sql(terms, k=depth, k1=k1, b=b)
+    return f"""
+WITH cand AS ({inner}),
+frags AS (
+    SELECT cand.docID, cand.score,
+           unnest(string_split(doc.text, '{d}')) AS fragment,
+           CAST(unnest(range(0, len(string_split(doc.text, '{d}')))) AS INT) AS frag_idx
+    FROM cand JOIN documents doc ON cand.docID = CAST(doc.doc_id AS BIGINT)
+),
+scored AS (
+    SELECT docID, score, frag_idx, fragment,
+           CAST(len(list_filter(regexp_extract_all(lower(fragment), '{SQL_TOKEN_PATTERN}'),
+                           t -> list_contains({_term_list(terms)}, t))) AS BIGINT) AS hits,
+           ROW_NUMBER() OVER (PARTITION BY docID ORDER BY len(list_filter(regexp_extract_all(lower(fragment), '{SQL_TOKEN_PATTERN}'),
+                           t -> list_contains({_term_list(terms)}, t))) DESC, frag_idx) AS rn
+    FROM frags
+)
+SELECT docID, score, frag_idx, fragment, hits
+FROM scored WHERE rn = 1
+ORDER BY score DESC, docID
+"""
+
+
+def text_embedding_sql(n_dims: int = 8) -> str:
+    """Deterministic text_embedding stand-in (dim = token length %% n_dims,
+    L2-normalized), long form (docID, dim, value) — mirrors
+    :func:`neural_search_spark.pipeline.embedding.text_embedding_stub`."""
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT docID, CAST(length(term) % {n_dims} AS INT) AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM toks GROUP BY docID, dim
+),
+norms AS (SELECT docID, SQRT(SUM(v * v)) AS nrm FROM counts GROUP BY docID),
+grid AS (
+    SELECT d.docID, CAST(g.dim AS INT) AS dim
+    FROM (SELECT DISTINCT docID FROM toks) d
+    CROSS JOIN (SELECT unnest(range(0, {n_dims})) AS dim) g
+)
+SELECT grid.docID, grid.dim,
+       ROUND(CASE WHEN n.nrm > 0 THEN COALESCE(c.v, 0.0) / n.nrm ELSE 0.0 END, 6) AS value
+FROM grid
+JOIN norms n ON grid.docID = n.docID
+LEFT JOIN counts c ON grid.docID = c.docID AND grid.dim = c.dim
+ORDER BY grid.docID, grid.dim
+"""
+
+
 def doclen_quantized_sql() -> str:
     """Whole-table (docID, dl, dlq) — gates the tokenizer + SmallFloat path."""
     dlq = quantize_length_sql("dls.dl")

@@ -154,3 +154,46 @@ def nested_inner_hits(
         .select("docID", "score", F.col("chunk_idx").alias("best_chunk_idx"))
     )
     return best.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+def highlight_best_fragment(
+    results: DataFrame,
+    corpus: DataFrame,
+    terms: list[str],
+    fragment_delim: str = "\n",
+    content_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Highlighting analog: for each result doc, return the fragment (line)
+    with the most query-term occurrences, with its index.
+
+    The reference's semantic highlighter picks sentences via a QA model
+    (``highlight/SemanticHighlighterEngine.java``) — model inference is out
+    of scope (SURVEY.md §2.6), so this is the lexical analog over the same
+    surface: fragment selection per hit, ties to the earliest fragment.
+    Plan shape: broadcast the (small, top-k) results onto the corpus,
+    posexplode fragments, one window per doc — no per-row Python.
+    """
+    from neural_search_spark.analysis.tokenizer import tokenize_udf
+
+    tset = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    hits_df = results.select(F.col("docID").alias("_hit_id"), "score")
+    frags = (
+        corpus.join(F.broadcast(hits_df), corpus[id_col] == F.col("_hit_id"), "inner")
+        .select(
+            F.col("_hit_id").alias("docID"),
+            "score",
+            F.posexplode(F.split(F.col(content_col), fragment_delim)).alias("frag_idx", "fragment"),
+        )
+        .withColumn(
+            "hits",
+            F.size(F.filter(tokenize_udf(F.col("fragment")), lambda t: F.array_contains(tset, t))).cast("long"),
+        )
+    )
+    w = Window.partitionBy("docID").orderBy(F.desc("hits"), F.asc("frag_idx"))
+    return (
+        frags.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("docID", F.round("score", 4).alias("score"), F.col("frag_idx").cast("int").alias("frag_idx"), "fragment", "hits")
+        .orderBy(F.desc("score"), F.asc("docID"))
+    )

@@ -1,0 +1,60 @@
+"""Corpus table source (BASELINE.json input_hint: an Iceberg table of
+source-code repositories, columns (repo, path, commit, lang, content)).
+
+``read_corpus_table`` resolves, in order:
+
+1. an Iceberg table name (``catalog.db.table``) when the Iceberg Spark
+   runtime is on the classpath — partition pruning on ``repo``/``lang``
+   and snapshot isolation come for free (SURVEY.md §4: rely on Catalyst +
+   Iceberg for partition pruning);
+2. a parquet path (this sandbox has no Iceberg runtime jar, so tests and
+   benches exercise this branch — the DataFrame lineage downstream is
+   identical either way).
+
+The per-row invariant column ``content_sha256`` is added when missing so
+every downstream transform can be checked (input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+REQUIRED_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return True
+    except Exception:  # noqa: BLE001 — any classloader failure means "no"
+        return False
+
+
+def read_corpus_table(
+    spark: SparkSession,
+    source: str,
+    id_col: str = "docID",
+    validate: bool = True,
+) -> DataFrame:
+    """Load the corpus as a DataFrame with a stable ``docID``.
+
+    ``source``: an Iceberg table identifier (contains no ``/``) or a
+    parquet directory/file path. ``docID`` is derived deterministically as
+    ``xxhash64(repo, path, commit)`` when absent — content-addressed, so
+    re-ingesting the same snapshot yields identical ids on any cluster.
+    """
+    if "/" not in source and _has_iceberg(spark):
+        df = spark.read.table(source)
+    else:
+        df = spark.read.parquet(source)
+    if validate:
+        missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(f"corpus table missing required columns: {missing}")
+    if id_col not in df.columns:
+        df = df.withColumn(
+            id_col, F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+        )
+    if "content_sha256" not in df.columns:
+        df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    return df
