@@ -364,19 +364,31 @@ def _encode_shards(
     )
 
 
-def _swap_shard_partitions(df: DataFrame, path: str, shards: list[int]) -> None:
+def _swap_shard_partitions(
+    df: DataFrame, path: str, shards: list[int], out_dir: str | None = None
+) -> None:
     """Replace ``path/shard=S`` for the given shards with ``df``'s rows.
 
     Spark cannot overwrite a path it is concurrently reading
     (self-overwrite), so we stage to a sibling temp dir and swap the shard
     directories on the driver. On a real deployment this whole dance is an
     Iceberg ``overwritePartitions`` commit; the logical plan (write new
-    partition content, atomically swap pointers) is identical."""
+    partition content, atomically swap pointers) is identical.
+
+    Crash recovery: when ``out_dir`` is given, the swap is bracketed by
+    manifest entries (``swap``/staged then ``swap``/committed). A manifest
+    whose last ``swap`` entry for a path is ``staged`` marks an interrupted
+    commit; re-running :func:`update_index` repairs it — the update is
+    idempotent because the dirty set is derived from the docmap (swapped
+    last) and ``kept()`` anti-joins every dirty doc before re-adding it."""
     import shutil
 
     tmp = path + "_swap"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+    rel = os.path.basename(path)
+    if out_dir is not None:
+        _append_manifest(out_dir, {"stage": "swap", "path": rel, "shards": shards, "state": "staged"})
     for s in shards:
         dst = os.path.join(path, f"shard={s}")
         src = os.path.join(tmp, f"shard={s}")
@@ -385,7 +397,36 @@ def _swap_shard_partitions(df: DataFrame, path: str, shards: list[int]) -> None:
             os.rename(src, dst)
         else:
             os.makedirs(dst, exist_ok=True)  # shard emptied by the update
+    if out_dir is not None:
+        _append_manifest(out_dir, {"stage": "swap", "path": rel, "shards": shards, "state": "committed"})
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _clear_emptied_postings(
+    spark: SparkSession, out_dir: str, raw_dir: str, shards: list[int]
+) -> None:
+    """Drop postings partitions for dirty shards whose raw data is now empty.
+
+    ``_encode_shards`` writes with dynamic partition overwrite, which can
+    only replace partitions it writes rows for — a shard emptied by an
+    update (every doc removed) would otherwise keep its stale posting
+    files while doclens/docmap say it has no docs, and query-time doclen
+    lookups for those ghost postings would miss."""
+    import shutil
+
+    present = {
+        r["shard"]
+        for r in spark.read.parquet(raw_dir)
+        .where(F.col("shard").isin(shards))
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    for s in shards:
+        if s not in present:
+            d = os.path.join(out_dir, "postings", f"shard={s}")
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
 
 
 def update_index(
@@ -473,7 +514,7 @@ def update_index(
         .repartition(len(shards), "shard")
         .sortWithinPartitions("shard", "term", "docID")
     )
-    _swap_shard_partitions(merged_raw, raw_dir, shards)
+    _swap_shard_partitions(merged_raw, raw_dir, shards, out_dir=out_dir)
 
     new_doclens = (
         spark.read.parquet(raw_dir)
@@ -482,13 +523,14 @@ def update_index(
         .agg(F.first("dl").alias("dl"), F.first("dlq").alias("dlq"))
         .select("docID", "dl", "dlq", "shard")
     )
-    _swap_shard_partitions(new_doclens, doclens_dir, shards)
+    _swap_shard_partitions(new_doclens, doclens_dir, shards, out_dir=out_dir)
     _swap_shard_partitions(
         kept(spark.read.parquet(docmap_dir)).unionByName(
             new_map.join(F.broadcast(dirty_ids), "docID", "semi")
         ),
         docmap_dir,
         shards,
+        out_dir=out_dir,
     )
 
     dstats = (
@@ -502,6 +544,7 @@ def update_index(
         json.dump(stats, f)
 
     _encode_shards(spark, out_dir, raw_dir, shards, stats["block_size"])
+    _clear_emptied_postings(spark, out_dir, raw_dir, shards)
     _append_manifest(
         out_dir,
         {"stage": "update", **summary, "wall_s": round(time.perf_counter() - t0, 3)},

@@ -174,16 +174,21 @@ def highlight_best_fragment(
     Plan shape: broadcast the (small, top-k) results onto the corpus,
     posexplode fragments, one window per doc — no per-row Python.
     """
+    import re
+
     from neural_search_spark.analysis.tokenizer import tokenize_udf
 
     tset = F.array(*[F.lit(t) for t in sorted(set(terms))])
     hits_df = results.select(F.col("docID").alias("_hit_id"), "score")
+    # F.split takes a Java regex; the delimiter is a LITERAL string (the
+    # DuckDB oracle uses string_split), so escape metacharacters —
+    # re.escape backslash-quotes non-alphanumerics, which Java regex accepts
     frags = (
         corpus.join(F.broadcast(hits_df), corpus[id_col] == F.col("_hit_id"), "inner")
         .select(
             F.col("_hit_id").alias("docID"),
             "score",
-            F.posexplode(F.split(F.col(content_col), fragment_delim)).alias("frag_idx", "fragment"),
+            F.posexplode(F.split(F.col(content_col), re.escape(fragment_delim))).alias("frag_idx", "fragment"),
         )
         .withColumn(
             "hits",

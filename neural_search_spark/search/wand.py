@@ -91,6 +91,17 @@ def _shard_kernel_factory(
             if d.size == 0:
                 return d, np.zeros(0, dtype=np.float64)
             pos = np.searchsorted(dl_doc, d)
+            # bounds+equality guard: a posting docID absent from doclens is
+            # a ghost (e.g. stale postings surviving a partial update) —
+            # drop it instead of scoring with a neighbor's length or
+            # indexing past the end of the doclens arrays
+            inb = pos < dl_doc.size
+            valid = inb.copy()
+            valid[inb] = dl_doc[pos[inb]] == d[inb]
+            if not valid.all():
+                d, t, pos = d[valid], t[valid], pos[valid]
+                if d.size == 0:
+                    return d, np.zeros(0, dtype=np.float64)
             dlq = dl_q[pos]
             tf = t.astype(np.float64)
             tfn = tf / (tf + k1 * (1.0 - b + b * dlq / avgdl))

@@ -199,3 +199,44 @@ def test_update_index_incremental(spark, tmp_path):
     # no-op update: nothing dirty, no shards re-encoded
     noop = update_index(spark, spark.createDataFrame(v2), d)
     assert noop == {"added": 0, "removed": 0, "changed": 0, "shards": []}
+
+
+def test_update_empties_whole_shard(spark, tmp_path):
+    """An update that removes EVERY doc in a shard must clear that shard's
+    postings partition (dynamic overwrite can't delete a partition it writes
+    no rows for) — otherwise ghost postings survive with no doclens entry."""
+    from neural_search_spark.corpus import synthetic_code_corpus_pdf
+    from neural_search_spark.index.builder import update_index
+
+    base_pdf = synthetic_code_corpus_pdf(n_rows=80, seed=13)
+    d = str(tmp_path / "empt")
+    build_index(spark, spark.createDataFrame(base_pdf), d, n_shards=4, block_size=16)
+
+    sh = spark.read.parquet(os.path.join(d, "docmap")).select("docID", "shard").toPandas()
+    victim = int(sh["shard"].iloc[0])
+    dead = set(int(x) for x in sh[sh["shard"] == victim]["docID"])
+    assert dead
+    v2 = base_pdf[~base_pdf["docID"].isin(dead)].reset_index(drop=True)
+
+    summary = update_index(spark, spark.createDataFrame(v2), d)
+    assert summary["removed"] == len(dead)
+
+    # the emptied shard's postings partition holds no parquet files
+    pdir = os.path.join(d, "postings", f"shard={victim}")
+    assert [f for f in os.listdir(pdir) if f.endswith(".parquet")] == []
+
+    # swap lineage: staged/committed bracket per swapped path
+    man = read_manifest(d)
+    swaps = [e for e in man if e.get("stage") == "swap"]
+    assert {e["state"] for e in swaps} == {"staged", "committed"}
+
+    # queries: no ghost docs, parity with a fresh rebuild of v2
+    got = _rows(BlockMaxIndex(spark, d).match_topk("import", k=1000))
+    assert not ({x[0] for x in got} & dead)
+    d2 = str(tmp_path / "empt_full")
+    build_index(spark, spark.createDataFrame(v2), d2, n_shards=4, block_size=16)
+    want = _rows(BlockMaxIndex(spark, d2).match_topk("import", k=1000))
+    assert [x[0] for x in got] == [x[0] for x in want]
+    np.testing.assert_allclose(
+        [x[1] for x in got], [x[1] for x in want], rtol=0, atol=1e-9
+    )

@@ -104,3 +104,21 @@ def test_nested_inner_hits(spark):
     assert 3 not in got  # zero-score parents dropped
     # ordering: score desc, docID asc
     assert [r["docID"] for r in out] == [1, 2, 4]
+
+
+def test_highlight_literal_delimiter_with_regex_metachars(spark):
+    """fragment_delim is a LITERAL (oracle uses string_split); regex
+    metacharacters like '.' or '|' must not change the split."""
+    from neural_search_spark.search.ops import highlight_best_fragment
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta.gamma spark.delta spark spark")],
+        "docID long, content string",
+    )
+    res = spark.createDataFrame([(1, 1.0)], "docID long, score double")
+    got = highlight_best_fragment(res, corpus, ["spark"], fragment_delim=".").collect()
+    assert len(got) == 1
+    # literal '.' split -> ['alpha beta', 'gamma spark', 'delta spark spark']
+    assert got[0]["fragment"] == "delta spark spark"
+    assert got[0]["frag_idx"] == 2
+    assert got[0]["hits"] == 2

@@ -51,8 +51,12 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORPUS_DIR = "/tmp/nss_scaling_corpus"
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+    sorted(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(","))
 )
+if len(LEVELS) < 2 or len(set(LEVELS)) != len(LEVELS):
+    raise SystemExit(
+        f"SPARK_GRAFT_SCALING_LEVELS needs >=2 distinct core counts, got {LEVELS}"
+    )
 N_SHARDS = 32
 
 
@@ -61,7 +65,10 @@ def prepare_corpus() -> None:
 
     from neural_search_spark.session import get_spark
 
-    spark = get_spark(app_name="scaling-prep", master="local[32]", shuffle_partitions=64)
+    prep_cores = min(32, os.cpu_count() or 8)
+    spark = get_spark(
+        app_name="scaling-prep", master=f"local[{prep_cores}]", shuffle_partitions=64
+    )
     doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     (
         doc.crossJoin(F.broadcast(spark.range(REPLICATE).withColumnRenamed("id", "rep")))
@@ -142,7 +149,16 @@ def main() -> None:
             trials[cpus].append(json.loads(line))
             print(f"trial {t} local[{cpus}]: {line}", file=sys.stderr)
     best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in trials.items()}
-    n, n4 = LEVELS
+    # pairwise efficiency over the sorted levels; the headline pair is
+    # (lowest, highest) — with the default "2,8" that is the N -> 4N rule
+    pairs = {}
+    for lo, hi in zip(LEVELS, LEVELS[1:]):
+        sp = best[lo]["wall_s"] / best[hi]["wall_s"]
+        pairs[f"{lo}->{hi}"] = {
+            "speedup": round(sp, 3),
+            "efficiency": round(sp / (hi / lo), 3),
+        }
+    n, n4 = LEVELS[0], LEVELS[-1]
     speedup = best[n]["wall_s"] / best[n4]["wall_s"]
     efficiency = speedup / (n4 / n)
     report = {
@@ -153,6 +169,7 @@ def main() -> None:
         "levels": best,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "pairwise": pairs,
         "target": 0.8,
         "pass": efficiency >= 0.8,
     }
