@@ -12,8 +12,9 @@ no Python in the hot path. Scale notes per operator:
   skew-join splits any hot bucket) → exact-Jaccard verification joins on
   shingle hash restricted to the candidate pairs. No all-pairs product
   ever materializes.
-- SimHash: 4 bands × 8 bits make the band join an *exact* prefilter for
-  Hamming ≤ 3 (pigeonhole), so the plan is both scalable and lossless.
+- SimHash: 64-bit fingerprint (two 32-bit words), 4 bands × 16 bits make
+  the band join an *exact* prefilter for Hamming ≤ 3 (pigeonhole) with
+  65,536 buckets per band — scalable AND lossless.
 - embedding near-dup: random-hyperplane buckets prefilter the self-join;
   exact cosine verifies inside each bucket.
 
@@ -105,21 +106,34 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("docID").agg(*aggs)
 
 
-def _band_col(sigs: DataFrame, b: int) -> Column:
+def _band_col(b: int) -> Column:
     acc = F.lit(0).cast("long")
     for r in range(P.LSH_ROWS):
         acc = (acc * 31 + F.col(f"m{b * P.LSH_ROWS + r}")) % F.lit(P.MERSENNE_P)
     return acc
 
 
+def lsh_band_rows(sigs: DataFrame) -> DataFrame:
+    """(docID, band_idx, band_val): ALL band values in one projection.
+
+    A single ``select`` + ``posexplode`` of the band array computes every
+    band in one pass over the signatures — the previous per-band
+    ``unionByName`` loop re-executed the upstream minhash aggregation once
+    per band per join side (up to 8×)."""
+    return sigs.select(
+        "docID",
+        F.posexplode(F.array(*[_band_col(b) for b in range(P.LSH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """(docA, docB) distinct pairs sharing at least one LSH band."""
-    bands = None
-    for b in range(P.LSH_BANDS):
-        part = sigs.select(
-            "docID", F.lit(b).alias("band_idx"), _band_col(sigs, b).alias("band_val")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """(docA, docB) distinct pairs sharing at least one LSH band.
+
+    Callers fanning the same signatures into both join sides should
+    persist them first (see :func:`minhash_near_dups`)."""
+    bands = lsh_band_rows(sigs)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -168,14 +182,27 @@ def minhash_near_dups(
     text_col: str = "content",
     id_col: str = "docID",
     threshold: float = P.MINHASH_JACCARD_THRESHOLD,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact shingle Jaccard.
 
     Result contract (deterministic, oracle-checkable): pairs that share
     >= 1 LSH band AND have exact Jaccard >= threshold.
+
+    ``persist`` (default on) caches the shingle and signature tables:
+    downstream they feed BOTH sides of the band self-join plus the
+    verification joins (up to 5 references), and without a cache Spark
+    re-runs the tokenize+explode+agg lineage per reference. On a cluster
+    run over 100 TB the equivalent move is checkpointing both tables to
+    parquet/Iceberg between stages (same plan cut, spill-safe) — cache is
+    the local[n] stand-in.
     """
     sh = doc_shingles(df, text_col, id_col)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    sigs = minhash_signatures(sh)
+    if persist:
+        sh = sh.persist()
+        sigs = sigs.persist()
+    pairs = lsh_candidate_pairs(sigs)
     return verify_jaccard(sh, pairs, threshold).select(
         "docA", "docB", P.round4(F.col("jaccard")).alias("jaccard")
     )
@@ -187,26 +214,59 @@ def minhash_near_dups(
 
 
 def simhash(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
-    """(docID, simhash): 32-bit tf-weighted SimHash fingerprint."""
+    """(docID, sim_lo, sim_hi): 64-bit tf-weighted SimHash as two 32-bit
+    words (params.SIMHASH_* — the two-word form keeps all bit arithmetic
+    inside signed int64 in Spark, DuckDB and Python)."""
     tf = (
         df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
         .groupBy("docID", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("th", _hash32(F.col("term")))
+        .withColumn("th_lo", _hash32(F.col("term")))
+        .withColumn("th_hi", _hash32(F.concat(F.col("term"), F.lit(P.SIMHASH_HI_SUFFIX))))
     )
-    gs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+
+    def _g(src: str, j: int, name: str) -> Column:
+        return F.sum(
+            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
                 -F.col("tf")
             )
-        ).alias(f"g{j}")
-        for j in range(P.SIMHASH_BITS)
+        ).alias(name)
+
+    w = P.SIMHASH_WORD_BITS
+    gs = [_g("th_lo", j, f"gl{j}") for j in range(w)] + [
+        _g("th_hi", j, f"gh{j}") for j in range(w)
     ]
     per_doc = tf.groupBy("docID").agg(*gs)
-    sh = F.lit(0).cast("long")
-    for j in range(P.SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"g{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return per_doc.select("docID", sh.alias("simhash"))
+
+    def _word(prefix: str) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(w):
+            acc = acc + F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    return per_doc.select("docID", _word("gl").alias("sim_lo"), _word("gh").alias("sim_hi"))
+
+
+def simhash_band_rows(fp: DataFrame) -> DataFrame:
+    """(docID, sim_lo, sim_hi, band_idx, band_val): all 4 × 16-bit bands in
+    ONE projection (posexplode — same single-pass shape as
+    :func:`lsh_band_rows`). Bands 0..1 slice sim_lo, 2..3 slice sim_hi."""
+    mask = (1 << P.SIMHASH_BAND_BITS) - 1
+
+    def _slice(word: str, k: int) -> Column:
+        return F.shiftright(F.col(word), k * P.SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).cast("long")
+
+    per_word = P.SIMHASH_BANDS_PER_WORD
+    band_vals = [
+        _slice("sim_lo" if b < per_word else "sim_hi", b % per_word)
+        for b in range(P.SIMHASH_BANDS)
+    ]
+    return fp.select(
+        "docID",
+        "sim_lo",
+        "sim_hi",
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    )
 
 
 def simhash_near_dups(
@@ -214,26 +274,30 @@ def simhash_near_dups(
     text_col: str = "content",
     id_col: str = "docID",
     max_hamming: int = P.SIMHASH_MAX_HAMMING,
+    persist: bool = True,
 ) -> DataFrame:
-    """(docA, docB, hamming) pairs with Hamming(simhash) <= max_hamming.
+    """(docA, docB, hamming) pairs with 64-bit Hamming <= max_hamming.
 
-    Exact result: the band join (4 bands × 8 bits) cannot miss a pair
-    within Hamming 3, so this equals the brute-force all-pairs answer
-    while shuffling only on band keys.
-    """
-    fp = simhash(df, text_col, id_col)
-    bands = None
-    for b in range(P.SIMHASH_BANDS):
-        part = fp.select(
-            "docID",
-            "simhash",
-            F.lit(b).alias("band_idx"),
-            F.shiftright(F.col("simhash"), b * P.SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << P.SIMHASH_BAND_BITS) - 1))
-            .alias("band_val"),
+    Exact result: 4 bands × 16 bits cannot miss a pair within Hamming 3
+    (pigeonhole: ≤3 differing bits cannot touch all 4 bands), so this
+    equals the brute-force all-pairs answer while shuffling only on band
+    keys — 65,536 buckets per band keeps bucket occupancy ~n/65k per band
+    value at 100× corpus (the scale fix over the old 8-bit bands).
+    ``persist`` caches the fingerprints feeding both self-join sides (the
+    cluster-scale equivalent is a parquet checkpoint)."""
+    if max_hamming >= P.SIMHASH_BANDS:
+        raise ValueError(
+            f"band prefilter is exact only for max_hamming < {P.SIMHASH_BANDS} "
+            f"(got {max_hamming}); add bands or verify exhaustively"
         )
-        bands = part if bands is None else bands.unionByName(part)
+    fp = simhash(df, text_col, id_col)
+    if persist:
+        fp = fp.persist()
+    bands = simhash_band_rows(fp)
     x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo"))) + F.bit_count(
+        F.col("x.sim_hi").bitwiseXOR(F.col("y.sim_hi"))
+    )
     cand = (
         x.join(
             y,
@@ -244,7 +308,7 @@ def simhash_near_dups(
         .select(
             F.col("x.docID").alias("docA"),
             F.col("y.docID").alias("docB"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+            ham.alias("hamming"),
         )
         .distinct()
     )
@@ -321,17 +385,21 @@ def embedding_near_dups(
     so the prefilter is lossless for the near-dup regime; the exact cosine
     runs only inside buckets.
     """
+    from neural_search_spark.pipeline.ann import _dot
+
+    # precompute each row's norm BEFORE the self-join: inside the join the
+    # norm expression would re-evaluate the 64-term dot per candidate PAIR
+    # (each row meets many pair partners); per-row it runs exactly once.
+    # sqrt(dot(v,v)) here is the identical IEEE value the inline form
+    # produced, so scores are unchanged.
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         embedding_bucket_expr(vec_col).alias("bucket"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
     )
-    from neural_search_spark.pipeline.ann import _dot
-
     x, y = b.alias("x"), b.alias("y")
     dot = _dot("x.v", "y.v")
-    na = _dot("x.v", "x.v")
-    nb = _dot("y.v", "y.v")
     return (
         x.join(
             y,
@@ -340,7 +408,7 @@ def embedding_near_dups(
         .select(
             F.col("x.id").alias("idA"),
             F.col("y.id").alias("idB"),
-            P.round4(dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+            P.round4(dot / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -69,17 +69,28 @@ def band_sql(sig_exprs: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 32-bit, token-tf weighted. Bit j of the fingerprint is 1 iff
-# sum over terms of tf * (bit j of hash32(term) ? +1 : -1) > 0.
-# Near-dup pairs: Hamming distance <= 3. With 4 bands of 8 bits, any pair
-# within Hamming 3 shares at least one exact band (pigeonhole), so the
-# band join is an EXACT prefilter, not an approximation.
+# SimHash: 64-bit, token-tf weighted, stored as TWO 32-bit words (lo, hi)
+# so every intermediate stays far inside signed int64 in Spark, DuckDB and
+# Python (a single 64-bit fingerprint would need 1<<63, which overflows
+# signed int64). Bit j of lo is 1 iff Σ_terms tf · (bit j of hash32(term)
+# ? +1 : −1) > 0; hi uses hash32(term || '#') for its 32 independent bits
+# ('#' is outside the token alphabet, so the suffixed string never
+# collides with another token).
+# Near-dup pairs: Hamming distance <= 3 over the 64 bits. With 4 bands of
+# 16 bits (2 per word), any pair within Hamming 3 shares at least one
+# exact band (pigeonhole), so the band join is an EXACT prefilter — and
+# 65,536 buckets per band keep the self-join sub-quadratic at 100× corpus
+# (the previous 32-bit/8-bit-band layout had only 256 buckets per band,
+# which degenerates toward all-pairs at scale).
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_WORD_BITS = 32
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+SIMHASH_BANDS_PER_WORD = SIMHASH_WORD_BITS // SIMHASH_BAND_BITS  # 2
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_HI_SUFFIX = "#"
 
 # ---------------------------------------------------------------------------
 # N-gram Jaccard dedup

@@ -130,15 +130,23 @@ ORDER BY docA, docB
 
 
 def dedup_simhash_sql() -> str:
-    """Brute-force Hamming <= max over all pairs — equals the engine's
-    band-join plan exactly (pigeonhole: <=3 differing bits over 4 bands)."""
+    """Brute-force 64-bit Hamming <= max over all pairs — equals the
+    engine's band-join plan exactly (pigeonhole: <=3 differing bits cannot
+    touch all 4 × 16-bit bands). The fingerprint is two 32-bit words
+    (params.SIMHASH_*): lo bits from hash32(term), hi bits from
+    hash32(term || '#')."""
+    w = P.SIMHASH_WORD_BITS
     g_cols = ",\n           ".join(
-        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS g{j}"
-        for j in range(P.SIMHASH_BITS)
+        f"SUM(CASE WHEN (th_lo >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS gl{j}"
+        for j in range(w)
+    ) + ",\n           " + ",\n           ".join(
+        f"SUM(CASE WHEN (th_hi >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS gh{j}"
+        for j in range(w)
     )
-    fp_expr = " + ".join(
-        f"(CASE WHEN g{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(P.SIMHASH_BITS)
-    )
+    lo_expr = " + ".join(f"(CASE WHEN gl{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(w))
+    hi_expr = " + ".join(f"(CASE WHEN gh{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(w))
+    ham = "bit_count(xor(x.sim_lo, y.sim_lo)) + bit_count(xor(x.sim_hi, y.sim_hi))"
+    sfx = P.SIMHASH_HI_SUFFIX
     return f"""
 WITH {DUPDOCS_CTE.strip()},
 toks AS (
@@ -150,16 +158,16 @@ tf AS (
     FROM (SELECT docID, unnest(toks) AS term FROM toks)
     GROUP BY docID, term
 ),
-th AS (SELECT docID, tf, {_h32('term')} AS th FROM tf),
+th AS (SELECT docID, tf, {_h32('term')} AS th_lo, {_h32(f"term || '{sfx}'")} AS th_hi FROM tf),
 g AS (
     SELECT docID, {g_cols}
     FROM th GROUP BY docID
 ),
-fp AS (SELECT docID, CAST({fp_expr} AS BIGINT) AS simhash FROM g)
+fp AS (SELECT docID, CAST({lo_expr} AS BIGINT) AS sim_lo, CAST({hi_expr} AS BIGINT) AS sim_hi FROM g)
 SELECT x.docID AS docA, y.docID AS docB,
-       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       CAST({ham} AS BIGINT) AS hamming
 FROM fp x JOIN fp y ON x.docID < y.docID
-WHERE bit_count(xor(x.simhash, y.simhash)) <= {P.SIMHASH_MAX_HAMMING}
+WHERE {ham} <= {P.SIMHASH_MAX_HAMMING}
 ORDER BY docA, docB
 """
 

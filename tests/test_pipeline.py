@@ -68,15 +68,69 @@ def test_minhash_finds_exact_and_near_dups(docs):
 def test_simhash_band_join_equals_bruteforce(docs):
     from neural_search_spark.pipeline.dedup import simhash, simhash_near_dups
 
-    fp = {r["docID"]: r["simhash"] for r in simhash(docs).collect()}
+    fp = {r["docID"]: (r["sim_lo"], r["sim_hi"]) for r in simhash(docs).collect()}
     brute = set()
     for a in fp:
         for b in fp:
-            if a < b and bin(fp[a] ^ fp[b]).count("1") <= P.SIMHASH_MAX_HAMMING:
+            ham = bin(fp[a][0] ^ fp[b][0]).count("1") + bin(fp[a][1] ^ fp[b][1]).count("1")
+            if a < b and ham <= P.SIMHASH_MAX_HAMMING:
                 brute.add((a, b))
     got = {(r["docA"], r["docB"]) for r in simhash_near_dups(docs).collect()}
     assert got == brute
     assert (0, 1) in got  # exact dups share the fingerprint
+
+
+def test_simhash_matches_python_oracle(docs):
+    """Fingerprint words re-derived in pure Python from the shared params —
+    pins the (hash32, tf-weighted vote, two-word assembly) contract."""
+    import re
+
+    from neural_search_spark.pipeline.dedup import simhash
+
+    got = {r["docID"]: (r["sim_lo"], r["sim_hi"]) for r in simhash(docs).collect()}
+    for row in docs.collect():
+        toks = re.findall(r"[a-z0-9_]+", row["content"].lower())
+        if not toks:
+            assert row["docID"] not in got
+            continue
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        words = []
+        for sfx in ("", P.SIMHASH_HI_SUFFIX):
+            g = [0] * P.SIMHASH_WORD_BITS
+            for t, c in tf.items():
+                h = P.hash32_py(t + sfx)
+                for j in range(P.SIMHASH_WORD_BITS):
+                    g[j] += c if (h >> j) & 1 else -c
+            words.append(sum(1 << j for j in range(P.SIMHASH_WORD_BITS) if g[j] > 0))
+        assert got[row["docID"]] == tuple(words), row["docID"]
+
+
+def test_simhash_band_guard_rejects_wide_hamming(docs):
+    from neural_search_spark.pipeline.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError, match="exact only"):
+        simhash_near_dups(docs, max_hamming=P.SIMHASH_BANDS)
+
+
+def test_simhash_band_rows_cover_all_bits(docs):
+    """The 4 band slices partition the 64 fingerprint bits: reassembling
+    the words from the band values round-trips exactly."""
+    from neural_search_spark.pipeline.dedup import simhash, simhash_band_rows
+
+    rows = simhash_band_rows(simhash(docs)).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    words: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["docID"], {})[r["band_idx"]] = r["band_val"]
+        words[r["docID"]] = (r["sim_lo"], r["sim_hi"])
+    bb = P.SIMHASH_BAND_BITS
+    for d, bands in by_doc.items():
+        assert sorted(bands) == list(range(P.SIMHASH_BANDS))
+        lo = bands[0] | (bands[1] << bb)
+        hi = bands[2] | (bands[3] << bb)
+        assert (lo, hi) == words[d]
 
 
 def test_ngram_jaccard_blocks_by_lang(docs):
