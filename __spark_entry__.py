@@ -30,6 +30,8 @@ FILTER_PRED = "repo = 'src7'"
 HYBRID_CLAUSES = ("table value spark", "join merge hash window")
 HYBRID_CLAUSES_3 = ("table value spark", "join merge hash window", "customer stream")
 HYBRID_DEPTH = 50
+NEURAL_QUERY = "customer stream window partition"
+NEURAL_MIN_SCORE = 0.05
 
 
 _ENGINES: dict[tuple[int, str], BM25Engine] = {}
@@ -170,6 +172,93 @@ def q_hybrid_zscore_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "rrf", "rrf", clauses=HYBRID_CLAUSES_3)
+
+
+_EMBEDDINGS_STUB: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in text_embedding output (docID, embedding) — at scale this is
+    the ingest-time embedding column; cached like the engine tables."""
+    from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+    key = (id(spark), sf_dir)
+    if key not in _EMBEDDINGS_STUB:
+        _EMBEDDINGS_STUB[key] = text_embedding_stub(
+            corpus_from_documents(spark, sf_dir)
+        ).cache()
+    return _EMBEDDINGS_STUB[key]
+
+
+def q_hybrid_neural_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + dense hybrid — the reference's headline pairing
+    (HybridQueryIT lexical+neural variants): a BM25 match clause combined
+    with a neural (stand-in kNN) clause, min_max + arithmetic_mean. This is
+    the heterogeneous-score-range regime the normalization edge cases
+    target (BM25 unbounded vs cosine in [-1, 1])."""
+    from neural_search_spark.search.neural import (
+        neural_clause_scores,
+        query_embedding_stub,
+    )
+
+    eng = _engine(spark, sf_dir)
+    emb = _doc_embeddings(spark, sf_dir)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    clauses = [eng.match(Q_MATCH), neural_clause_scores(emb, qv, k=HYBRID_DEPTH)]
+    out = hybrid_search(clauses, "min_max", "arithmetic_mean", k=10, depth=HYBRID_DEPTH)
+    return _round_score(out)
+
+
+def q_hybrid_lex_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-modal hybrid: match + neural_sparse + neural in one query —
+    all three clause families through one normalize/combine pass
+    (HybridQueryBuilder accepts any mix of sub-query types)."""
+    from neural_search_spark.pipeline import params as P
+    from neural_search_spark.search.neural import (
+        neural_clause_scores,
+        query_embedding_stub,
+    )
+    from neural_search_spark.search.sparse import neural_sparse_score
+
+    eng = _engine(spark, sf_dir)
+    emb = _doc_embeddings(spark, sf_dir)
+    sparse = neural_sparse_score(spark, _sparse_postings(spark, sf_dir), SPARSE_QTOK)
+    # clause scores rounded to 6 dp on BOTH engines so normalization stats
+    # are computed over bit-identical values (see search/neural.py)
+    sparse = sparse.select("docID", P.round6(F.col("score")).alias("score"))
+    clauses = [
+        eng.match(Q_MATCH),
+        sparse,
+        neural_clause_scores(emb, query_embedding_stub(NEURAL_QUERY), k=HYBRID_DEPTH),
+    ]
+    out = hybrid_search(
+        clauses, "min_max", "arithmetic_mean", weights=[0.5, 0.2, 0.3], k=10, depth=HYBRID_DEPTH
+    )
+    return _round_score(out)
+
+
+def q_neural_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone dense neural query: k + min_score (the
+    NeuralKNNQueryBuilder.java:33-41 rewrite surface)."""
+    from neural_search_spark.search.neural import (
+        neural_clause_scores,
+        query_embedding_stub,
+    )
+
+    emb = _doc_embeddings(spark, sf_dir)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    return neural_clause_scores(emb, qv, k=10, min_score=NEURAL_MIN_SCORE)
+
+
+def q_rerank_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rerank.ml_opensearch with the deterministic stand-in cross-encoder:
+    BM25 top-50 window, scores REPLACED by model similarity, re-sorted
+    (RescoringRerankProcessor.java:64-84)."""
+    from neural_search_spark.search.neural import rerank_ml
+
+    eng = _engine(spark, sf_dir)
+    cand = topk(eng.match(Q_MATCH), 50)
+    return rerank_ml(cand, _doc_embeddings(spark, sf_dir), Q_MATCH, k=10)
 
 
 NESTED_QUERY_TERMS = ["spark", "join", "window"]
@@ -537,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
         "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_neural_dense": q_hybrid_neural_dense,
+        "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
+        "neural_topk": q_neural_topk,
+        "rerank_ml": q_rerank_ml,
         "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
         "hybrid_agg_metrics": q_hybrid_agg_metrics,
         "hybrid_agg_pipeline": q_hybrid_agg_pipeline,
@@ -568,6 +661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
     }
+
+
+def _qv_of(text: str) -> list[float]:
+    from neural_search_spark.search.neural import query_embedding_stub
+
+    return query_embedding_stub(text)
+
+
+def _neural_qv() -> list[float]:
+    return _qv_of(NEURAL_QUERY)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -603,6 +706,28 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_l2_harmonic": osql.hybrid_topk_sql(h2, "l2", "harmonic_mean", depth=HYBRID_DEPTH),
         "hybrid_zscore_geometric": osql.hybrid_topk_sql(h2, "z_score", "geometric_mean", depth=HYBRID_DEPTH),
         "hybrid_rrf": osql.hybrid_topk_sql(h3, "rrf", "rrf", depth=HYBRID_DEPTH),
+        "hybrid_neural_dense": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {"kind": "neural", "qvec": _neural_qv()},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+        ),
+        "hybrid_lex_sparse_dense": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {"kind": "sparse", "tokens": SPARSE_QTOK},
+                {"kind": "neural", "qvec": _neural_qv()},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            weights=[0.5, 0.2, 0.3],
+            depth=HYBRID_DEPTH,
+        ),
+        "neural_topk": osql.neural_topk_sql(_neural_qv(), k=10, min_score=NEURAL_MIN_SCORE),
+        "rerank_ml": osql.rerank_ml_sql(tt(Q_MATCH), _qv_of(Q_MATCH), window=50, k=10),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
         "hybrid_agg_metrics": osql.hybrid_agg_metrics_sql(h2),
         "hybrid_agg_pipeline": osql.hybrid_agg_pipeline_sql(h2),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from neural_search_spark.analysis.tokenizer import SQL_TOKEN_PATTERN
 from neural_search_spark.index.smallfloat import quantize_length_sql
+from neural_search_spark.pipeline.params import round6_sql
 
 
 def _term_list(terms: list[str]) -> str:
@@ -112,6 +113,169 @@ sc{i} AS (
     GROUP BY tf.docID
 ),
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
+# ---------------------------------------------------------------------------
+# Dense (neural) clause support: the deterministic stand-in embedding model
+# (dim = token length % n_dims, L2-normalized — pipeline/embedding.py) as
+# shared CTEs, one normalized value column per dimension so the query dot
+# product unrolls left-associated exactly like the Spark fold.
+# ---------------------------------------------------------------------------
+
+
+def _neural_prelude(n_dims: int = 8) -> str:
+    dims = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN c.dim = {j} THEN c.v END), 0.0) / n.nrm AS d{j}"
+        for j in range(n_dims)
+    )
+    return f"""
+etoks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+ecnt AS (
+    SELECT docID, CAST(length(term) % {n_dims} AS INT) AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM etoks GROUP BY docID, dim
+),
+enrm AS (SELECT docID, SQRT(SUM(v * v)) AS nrm FROM ecnt GROUP BY docID),
+edim AS (
+    SELECT c.docID,
+           {dims}
+    FROM ecnt c JOIN enrm n USING (docID)
+    GROUP BY c.docID, n.nrm
+)"""
+
+
+def _neural_dot(qvec: list[float], prefix: str = "") -> str:
+    """Left-associated unrolled dot against the literal query vector —
+    same add order as the Spark ``aggregate`` fold → identical doubles."""
+    return "(" + " + ".join(f"{prefix}d{j} * {float(q)!r}" for j, q in enumerate(qvec)) + ")"
+
+
+def _neural_clause_ctes(i: int, qvec: list[float], depth: int | None, doc_filter: str | None) -> str:
+    filt = (
+        f"WHERE docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    return f"""
+sc{i} AS (
+    SELECT docID, {round6_sql(_neural_dot(qvec))} AS score FROM edim {filt}
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
+def _sparse_clause_ctes(
+    i: int, query_tokens: dict[str, float], depth: int | None, doc_filter: str | None
+) -> str:
+    """neural_sparse clause over the _PRELUDE tf rows; the clause score is
+    rounded to 6 dp on BOTH engines (see search.neural — rounded clause
+    scores make the normalization stats bit-identical across engines)."""
+    filt = (
+        f"AND tf.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    vals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(query_tokens.items()))
+    return f"""
+q{i}(term, qw) AS (VALUES {vals}),
+sc{i} AS (
+    SELECT tf.docID, {round6_sql(f"SUM(q{i}.qw * tf.tf)")} AS score
+    FROM tf JOIN q{i} USING (term)
+    WHERE 1=1 {filt}
+    GROUP BY tf.docID
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
+def _mixed_clause_ctes(
+    i: int, spec: dict, k1: float, b: float, depth: int | None, doc_filter: str | None
+) -> str:
+    kind = spec["kind"]
+    if kind == "match":
+        return _clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
+    if kind == "neural":
+        return _neural_clause_ctes(i, spec["qvec"], depth, doc_filter)
+    if kind == "sparse":
+        return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
+    raise ValueError(f"unknown clause kind {kind}")
+
+
+def hybrid_mixed_topk_sql(
+    clauses: list[dict],
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    k: int = 10,
+    depth: int | None = 50,
+    rank_constant: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_filter: str | None = None,
+) -> str:
+    """Hybrid pipeline over HETEROGENEOUS clause types — lexical BM25,
+    dense stand-in kNN, neural_sparse — mirroring
+    :func:`neural_search_spark.search.hybrid.hybrid_search` fed by
+    :mod:`neural_search_spark.search.neural` / ``search.sparse`` clauses.
+    Clause spec dicts: ``{"kind": "match", "terms": [...]}``,
+    ``{"kind": "neural", "qvec": [...]}``, ``{"kind": "sparse",
+    "tokens": {...}}``."""
+    n = len(clauses)
+    w = weights or [1.0] * n
+    needs_emb = any(c["kind"] == "neural" for c in clauses)
+    prelude = _PRELUDE + ("," + _neural_prelude() if needs_emb else "")
+    clause_sql = ",".join(
+        _mixed_clause_ctes(i, c, k1, b, depth, doc_filter) for i, c in enumerate(clauses)
+    )
+    norm_sql = ",".join(_normalize_cte(i, normalization, rank_constant) for i in range(n))
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    return f"""{prelude},{clause_sql},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
+comb AS (SELECT docID, {_combine_expr(combination, w)} AS score FROM wide)
+SELECT docID, ROUND(score, 4) AS score
+FROM comb
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def neural_topk_sql(qvec: list[float], k: int = 10, min_score: float | None = None) -> str:
+    """Standalone dense ``neural`` query (the NeuralKNNQueryBuilder rewrite
+    surface: k + optional min_score over the stand-in embedding column)."""
+    score = round6_sql(_neural_dot(qvec))
+    filt = f"WHERE {score} >= {float(min_score)!r}" if min_score is not None else ""
+    return f"""
+WITH {_neural_prelude().strip()}
+SELECT docID, {score} AS score
+FROM edim
+{filt}
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def rerank_ml_sql(terms: list[str], qvec: list[float], window: int, k: int) -> str:
+    """``rerank.ml_opensearch``: BM25 top-``window`` hits rescored by the
+    stand-in similarity model (score REPLACED), re-sorted, cut to ``k``.
+    Docs without an embedding (no tokens) zero-fill like the Spark side."""
+    inner = bm25_topk_sql(terms, k=window)
+    score = round6_sql(_neural_dot(qvec, prefix="e."))
+    return f"""
+WITH cand AS ({inner}),
+{_neural_prelude().strip()}
+SELECT cand.docID, COALESCE({score}, 0.0) AS score
+FROM cand LEFT JOIN edim e ON cand.docID = e.docID
+ORDER BY score DESC, cand.docID
+LIMIT {k}
+"""
 
 
 def _bound_exprs(

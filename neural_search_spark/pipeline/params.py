@@ -182,3 +182,20 @@ def round4(col):
     from pyspark.sql import functions as F
 
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+# 6-dp variant: used where a rounded value feeds FURTHER computation that
+# must agree bit-for-bit across engines (e.g. the neural clause score that
+# min_max normalization stats are computed over) — absorbing float
+# summation-order noise at the clause boundary makes everything downstream
+# exact on both sides.
+
+
+def round6_sql(expr: str) -> str:
+    return f"(floor({expr} * 1000000 + 0.5) / 1000000)"
+
+
+def round6(col):
+    from pyspark.sql import functions as F
+
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000

@@ -1,0 +1,128 @@
+"""Dense ``neural`` query clause + ``ml_opensearch`` rerank — model-backed
+surfaces with the deterministic stand-in embedding model.
+
+Reference semantics:
+
+- ``neural`` clause (``query/NeuralQueryBuilder.java:1145-1152``): the
+  builder rewrites to a kNN query (``NeuralKNNQueryBuilder.java:33-41``)
+  carrying the query text's embedding, ``k``, an optional pushed
+  ``filter`` and optional ``min_score``. Inside a hybrid query the clause
+  contributes a (doc, similarity) stream exactly like any lexical clause,
+  which is what finally exercises normalize/combine with heterogeneous
+  score ranges (every lexical+neural ``HybridQueryIT`` variant).
+- ``ml_opensearch`` rerank (``processor/rerank/RescoringRerankProcessor.java:23-72``
+  + ``MLOpenSearchRerankProcessor.java``): re-score every hit in the
+  response window with a text-similarity model, replace the scores, and
+  re-sort descending.
+
+The MODEL is the same clearly-marked deterministic stand-in as
+``pipeline/embedding.py`` (dim = token length % n_dims, L2-normalized):
+both Spark and the DuckDB oracle can compute it exactly, so the plumbing
+is oracle-checked end to end; swapping in a real model replaces
+:func:`query_embedding_stub` / ``text_embedding_stub`` with a
+``predict_batch_udf``-style Arrow UDF and nothing else.
+
+Scale shape: doc embeddings are a (docID, array<double>) table — at 100 TB
+a precomputed/ingest-time column (the text_embedding processor output),
+here derived on the fly. The query vector is a literal (broadcast by
+construction); scoring is one JVM-side projection (``zip_with`` +
+``aggregate`` fold → whole-stage codegen) over that table with a
+TakeOrderedAndProject cut — no shuffle beyond top-k. Clause scores are
+rounded to 6 dp (shared ``params.round6`` on BOTH engines) so the values
+feeding normalization stats are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_text
+from neural_search_spark.pipeline import params as P
+from neural_search_spark.pipeline.embedding import N_DIMS
+
+
+def query_embedding_stub(query_text: str, n_dims: int = N_DIMS) -> list[float]:
+    """Query-side stand-in model: same formula as ``text_embedding_stub``
+    (bag of ``len(token) % n_dims`` over analyzed tokens, L2-normalized),
+    computed driver-side — the query is one string; the reference also
+    embeds it once per request via ML-Commons before the kNN rewrite."""
+    counts = Counter(len(t) % n_dims for t in tokenize_text(query_text))
+    dims = [float(counts.get(i, 0)) for i in range(n_dims)]
+    nrm = math.sqrt(sum(v * v for v in dims))
+    return [v / nrm if nrm > 0 else 0.0 for v in dims]
+
+
+def neural_clause_scores(
+    doc_embeddings: DataFrame,
+    query_vector: list[float],
+    k: int | None = None,
+    candidate_docs: DataFrame | None = None,
+    min_score: float | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(docID, score): cosine of the stand-in embeddings (both sides are
+    L2-normalized, so the left-fold dot IS the cosine), rounded to 6 dp.
+
+    ``k``: kNN candidate count (``NeuralKNNQueryBuilder`` k) — top-k by
+    (score desc, docID asc). ``candidate_docs`` restricts membership (the
+    pushed filter; like BM25, stats-free so order of application is
+    immaterial). ``min_score`` drops candidates below the bound.
+    """
+    from neural_search_spark.pipeline.ann import _dot
+
+    qv = F.array(*[F.lit(float(v)) for v in query_vector])
+    scored = doc_embeddings.select(
+        "docID", P.round6(_dot(F.col(vec_col), qv)).alias("score")
+    )
+    if candidate_docs is not None:
+        scored = scored.join(candidate_docs.select("docID"), "docID", "semi")
+    if min_score is not None:
+        scored = scored.where(F.col("score") >= float(min_score))
+    if k is not None:
+        scored = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+    return scored
+
+
+def cross_encoder_stub_scores(
+    results: DataFrame,
+    doc_embeddings: DataFrame,
+    query_text: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stand-in TEXT_SIMILARITY model: similarity(query, doc) = stand-in
+    embedding cosine — deterministic, shared with the DuckDB oracle. A real
+    deployment swaps this for a cross-encoder ``predict_batch_udf``."""
+    qv = query_embedding_stub(query_text)
+    return neural_clause_scores(
+        doc_embeddings, qv, candidate_docs=results.select("docID"), vec_col=vec_col
+    )
+
+
+def rerank_ml(
+    results: DataFrame,
+    doc_embeddings: DataFrame,
+    query_text: str,
+    k: int | None = None,
+) -> DataFrame:
+    """``rerank.ml_opensearch`` response processor: replace every window
+    hit's score with the similarity-model score and re-sort descending
+    (``RescoringRerankProcessor.java:64-84`` — scores are REPLACED, not
+    combined; docID-ascending tie-break stands in for Lucene's stable sort
+    over the hit array). ``results`` is the response window (the reference
+    rescores exactly the hits in the response)."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("rerank_ml_processor_executions")
+    rescored = cross_encoder_stub_scores(results, doc_embeddings, query_text)
+    # every window hit keeps a row (the reference rescores hits in place);
+    # a doc with no embedding (empty content) scores 0.0
+    out = (
+        results.select("docID")
+        .join(rescored, "docID", "left")
+        .select("docID", F.coalesce("score", F.lit(0.0)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+    )
+    return out.limit(k) if k is not None else out

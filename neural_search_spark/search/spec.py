@@ -7,8 +7,10 @@ Mirrors the reference's REST parse/rewrite surface as a library API:
   ``pagination_depth``; rejects nested hybrid
   (``search/query/HybridQueryPhaseSearcher.java:147-189``).
 - clause types: ``match`` / ``term`` (lexical BM25, §2.2),
-  ``neural_sparse`` (token-weight map), ``neural`` (stub — requires an
-  external embedding model, out of scope exactly as SURVEY.md §2.2).
+  ``neural_sparse`` (token-weight map), ``neural`` (dense kNN over the
+  doc-embedding column via the deterministic stand-in model —
+  ``NeuralQueryBuilder.java:1145-1152`` rewrite surface with
+  k/filter/min_score; see :mod:`neural_search_spark.search.neural`).
 - the pushed ``filter`` restricts every sub-query
   (``query/HybridQueryBuilder.java:107-122``).
 - ``enrich_spec`` ≈ ``processor/NeuralQueryEnricherProcessor.java``:
@@ -56,10 +58,31 @@ def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
     if ctype == "hybrid":  # unreachable via CLAUSE_TYPES; kept for clarity
         raise ValueError("hybrid query cannot be nested inside hybrid")
     if ctype == "neural":
-        raise NotImplementedError(
-            "neural clause requires an external embedding model "
-            "(NeuralQueryBuilder rewrites via ML-Commons; out of scope, "
-            "SURVEY.md §2.2) — use neural_sparse or match"
+        # NeuralQueryBuilder.java:1145-1152 → NeuralKNNQueryBuilder.java:33-41
+        # rewrite: embed the query text (deterministic stand-in model —
+        # search/neural.py), then kNN over the doc-embedding column with
+        # k / filter / min_score. ``embeddings`` is the caller-supplied
+        # (docID, embedding) table (at scale: the text_embedding processor's
+        # ingest-time output column).
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.search.neural import (
+            neural_clause_scores,
+            query_embedding_stub,
+        )
+
+        qv = body.get("query_vector") or query_embedding_stub(body["query"])
+        cand = None
+        if filter_expr is not None:
+            cand = engine.corpus.where(filter_expr).select(
+                F.col(engine.id_col).alias("docID")
+            )
+        return neural_clause_scores(
+            body["embeddings"],
+            qv,
+            k=body.get("k"),
+            candidate_docs=cand,
+            min_score=body.get("min_score"),
         )
     if ctype == "neural_sparse":
         from pyspark.sql import functions as F

@@ -81,8 +81,10 @@ def test_spec_validation():
         parse_hybrid_spec(_Fake(), {"queries": [{"match": "a"}], "from": 5})
 
 
-def test_spec_neural_clause_is_stubbed(engine):
-    with pytest.raises(NotImplementedError):
+def test_spec_neural_clause_requires_embeddings(engine):
+    """A neural clause needs the doc-embedding table (the text_embedding
+    processor's output column at scale) — omitting it is a spec error."""
+    with pytest.raises(KeyError, match="embeddings"):
         parse_hybrid_spec(
             engine,
             {"queries": [{"neural": {"query": "x", "model_id": "m"}}], "pagination_depth": 5},
