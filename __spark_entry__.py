@@ -20,6 +20,7 @@ from neural_search_spark import oracle_sql as osql
 from neural_search_spark.pipeline import sql as psql
 from neural_search_spark.corpus import corpus_from_documents
 from neural_search_spark.search.bm25 import BM25Engine, topk
+from neural_search_spark.search import hybrid as _hybrid_mod
 from neural_search_spark.search.hybrid import hybrid_raw_sum, hybrid_search
 
 # fixed query texts (terms from the synthetic documents vocabulary)
@@ -32,6 +33,7 @@ HYBRID_CLAUSES_3 = ("table value spark", "join merge hash window", "customer str
 HYBRID_DEPTH = 50
 NEURAL_QUERY = "customer stream window partition"
 NEURAL_MIN_SCORE = 0.05
+COLLAPSE_CLAUSE_DEPTH = 4  # tight depth: per-clause collapse visibly differs
 
 
 _ENGINES: dict[tuple[int, str], BM25Engine] = {}
@@ -471,6 +473,95 @@ def q_hybrid_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def q_hybrid_collapse_per_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sub-query collapse during collection + coordinator re-collapse
+    (HybridCollapsingTopDocsCollector group queues; CollapseDTO re-collapse).
+    With a tight per-clause depth this retains a different candidate set
+    than post-combination-only collapse (hybrid_collapse_lang)."""
+    from neural_search_spark.search.ops import collapse_clause
+
+    eng = _engine(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    collapsed = [
+        collapse_clause(eng.match(t), docs, "lang", depth=COLLAPSE_CLAUSE_DEPTH)
+        for t in HYBRID_CLAUSES
+    ]
+    combined = hybrid_search(
+        collapsed, "min_max", "arithmetic_mean", k=1000, depth=COLLAPSE_CLAUSE_DEPTH
+    )
+    from neural_search_spark.search.ops import collapse_best_per_field
+
+    best = collapse_best_per_field(combined, docs, "lang")
+    return best.select("docID", "lang", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("docID")
+    ).limit(10)
+
+
+def q_hybrid_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid collected by sort field with per-clause track_scores
+    (HybridTopFieldDocSortCollector): order by (lang asc, docID asc),
+    per-clause raw scores ride along zero-filled."""
+    from neural_search_spark.search.ops import hybrid_sort_by_field
+
+    eng = _engine(spark, sf_dir)
+    clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
+    out = hybrid_sort_by_field(
+        clause_dfs, _documents(spark, sf_dir), [("lang", True)], k=10, track_scores=True
+    )
+    return out.select(
+        "docID",
+        "lang",
+        *[F.round(f"clause_{i}", 4).alias(f"clause_{i}") for i in range(len(HYBRID_CLAUSES))],
+    )
+
+
+EXPLAIN_WEIGHTS = [0.4, 0.6]
+
+
+def q_hybrid_explain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full explanation payload: combined score + per-clause normalized AND
+    source scores + the technique description strings
+    (ExplanationResponseProcessor / NormalizationProcessorWorkflow.java:140-177)."""
+    from functools import reduce
+
+    from neural_search_spark.search.hybrid import (
+        clause_depth_cut,
+        describe_combination,
+        describe_normalization,
+    )
+
+    eng = _engine(spark, sf_dir)
+    cut = [clause_depth_cut(eng.match(t), HYBRID_DEPTH) for t in HYBRID_CLAUSES]
+    n = len(cut)
+    out = hybrid_search(
+        cut,
+        "min_max",
+        "arithmetic_mean",
+        weights=EXPLAIN_WEIGHTS,
+        k=10,
+        depth=HYBRID_DEPTH,
+        keep_clause_columns=True,
+    )
+    rlong = reduce(
+        DataFrame.unionByName,
+        [df.select("docID", F.lit(i).alias("_c"), F.col("score").alias("s")) for i, df in enumerate(cut)],
+    )
+    raws = rlong.groupBy("docID").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("_c") == i, F.col("s"))), F.lit(0.0)).alias(f"_r{i}")
+            for i in range(n)
+        ]
+    )
+    return out.join(raws, "docID").select(
+        "docID",
+        F.round("score", 4).alias("score"),
+        *[F.round(f"s_{i}", 4).alias(f"clause_{i}") for i in range(n)],
+        *[F.round(f"_r{i}", 4).alias(f"raw_{i}") for i in range(n)],
+        F.lit(describe_normalization("min_max")).alias("norm_desc"),
+        F.lit(describe_combination("arithmetic_mean", EXPLAIN_WEIGHTS)).alias("comb_desc"),
+    ).orderBy(F.desc("score"), F.asc("docID"))
+
+
 def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
@@ -646,7 +737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_search_after": q_sort_search_after,
         "hybrid_paginated": q_hybrid_paginated,
         "hybrid_collapse_lang": q_hybrid_collapse_lang,
+        "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
+        "hybrid_sort_field": q_hybrid_sort_field,
         "hybrid_explain": q_hybrid_explain,
+        "hybrid_explain_full": q_hybrid_explain_full,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -748,7 +842,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
         "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
+        "hybrid_collapse_per_clause": osql.hybrid_collapse_per_clause_sql(
+            h2, "lang", k=10, depth=COLLAPSE_CLAUSE_DEPTH
+        ),
+        "hybrid_sort_field": osql.hybrid_sort_field_sql(h2, "lang", k=10),
         "hybrid_explain": osql.hybrid_explain_sql(h2, k=10, depth=HYBRID_DEPTH),
+        "hybrid_explain_full": osql.hybrid_explain_full_sql(
+            h2,
+            k=10,
+            depth=HYBRID_DEPTH,
+            weights=EXPLAIN_WEIGHTS,
+            norm_desc=_hybrid_mod.describe_normalization("min_max"),
+            comb_desc=_hybrid_mod.describe_combination("arithmetic_mean", EXPLAIN_WEIGHTS),
+        ),
         "dedup_exact": psql.dedup_exact_sql(),
         "dedup_minhash_lsh": psql.dedup_minhash_sql(),
         "dedup_simhash": psql.dedup_simhash_sql(),

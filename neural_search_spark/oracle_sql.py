@@ -316,7 +316,9 @@ def _normalize_cte(
     rank_constant: int,
     lower_bound: tuple[str, float] | None = None,
     upper_bound: tuple[str, float] | None = None,
+    src: str | None = None,
 ) -> str:
+    src = src or f"cut{i}"
     if technique == "min_max":
         eff_min, eff_max, clip = _bound_exprs(lower_bound, upper_bound)
         return f"""
@@ -326,13 +328,13 @@ n{i} AS (
                 {clip}WHEN ({eff_max}) = ({eff_min}) THEN 1.0
                 WHEN (score - ({eff_min})) / (({eff_max}) - ({eff_min})) = 0.0 THEN 0.001
                 ELSE (score - ({eff_min})) / (({eff_max}) - ({eff_min})) END AS nscore
-    FROM (SELECT docID, score, MIN(score) OVER () AS mn, MAX(score) OVER () AS mx FROM cut{i})
+    FROM (SELECT docID, score, MIN(score) OVER () AS mn, MAX(score) OVER () AS mx FROM {src})
 )"""
     if technique == "l2":
         return f"""
 n{i} AS (
     SELECT docID, CASE WHEN nrm = 0.0 THEN 0.0 ELSE score / nrm END AS nscore
-    FROM (SELECT docID, score, SQRT(SUM(score * score) OVER ()) AS nrm FROM cut{i})
+    FROM (SELECT docID, score, SQRT(SUM(score * score) OVER ()) AS nrm FROM {src})
 )"""
     if technique == "z_score":
         return f"""
@@ -347,14 +349,14 @@ n{i} AS (
                  COALESCE(STDDEV_SAMP(score) OVER (), 0.0) AS sd,
                  MAX(score) OVER () AS mx,
                  MIN(score) OVER () AS mn
-          FROM cut{i})
+          FROM {src})
 )"""
     if technique == "rrf":
         return f"""
 n{i} AS (
     SELECT docID,
            ROUND(1.0 / ({rank_constant} + ROW_NUMBER() OVER (ORDER BY score DESC, docID)), 10) AS nscore
-    FROM cut{i}
+    FROM {src}
 )"""
     raise ValueError(technique)
 
@@ -817,4 +819,128 @@ SELECT CAST(doc_id AS BIGINT) AS docID,
        lang,
        sha256(text) AS content_sha256
 FROM documents
+"""
+
+
+def hybrid_collapse_per_clause_sql(
+    clause_terms: list[list[str]],
+    field: str,
+    k: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    """Per-sub-query collapse during collection + coordinator re-collapse
+    (``HybridCollapsingTopDocsCollector.java`` group queues per sub-query;
+    ``CollapseDTO.java:24-36`` re-collapse after combination): each clause
+    keeps its best doc per ``field`` value, cut to ``depth`` groups by
+    clause score, BEFORE normalization; the combined result collapses
+    again."""
+    n = len(clause_terms)
+    w = [1.0] * n
+    clause_sql = ",".join(
+        _clause_ctes(i, t, 1.2, 0.75, None, None) for i, t in enumerate(clause_terms)
+    )
+    ccuts = ",".join(
+        f"""
+ccut{i} AS (
+    SELECT docID, score FROM (
+        SELECT s.docID, s.score,
+               ROW_NUMBER() OVER (PARTITION BY c.{field} ORDER BY s.score DESC, s.docID) AS rn
+        FROM cut{i} s JOIN corpus c ON s.docID = c.docID
+    ) WHERE rn = 1
+    ORDER BY score DESC, docID LIMIT {depth}
+)"""
+        for i in range(n)
+    )
+    norm_sql = ",".join(
+        _normalize_cte(i, normalization, 60, src=f"ccut{i}") for i in range(n)
+    )
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    return f"""{_PRELUDE},{clause_sql},{ccuts},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
+comb AS (SELECT docID, {_combine_expr(combination, w)} AS score FROM wide),
+best AS (
+    SELECT comb.docID, c.{field} AS {field}, comb.score,
+           ROW_NUMBER() OVER (PARTITION BY c.{field} ORDER BY comb.score DESC, comb.docID) AS rn
+    FROM comb JOIN corpus c ON comb.docID = c.docID
+)
+SELECT docID, {field}, ROUND(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def hybrid_sort_field_sql(clause_terms: list[list[str]], field: str, k: int) -> str:
+    """Hybrid collected by sort field with per-clause scores tracked
+    (``HybridTopFieldDocSortCollector.java``): docs matching ANY clause,
+    ordered by (field asc, docID asc), per-clause raw scores zero-filled —
+    no normalization/combination on the sort path."""
+    n = len(clause_terms)
+    clause_sql = ",".join(
+        _clause_ctes(i, t, 1.2, 0.75, None, None) for i, t in enumerate(clause_terms)
+    )
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, score FROM cut{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"ROUND(COALESCE(SUM(CASE WHEN c = {i} THEN score END), 0.0), 4) AS clause_{i}"
+        for i in range(n)
+    )
+    return f"""{_PRELUDE},{clause_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID)
+SELECT w.docID, c.{field} AS {field}, {", ".join(f"clause_{i}" for i in range(n))}
+FROM wide w JOIN corpus c ON w.docID = c.docID
+ORDER BY c.{field} ASC, w.docID ASC
+LIMIT {k}
+"""
+
+
+def hybrid_explain_full_sql(
+    clause_terms: list[list[str]],
+    k: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    norm_desc: str = "",
+    comb_desc: str = "",
+) -> str:
+    """Full explanation payload (``ExplanationResponseProcessor.java`` +
+    ``NormalizationProcessorWorkflow.java:140-177``): combined score, each
+    clause's normalized AND source (raw) score, plus the technique
+    description strings (``"{describe} normalization of:"`` /
+    ``"{describe} combination of:"``)."""
+    n = len(clause_terms)
+    w = weights or [1.0] * n
+    clause_sql = ",".join(
+        _clause_ctes(i, t, 1.2, 0.75, depth, None) for i, t in enumerate(clause_terms)
+    )
+    norm_sql = ",".join(_normalize_cte(i, normalization, 60) for i in range(n))
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    runion = " UNION ALL ".join(f"SELECT docID, {i} AS c, score FROM cut{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    raw_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN score END), 0.0) AS r_{i}" for i in range(n)
+    )
+    out_cols = ", ".join(f"ROUND(s_{i}, 4) AS clause_{i}" for i in range(n))
+    raw_out = ", ".join(f"ROUND(r.r_{i}, 4) AS raw_{i}" for i in range(n))
+    nd = norm_desc.replace("'", "''")
+    cd = comb_desc.replace("'", "''")
+    return f"""{_PRELUDE},{clause_sql},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
+rlong AS ({runion}),
+raws AS (SELECT docID, {raw_cols} FROM rlong GROUP BY docID)
+SELECT w.docID, ROUND({_combine_expr(combination, w)}, 4) AS score, {out_cols}, {raw_out},
+       '{nd}' AS norm_desc, '{cd}' AS comb_desc
+FROM wide w JOIN raws r ON w.docID = r.docID
+ORDER BY score DESC, w.docID
+LIMIT {k}
 """

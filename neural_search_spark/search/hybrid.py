@@ -66,6 +66,39 @@ def validate_technique_pair(normalization: str, combination: str) -> None:
         raise ValueError("rrf normalization must be paired with rrf combination")
 
 
+def describe_normalization(
+    technique: str,
+    lower_bounds: list[tuple[str, float] | None] | None = None,
+    upper_bounds: list[tuple[str, float] | None] | None = None,
+) -> str:
+    """The normalization explanation description string —
+    ``"{describe()} normalization of:"`` (``ExplanationUtils.java:36``),
+    where min_max ``describe()`` appends bound lists as
+    ``", lower bounds [(mode, score), ...]"``
+    (``MinMaxScoreNormalizationTechnique.java:155-176``; BoundMode
+    ``toString()`` is lowercase)."""
+    desc = technique
+    for label, bounds in (("lower", lower_bounds), ("upper", upper_bounds)):
+        if bounds:
+            default = 0.0 if label == "lower" else 1.0  # {Lower,Upper}Bound DEFAULT_*_SCORE
+            items = ", ".join(
+                f"({m}, {float(v)!r})"
+                for m, v in (b if b is not None else ("apply", default) for b in bounds)
+            )
+            desc += f", {label} bounds [{items}]"
+    return f"{desc} normalization of:"
+
+
+def describe_combination(technique: str, weights: list[float] | None = None) -> str:
+    """``"{describe()} combination of:"`` (``ScoreCombiner.java:391-396``);
+    with weights, describe() is ``"{name}, weights [w1, w2, ...]"``
+    (``ExplanationUtils.java:51-60``, Java ``List<Float>.toString`` shape)."""
+    if weights:
+        w = ", ".join(f"{float(x)!r}" for x in weights)
+        return f"{technique}, weights [{w}] combination of:"
+    return f"{technique} combination of:"
+
+
 def clause_depth_cut(scored: DataFrame, depth: int | None) -> DataFrame:
     """Per-clause collection depth (numHits): keep top ``depth`` docs by
     (score desc, docID asc). ``None`` keeps all matches."""

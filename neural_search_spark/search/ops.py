@@ -111,6 +111,84 @@ def collapse_best_per_field(
     )
 
 
+def collapse_clause(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    depth: int | None = None,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Per-sub-query collapse DURING collection
+    (``search/collector/HybridCollapsingTopDocsCollector.java``: each
+    sub-query keeps per-group hit queues, so a clause retains its best doc
+    per collapse-field value, up to ``depth`` groups by clause score).
+    Applied to each clause BEFORE normalization, then the coordinator
+    re-collapses the combined result (``processor/collapse/CollapseDTO.java:24-36``,
+    dispatch ``NormalizationProcessorWorkflow.java:208-230``) — with tight
+    depths this retains a DIFFERENT candidate set than post-combination
+    collapse alone (a clause's #2 doc in a group never reaches
+    normalization even if its combined score would have won).
+
+    Plan: one window shuffle on the collapse field, then the standard
+    depth cut — the same shape as collapse_best_per_field."""
+    joined = scored.join(docs.select(F.col(id_col).alias("docID"), field), "docID")
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("docID"))
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("docID", "score")
+    )
+    if depth is not None:
+        best = best.orderBy(F.desc("score"), F.asc("docID")).limit(depth)
+    return best
+
+
+def hybrid_sort_by_field(
+    clause_scores: list[DataFrame],
+    docs: DataFrame,
+    sort_fields: list[tuple[str, bool]],
+    k: int = 10,
+    track_scores: bool = True,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Hybrid query collected by SORT FIELD with per-clause scores tracked
+    (``search/collector/HybridTopFieldDocSortCollector.java``): candidates
+    are docs matched by ANY sub-query, collected in sort-field order (docID
+    final tie-break) rather than by relevance; when ``track_scores`` each
+    sub-query's raw score rides along as ``clause_{i}`` (zero-filled for
+    clauses that did not match — the collector's per-sub-query score
+    arrays). No normalization/combination happens on the sort path.
+
+    Plan: clause unions pivot in ONE groupBy (same single-shuffle shape as
+    combine_clauses), join sort fields, TakeOrderedAndProject cut."""
+    from functools import reduce
+
+    n = len(clause_scores)
+    long = reduce(
+        DataFrame.unionByName,
+        [
+            df.select(F.col("docID"), F.lit(i).alias("_c"), F.col("score").alias("s"))
+            for i, df in enumerate(clause_scores)
+        ],
+    )
+    wide = long.groupBy("docID").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("_c") == i, F.col("s"))), F.lit(0.0)).alias(
+                f"clause_{i}"
+            )
+            for i in range(n)
+        ]
+    )
+    joined = wide.join(
+        docs.select(F.col(id_col).alias("docID"), *[f for f, _ in sort_fields]), "docID"
+    )
+    order = [F.asc(f) if asc else F.desc(f) for f, asc in sort_fields] + [F.asc("docID")]
+    cols = ["docID"] + [f for f, _ in sort_fields] + (
+        [f"clause_{i}" for i in range(n)] if track_scores else []
+    )
+    return joined.select(*cols).orderBy(*order).limit(k)
+
+
 def nested_inner_hits(
     chunks: DataFrame,
     terms: list[str],

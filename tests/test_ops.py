@@ -122,3 +122,79 @@ def test_highlight_literal_delimiter_with_regex_metachars(spark):
     assert got[0]["fragment"] == "delta spark spark"
     assert got[0]["frag_idx"] == 2
     assert got[0]["hits"] == 2
+
+
+def test_collapse_per_clause_differs_from_post_only(spark):
+    """Per-sub-query collapse retains a different candidate set than
+    post-combination-only collapse (HybridCollapsingTopDocsCollector vs
+    coordinator-only): a clause's #2 doc in a group never reaches
+    normalization."""
+    from neural_search_spark.search.hybrid import hybrid_search
+    from neural_search_spark.search.ops import collapse_clause
+
+    docs = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2")], "docID long, grp string"
+    )
+    a = spark.createDataFrame([(1, 10.0), (2, 9.0), (3, 1.0)], "docID long, score double")
+    b = spark.createDataFrame([(2, 10.0), (3, 5.0)], "docID long, score double")
+
+    post_only = hybrid_search([a, b], "min_max", "arithmetic_mean", k=10, depth=10)
+    post_best = collapse_best_per_field(post_only, docs, "grp").collect()
+    post_g1 = {r["grp"]: r["docID"] for r in post_best}["g1"]
+
+    pc = [collapse_clause(df, docs, "grp", depth=2) for df in (a, b)]
+    per_clause = hybrid_search(pc, "min_max", "arithmetic_mean", k=10, depth=10)
+    pc_best = collapse_best_per_field(per_clause, docs, "grp").collect()
+    pc_g1 = {r["grp"]: r["docID"] for r in pc_best}["g1"]
+
+    assert post_g1 == 2  # doc2 wins g1 when both clauses count it
+    assert pc_g1 == 1  # per-clause collapse drops doc2 from clause A -> doc1 wins
+
+
+def test_collapse_clause_keeps_best_per_group(spark):
+    from neural_search_spark.search.ops import collapse_clause
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "docID long, grp string"
+    )
+    scored = spark.createDataFrame(
+        [(1, 2.0), (2, 5.0), (3, 1.0), (4, 1.0)], "docID long, score double"
+    )
+    got = {(r["docID"], r["score"]) for r in collapse_clause(scored, docs, "grp").collect()}
+    assert got == {(2, 5.0), (3, 1.0)}  # ties break docID asc
+    cut = collapse_clause(scored, docs, "grp", depth=1).collect()
+    assert [(r["docID"], r["score"]) for r in cut] == [(2, 5.0)]
+
+
+def test_hybrid_sort_by_field_tracks_clause_scores(spark, docs):
+    from neural_search_spark.search.ops import hybrid_sort_by_field
+
+    a = spark.createDataFrame([(1, 3.0), (2, 1.0)], "docID long, score double")
+    b = spark.createDataFrame([(2, 7.0), (5, 2.0)], "docID long, score double")
+    got = hybrid_sort_by_field([a, b], docs, [("lang", True)], k=10).collect()
+    # order: lang asc (c, go, py), docID asc
+    assert [r["docID"] for r in got] == [5, 1, 2]
+    row2 = next(r for r in got if r["docID"] == 2)
+    assert (row2["clause_0"], row2["clause_1"]) == (1.0, 7.0)
+    row5 = next(r for r in got if r["docID"] == 5)
+    assert (row5["clause_0"], row5["clause_1"]) == (0.0, 2.0)  # zero-filled
+    no_scores = hybrid_sort_by_field([a, b], docs, [("lang", True)], k=10, track_scores=False)
+    assert no_scores.columns == ["docID", "lang"]
+
+
+def test_describe_strings_match_reference_format():
+    from neural_search_spark.search.hybrid import (
+        describe_combination,
+        describe_normalization,
+    )
+
+    assert describe_normalization("min_max") == "min_max normalization of:"
+    assert (
+        describe_normalization("min_max", lower_bounds=[("apply", 1.0), ("clip", 0.5)])
+        == "min_max, lower bounds [(apply, 1.0), (clip, 0.5)] normalization of:"
+    )
+    assert describe_combination("arithmetic_mean") == "arithmetic_mean combination of:"
+    assert (
+        describe_combination("rrf", [0.4, 0.6])
+        == "rrf, weights [0.4, 0.6] combination of:"
+    )
