@@ -696,6 +696,22 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_text_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_image_embedding processor stand-in: ONE joint embedding from the
+    {text, image} field map (TextImageEmbeddingProcessor.java:42-55), long
+    form for the oracle gate."""
+    from neural_search_spark.pipeline.multimodal import (
+        text_image_embedding_stub,
+        with_binary_payload,
+    )
+
+    docs = _doc_corpus(spark, sf_dir)
+    joined = docs.join(
+        with_binary_payload(docs).select("docID", "payload"), "docID"
+    )
+    return text_image_embedding_stub(joined).orderBy("docID", "dim")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid BM25 two-clause
     min_max + arithmetic_mean (the reference's default pipeline)."""
@@ -754,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_text_image_embedding": q_mm_text_image_embedding,
     }
 
 
@@ -868,4 +885,5 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": psql.text_fingerprint_sql(),
         "mm_image_meta": psql.mm_image_meta_sql(),
         "mm_frame_sample": psql.mm_frame_sample_sql(FRAME_STRIDE, MAX_FRAMES),
+        "mm_text_image_embedding": psql.mm_text_image_embedding_sql(),
     }

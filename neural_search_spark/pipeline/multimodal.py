@@ -85,6 +85,61 @@ def extract_binary_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("docID", "payload").mapInPandas(_extract, BINARY_META_SCHEMA)
 
 
+TEXT_DIMS = 8  # text sub-vector (same stand-in as pipeline/embedding.py)
+IMAGE_DIMS = 4  # image sub-vector: one dim per checksum byte
+
+
+def text_image_embedding_stub(
+    df: DataFrame,
+    text_col: str = "content",
+    payload_col: str = "payload",
+    id_col: str = "docID",
+) -> DataFrame:
+    """``text_image_embedding`` processor stand-in
+    (``processor/TextImageEmbeddingProcessor.java:42-55``: ONE joint
+    embedding from the ``{text, image}`` field map — not two separate
+    vectors). The model is deterministic so both engines agree exactly:
+
+    - text sub-vector: bag of ``len(token) % 8`` counts (the shared text
+      stand-in);
+    - image sub-vector: the 4 bytes of the payload's 32-bit md5-prefix
+      checksum (the binary feature the decode stub exposes);
+    - joint vector: the 12 dims L2-normalized TOGETHER (one embedding).
+
+    Everything is JVM-side column algebra (hash, shifts, explode) — a real
+    multimodal model drops in as an Arrow UDF over the same (text, payload)
+    batch shape. Returns long form (docID, dim, value) for the oracle gate.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    tcnt = (
+        df.select(F.col(id_col).alias("docID"), F.explode(toks).alias("term"))
+        .groupBy("docID", (F.length("term") % TEXT_DIMS).cast("int").alias("dim"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    checksum = F.conv(F.substring(F.md5(F.col(payload_col)), 1, 8), 16, 10).cast("long")
+    img_vals = F.array(
+        *[
+            F.shiftright(checksum, 8 * j).bitwiseAND(F.lit(255)).cast("double")
+            for j in range(IMAGE_DIMS)
+        ]
+    )
+    icnt = df.select(
+        F.col(id_col).alias("docID"), F.posexplode(img_vals).alias("_j", "v")
+    ).select("docID", (F.col("_j") + TEXT_DIMS).cast("int").alias("dim"), "v")
+    long = tcnt.unionByName(icnt)
+    nrm = long.groupBy("docID").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return (
+        long.join(nrm, "docID")
+        .select(
+            "docID",
+            "dim",
+            F.round(
+                F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm")).otherwise(F.lit(0.0)), 6
+            ).alias("value"),
+        )
+    )
+
+
 def frame_sample(
     binary_df: DataFrame, frame_stride: int = 64, max_frames: int = 16
 ) -> DataFrame:

@@ -361,6 +361,40 @@ FROM documents
 """
 
 
+def mm_text_image_embedding_sql(text_dims: int = 8, image_dims: int = 4) -> str:
+    """Joint text+image embedding stand-in (mirrors
+    ``multimodal.text_image_embedding_stub``): nonzero text-count dims ∪
+    ALL checksum-byte image dims, L2-normalized together, long form."""
+    img_rows = " UNION ALL ".join(
+        f"SELECT docID, CAST({text_dims + j} AS INT) AS dim, "
+        f"CAST((checksum >> {8 * j}) & 255 AS DOUBLE) AS v FROM meta"
+        for j in range(image_dims)
+    )
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tcnt AS (
+    SELECT docID, CAST(length(term) % {text_dims} AS INT) AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM toks GROUP BY docID, dim
+),
+meta AS (SELECT CAST(doc_id AS BIGINT) AS docID, {_h32('text')} AS checksum FROM documents),
+long AS (
+    SELECT docID, dim, v FROM tcnt
+    UNION ALL
+    {img_rows}
+),
+nrm AS (SELECT docID, SQRT(SUM(v * v)) AS nrm FROM long GROUP BY docID)
+SELECT long.docID AS docID, long.dim AS dim,
+       ROUND(CASE WHEN n.nrm > 0 THEN long.v / n.nrm ELSE 0.0 END, 6) AS value
+FROM long JOIN nrm n ON long.docID = n.docID
+ORDER BY long.docID, long.dim
+"""
+
+
 def mm_frame_sample_sql(frame_stride: int, max_frames: int) -> str:
     return f"""
 WITH f AS (

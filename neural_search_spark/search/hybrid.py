@@ -293,6 +293,12 @@ def hybrid_search(
     if not 1 <= len(clause_scores) <= MAX_SUB_QUERIES:
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
     validate_technique_pair(normalization, combination)
+    if normalization == "rrf" and depth is None:
+        # rrf ranks via a global (unpartitioned) row_number window — safe
+        # ONLY over a depth-cut clause (<= depth rows through one task);
+        # unbounded input would funnel the whole clause through a single
+        # task, so the scale contract is enforced, not assumed
+        raise ValueError("rrf normalization requires a per-clause depth (numHits) cut")
     # stats-API event counters (stats/events/EventStatName.java analog)
     from neural_search_spark import stats as _stats
 

@@ -86,9 +86,14 @@ def paginate(
     if from_ + size > depth:
         raise ValueError("from + size must not exceed pagination_depth")
     order = order or [F.desc("score"), F.asc("docID")]
+    # bound the global row_number window: cut to the collected depth FIRST
+    # (TakeOrderedAndProject — distributed top-N, no full sort), so the
+    # single-task window only ever sees <= depth rows regardless of input
+    # size; rows past depth can never land in (from, from+size]
+    bounded = results.orderBy(*order).limit(depth)
     w = Window.orderBy(*order)
     return (
-        results.withColumn("_rn", F.row_number().over(w))
+        bounded.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") > from_) & (F.col("_rn") <= from_ + size))
         .drop("_rn")
     )

@@ -35,6 +35,8 @@ def read_corpus_table(
     source: str,
     id_col: str = "docID",
     validate: bool = True,
+    semantic_field: str | None = None,
+    semantic_model_id: str = "stand-in-dense-v1",
 ) -> DataFrame:
     """Load the corpus as a DataFrame with a stable ``docID``.
 
@@ -42,6 +44,14 @@ def read_corpus_table(
     parquet directory/file path. ``docID`` is derived deterministically as
     ``xxhash64(repo, path, commit)`` when absent — content-addressed, so
     re-ingesting the same snapshot yields identical ids on any cluster.
+
+    ``semantic_field``: when set, the column is treated as the reference's
+    ``semantic`` field type — the schema gains the derived
+    ``<field>_semantic_info`` struct (model metadata + stand-in embedding;
+    ``mapper/SemanticFieldMapper.java:378-384``,
+    ``mappingtransformer/SemanticMappingTransformer.java``) populated at
+    load, exactly :func:`neural_search_spark.mapping.derive_semantic_schema`
+    of the base schema.
     """
     if "/" not in source and _has_iceberg(spark):
         df = spark.read.table(source)
@@ -57,4 +67,8 @@ def read_corpus_table(
         )
     if "content_sha256" not in df.columns:
         df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    if semantic_field is not None:
+        from neural_search_spark.mapping import apply_semantic_mapping
+
+        df = apply_semantic_mapping(df, semantic_field, semantic_model_id, id_col=id_col)
     return df

@@ -269,3 +269,12 @@ def test_hybrid_e2e_vs_oracle(engine, oracle_idx, norm, comb, weights):
     for (gd, gs), (wd, ws) in zip(got, want):
         if gd != wd:
             assert abs(gs - ws) <= 2 * DELTA, (norm, comb, gd, wd)
+
+
+def test_rrf_requires_depth(spark):
+    """The rrf rank window is global (single task) — hybrid_search enforces
+    the depth cut instead of assuming it."""
+    with pytest.raises(ValueError, match="depth"):
+        hybrid_search(
+            [_df(spark, [(1, 1.0)])], "rrf", "rrf", k=5, depth=None
+        )

@@ -264,3 +264,40 @@ def test_frame_sample(docs):
         exp_n = min((lens[d] + 9) // 10, 3)
         assert sorted(frames) == [(i, i * 10) for i in range(exp_n)]
     assert 5 not in by_doc  # empty payload → no frames
+
+
+def test_text_image_embedding_joint_norm(spark):
+    """One JOINT embedding (TextImageEmbeddingProcessor): 8 text dims from
+    token counts + 4 image dims from the checksum bytes, normalized
+    together — pure-Python oracle over hand-built rows."""
+    from neural_search_spark.pipeline.multimodal import (
+        text_image_embedding_stub,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "")], "docID long, content string"
+    )
+    joined = docs.join(with_binary_payload(docs).select("docID", "payload"), "docID")
+    rows = text_image_embedding_stub(joined).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_doc.setdefault(r["docID"], {})[r["dim"]] = r["value"]
+
+    for doc_id, text in [(1, "spark join window"), (2, "")]:
+        toks = __import__("re").findall(r"[a-z0-9_]+", text.lower())
+        tc: dict[int, float] = {}
+        for t in toks:
+            tc[len(t) % 8] = tc.get(len(t) % 8, 0.0) + 1.0
+        ck = P.hash32_py(text)
+        img = {8 + j: float((ck >> (8 * j)) & 255) for j in range(4)}
+        vals = {**tc, **img}
+        nrm = sum(v * v for v in vals.values()) ** 0.5
+        want = {d: round(v / nrm, 6) for d, v in vals.items()}
+        got = by_doc[doc_id]
+        assert set(got) == set(want), doc_id
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=1e-9), (doc_id, d)
+    # doc 2 (no tokens): image dims only, still unit-normalized
+    assert set(by_doc[2]) == {8, 9, 10, 11}
+    assert sum(v * v for v in by_doc[2].values()) == pytest.approx(1.0, abs=1e-4)

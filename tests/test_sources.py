@@ -67,3 +67,79 @@ def test_text_embedding_stub_shape(spark, tiny_corpus):
         v = r["embedding"]
         assert len(v) == 8
         assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # L2-normalized
+
+
+def _shape(dt):
+    """(name, type) tree ignoring nullability — Spark derives nullable
+    flags from expressions; they are advisory, not part of the contract."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(dt, StructType):
+        return ("struct", tuple((f.name, _shape(f.dataType)) for f in dt.fields))
+    if isinstance(dt, ArrayType):
+        return ("array", _shape(dt.elementType))
+    return dt.simpleString()
+
+
+def test_semantic_schema_derivation(spark, tiny_corpus):
+    """SemanticMappingTransformer analog: the derived <field>_semantic_info
+    struct lands in the schema, and apply_semantic_mapping's output schema
+    IS the derived schema."""
+    from neural_search_spark.mapping import (
+        apply_semantic_mapping,
+        derive_semantic_schema,
+        semantic_info_field_name,
+    )
+
+    base = tiny_corpus.schema
+    derived = derive_semantic_schema(base, "content")
+    assert semantic_info_field_name("content") == "content_semantic_info"
+    names = [f.name for f in derived.fields]
+    assert names == [f.name for f in base.fields] + ["content_semantic_info"]
+    info = derived["content_semantic_info"].dataType
+    assert [f.name for f in info.fields] == ["model", "embedding"]
+
+    out = apply_semantic_mapping(tiny_corpus, "content", "stand-in-dense-v1")
+    assert _shape(out.schema["content_semantic_info"].dataType) == _shape(info)
+    row = out.where("docID = 0").select("content_semantic_info").collect()[0][0]
+    assert row["model"]["id"] == "stand-in-dense-v1"
+    assert len(row["embedding"]) == 8
+    # embedding equals the standalone text_embedding processor output
+    from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+    want = text_embedding_stub(tiny_corpus).where("docID = 0").collect()[0]["embedding"]
+    assert row["embedding"] == want
+
+
+def test_semantic_schema_validation(tiny_corpus):
+    import pytest as _pytest
+
+    from neural_search_spark.mapping import derive_semantic_schema
+
+    with _pytest.raises(ValueError, match="not found"):
+        derive_semantic_schema(tiny_corpus.schema, "missing_col")
+    once = derive_semantic_schema(tiny_corpus.schema, "content")
+    with _pytest.raises(ValueError, match="already exists"):
+        derive_semantic_schema(once, "content")
+
+
+def test_semantic_chunking_schema(tiny_corpus):
+    from neural_search_spark.mapping import derive_semantic_schema
+
+    derived = derive_semantic_schema(tiny_corpus.schema, "content", chunking=True)
+    info = derived["content_semantic_info"].dataType
+    assert [f.name for f in info.fields] == ["model", "chunks"]
+    chunk = info["chunks"].dataType.elementType
+    assert [f.name for f in chunk.fields] == ["text", "embedding"]
+
+
+def test_read_corpus_table_semantic_field(spark, tiny_corpus_pdf, tmp_path):
+    from neural_search_spark.mapping import derive_semantic_schema
+    from neural_search_spark.sources.corpus_source import read_corpus_table
+
+    p = str(tmp_path / "corpus_sem")
+    spark.createDataFrame(tiny_corpus_pdf).write.parquet(p)
+    df = read_corpus_table(spark, p, semantic_field="content")
+    base = read_corpus_table(spark, p)
+    want = derive_semantic_schema(base.schema, "content")
+    assert _shape(df.schema) == _shape(want)
