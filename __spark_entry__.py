@@ -473,6 +473,42 @@ def q_hybrid_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def q_hybrid_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-score tracking surface: the final hybrid top-k with the
+    response-level max_score column (HybridTopScoreDocCollector.java:45,157,
+    ScoreCombiner.java:41)."""
+    from neural_search_spark.search.ops import with_max_score
+
+    return with_max_score(q_hybrid_minmax_arith(spark, sf_dir))
+
+
+def q_hybrid_spec_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dict-shaped request through the parser with the
+    neural_query_enricher filling clause defaults (embeddings table, kNN k)
+    into a neural clause that omits them
+    (processor/NeuralQueryEnricherProcessor.java; parse surface
+    HybridQueryBuilder.java:197-267)."""
+    from neural_search_spark.search.spec import parse_hybrid_spec
+
+    eng = _engine(spark, sf_dir)
+    spec = {
+        "queries": [
+            {"match": {"query": Q_MATCH}},
+            {"neural": {"query": NEURAL_QUERY}},  # k/embeddings come from the enricher
+        ],
+        "pagination_depth": HYBRID_DEPTH,
+    }
+    defaults = {
+        "neural": {
+            "embeddings": _doc_embeddings(spark, sf_dir),
+            "k": HYBRID_DEPTH,
+            "model_id": "stand-in-dense-v1",
+        }
+    }
+    out = parse_hybrid_spec(eng, spec, k=10, enricher_defaults=defaults)
+    return _round_score(out)
+
+
 def q_hybrid_collapse_per_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sub-query collapse during collection + coordinator re-collapse
     (HybridCollapsingTopDocsCollector group queues; CollapseDTO re-collapse).
@@ -753,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_search_after": q_sort_search_after,
         "hybrid_paginated": q_hybrid_paginated,
         "hybrid_collapse_lang": q_hybrid_collapse_lang,
+        "hybrid_max_score": q_hybrid_max_score,
+        "hybrid_spec_enriched": q_hybrid_spec_enriched,
         "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
         "hybrid_sort_field": q_hybrid_sort_field,
         "hybrid_explain": q_hybrid_explain,
@@ -859,6 +897,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
         "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
+        "hybrid_max_score": osql.hybrid_max_score_sql(h2, depth=HYBRID_DEPTH),
+        "hybrid_spec_enriched": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {"kind": "neural", "qvec": _neural_qv()},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+        ),
         "hybrid_collapse_per_clause": osql.hybrid_collapse_per_clause_sql(
             h2, "lang", k=10, depth=COLLAPSE_CLAUSE_DEPTH
         ),

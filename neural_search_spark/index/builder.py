@@ -435,9 +435,15 @@ def update_index(
     out_dir: str,
     text_col: str = "content",
     id_col: str = "docID",
+    mode: str = "sync",
 ) -> dict:
     """Incremental index maintenance: bring ``out_dir`` up to date with
     ``corpus`` re-tokenizing ONLY added/changed docs.
+
+    ``mode="sync"`` (default) treats ``corpus`` as the FULL desired state:
+    indexed docs missing from it are removed. ``mode="upsert"`` treats it
+    as a partial delta (e.g. one streaming micro-batch): docs absent from
+    the batch are untouched — only additions and content changes apply.
 
     The content-identity skip mirrors the reference's inference filter
     (``processor/optimization/InferenceFilter.java``: reuse existing
@@ -452,6 +458,8 @@ def update_index(
     Returns a summary dict {added, changed, removed, shards} (also appended
     to the manifest with wall-clock lineage).
     """
+    if mode not in ("sync", "upsert"):
+        raise ValueError(f"mode must be 'sync' or 'upsert', got {mode!r}")
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     n_shards = stats["n_shards"]
@@ -464,14 +472,15 @@ def update_index(
     old_map = spark.read.parquet(docmap_dir).select("docID", "sha", "shard")
 
     # classify: changed (same doc, new sha), added, removed
-    joined = new_map.alias("n").join(old_map.alias("o"), "docID", "full").select(
+    join_type = "full" if mode == "sync" else "left"
+    joined = new_map.alias("n").join(old_map.alias("o"), "docID", join_type).select(
         F.col("docID"),
         F.col("n.sha").alias("new_sha"),
         F.col("o.sha").alias("old_sha"),
         F.coalesce(F.col("n.shard"), F.col("o.shard")).alias("shard"),
     )
     dirty = joined.where(
-        F.col("new_sha").isNull()  # removed
+        F.col("new_sha").isNull()  # removed (sync mode only: left join keeps none)
         | F.col("old_sha").isNull()  # added
         | (F.col("new_sha") != F.col("old_sha"))  # changed
     ).cache()

@@ -944,3 +944,21 @@ FROM wide w JOIN raws r ON w.docID = r.docID
 ORDER BY score DESC, w.docID
 LIMIT {k}
 """
+
+
+def hybrid_max_score_sql(
+    clause_terms: list[list[str]],
+    depth: int,
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    """Final hybrid top-k plus the response max_score column
+    (``ScoreCombiner.java:41`` — 0.0 when no hits, else max over hits)."""
+    inner = hybrid_topk_sql(clause_terms, normalization, combination, k=k, depth=depth)
+    return f"""
+WITH hits AS ({inner})
+SELECT docID, score, COALESCE(MAX(score) OVER (), 0.0) AS max_score
+FROM hits
+ORDER BY score DESC, docID
+"""

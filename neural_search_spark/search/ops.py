@@ -116,6 +116,20 @@ def collapse_best_per_field(
     )
 
 
+def with_max_score(results: DataFrame) -> DataFrame:
+    """Response-level max-score tracking
+    (``HybridTopScoreDocCollector.java:45,157`` per-shard max;
+    ``ScoreCombiner.java:41`` MAX_SCORE_WHEN_NO_HITS_FOUND = 0.0): attach
+    the max over the returned hits as a ``max_score`` column. The window is
+    global but the input is always a final top-k result (≤ k rows through
+    one task) — an empty result stays empty, matching a 0-hit response
+    carrying max_score 0.0 at the payload level."""
+    w = Window.partitionBy()
+    return results.withColumn(
+        "max_score", F.coalesce(F.max("score").over(w), F.lit(0.0))
+    )
+
+
 def collapse_clause(
     scored: DataFrame,
     docs: DataFrame,

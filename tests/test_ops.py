@@ -198,3 +198,12 @@ def test_describe_strings_match_reference_format():
         describe_combination("rrf", [0.4, 0.6])
         == "rrf, weights [0.4, 0.6] combination of:"
     )
+
+
+def test_with_max_score(spark, results):
+    from neural_search_spark.search.ops import with_max_score
+
+    got = with_max_score(results).collect()
+    assert all(r["max_score"] == 0.9 for r in got)
+    empty = spark.createDataFrame([], "docID long, score double")
+    assert with_max_score(empty).collect() == []
