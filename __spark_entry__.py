@@ -685,6 +685,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.ann import ann_ivf_topk
+
+    return ann_ivf_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("docID"), F.col("text").alias("content")
@@ -802,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -927,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": psql.dedup_embedding_cosine_sql(),
         "ann_cosine_topk": psql.ann_cosine_topk_sql(ANN_QUERY_ID, 10),
         "ann_lsh_topk": psql.ann_lsh_topk_sql(ANN_QUERY_ID, 10),
+        "ann_ivf_topk": psql.ann_ivf_topk_sql(ANN_QUERY_ID, 10),
         "text_token_counts": psql.text_token_counts_sql(),
         "text_lang_id": psql.text_lang_id_sql(),
         "text_quality": psql.text_quality_sql(),

@@ -12,11 +12,17 @@ Two paths:
   (params.HYPERPLANES) prune candidates to the query's bucket before the
   exact cosine. At 100 TB the bucket column is precomputed at ingest and
   the table is partitioned by it, turning a full scan into one partition.
+- :func:`ann_ivf_topk` — the IVF scale path: spherical-kmeans coarse
+  lists (deterministic seeding + one Lloyd step, params.IVF_N_LISTS),
+  query probes the params.IVF_NPROBE nearest lists only. At 100 TB the
+  centroids are trained on a sample and broadcast, list assignment is a
+  single codegen scan at ingest, and the table is written partitioned by
+  ``list_id`` so a query's scan prunes to nprobe/n_lists of the data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from neural_search_spark.pipeline import params as P
 
@@ -83,6 +89,115 @@ def lsh_buckets(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         bucket_col(vec_col).alias("bucket"),
+    )
+
+
+def _argmax_list(scored: DataFrame) -> DataFrame:
+    """(vec_id, v, list_id): keep each vector's best list by (cosine desc,
+    list_id asc). The window is partitioned by vec_id — parallel by key,
+    never a global sort; each partition holds exactly n_lists rows."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "v", "list_id")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_lists: int = P.IVF_N_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(list_id, centroid): spherical-kmeans coarse quantizer, deterministic
+    and oracle-reproducible.
+
+    Seeds are the ``n_lists`` vectors with the smallest ids (list_id =
+    their id rank); one Lloyd refinement assigns every vector to its
+    max-cosine seed and takes the per-dimension mean, rounded to 6 dp so
+    the refined centroids are bit-identical doubles across engines (group
+    means are summation-order-dependent; the rounding absorbs the ~1e-15
+    jitter). At 100 TB the training input is a deterministic sample, not
+    the full table — the output is O(n_lists · dim), always broadcastable.
+    """
+    seeds = (
+        emb.orderBy(F.asc(id_col))
+        .limit(n_lists)
+        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c0"))
+    )
+    # n_lists rows — the global window is on an already-collapsed input
+    seeds = seeds.select(
+        (F.row_number().over(Window.orderBy("seed_id")) - 1).alias("list_id"), "c0"
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    a0 = _argmax_list(
+        base.crossJoin(F.broadcast(seeds)).select(
+            "vec_id", "v", "list_id", _cosine("v", "c0").alias("cos")
+        )
+    )
+    dims = (
+        a0.select("list_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(P.round6(F.avg(F.col("val").cast("double"))).alias("m"))
+    )
+    return dims.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, list_id): each vector's max-cosine refined centroid.
+    This is the ingest-time step at scale — one broadcast-join scan whose
+    output is written partitioned by ``list_id``."""
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return _argmax_list(
+        base.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "v", "list_id", _cosine("v", "centroid").alias("cos")
+        )
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = P.ANN_K,
+    n_lists: int = P.IVF_N_LISTS,
+    nprobe: int = P.IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to the query's ``nprobe``
+    nearest IVF lists.
+
+    Deterministic contract (oracle-checkable): probe lists = top-nprobe
+    centroids by (cosine(query, centroid) desc, list_id asc); candidates =
+    vectors assigned to those lists, query excluded; rank by (cosine desc,
+    vec_id asc). Returns (vec_id, score).
+    """
+    cents = ivf_centroids(emb, n_lists, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(F.desc(_cosine("centroid", "qv")), F.asc("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "list_id")
+        .where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
     )
 
 

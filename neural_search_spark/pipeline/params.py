@@ -112,6 +112,17 @@ ANN_K = 10
 _hp = np.random.RandomState(7).randn(N_HYPERPLANES, EMBEDDING_DIM)
 HYPERPLANES: list[list[float]] = [[float(round(v, 6)) for v in row] for row in _hp]
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse spherical-kmeans lists. Deterministic
+# contract shared with the DuckDB oracle: seeds = the IVF_N_LISTS vectors
+# with the smallest ids; ONE Lloyd refinement whose per-dim means are
+# rounded to 6 dp (absorbs cross-engine summation-order noise so the
+# refined centroids are bit-identical doubles on both sides).
+# ---------------------------------------------------------------------------
+
+IVF_N_LISTS = 8
+IVF_NPROBE = 2
+
 
 def dot_sql(vec_expr: str, plane: list[float], one_based: bool) -> str:
     """Unrolled, left-associated dot product so both engines sum in the

@@ -232,6 +232,66 @@ LIMIT {k}
 """
 
 
+def _cos_sql(a: str, b: str) -> str:
+    dot = P.pairwise_dot_sql(a, b, P.EMBEDDING_DIM, one_based=True)
+    na = P.pairwise_dot_sql(a, a, P.EMBEDDING_DIM, one_based=True)
+    nb = P.pairwise_dot_sql(b, b, P.EMBEDDING_DIM, one_based=True)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def ann_ivf_topk_sql(
+    query_id: int,
+    k: int,
+    n_lists: int = P.IVF_N_LISTS,
+    nprobe: int = P.IVF_NPROBE,
+) -> str:
+    """IVF twin of :func:`neural_search_spark.pipeline.ann.ann_ivf_topk` —
+    same deterministic seeding (lowest ids), one Lloyd step with 6-dp
+    per-dim means, argmax ties to the smaller list_id."""
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c0
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_lists})
+),
+a0 AS (
+    SELECT vec_id, v, list_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_cos_sql('v', 'c0')} DESC, list_id ASC
+           ) AS rn
+    FROM e, seeds
+),
+dims AS (
+    SELECT list_id, i, {P.round6_sql('avg(CAST(v[i] AS DOUBLE))')} AS m
+    FROM (SELECT list_id, v, unnest(generate_series(1, {P.EMBEDDING_DIM})) AS i
+          FROM a0 WHERE rn = 1)
+    GROUP BY list_id, i
+),
+cents AS (SELECT list_id, list(m ORDER BY i) AS c FROM dims GROUP BY list_id),
+a1 AS (
+    SELECT vec_id, v, list_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_cos_sql('v', 'c')} DESC, list_id ASC
+           ) AS rn
+    FROM e, cents
+),
+assigned AS (SELECT vec_id, v, list_id FROM a1 WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+probe AS (
+    SELECT list_id FROM cents, q
+    ORDER BY {_cos_sql('c', 'qv')} DESC, list_id ASC LIMIT {nprobe}
+)
+SELECT a.vec_id AS vec_id,
+       {P.round4_sql(_cos_sql('a.v', 'q.qv'))} AS score
+FROM assigned a JOIN probe USING (list_id), q
+WHERE a.vec_id != {query_id}
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def ann_lsh_topk_sql(query_id: int, k: int) -> str:
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)

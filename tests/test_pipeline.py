@@ -183,6 +183,40 @@ def test_ann_lsh_topk_subset_of_bucket(vecs):
     assert 0 not in got
 
 
+def test_ivf_centroids_shape_and_determinism(vecs):
+    from neural_search_spark.pipeline.ann import ivf_centroids
+
+    cents = {r["list_id"]: r["centroid"] for r in ivf_centroids(vecs, n_lists=4).collect()}
+    assert sorted(cents) == [0, 1, 2, 3]
+    assert all(len(c) == P.EMBEDDING_DIM for c in cents.values())
+    again = {r["list_id"]: r["centroid"] for r in ivf_centroids(vecs, n_lists=4).collect()}
+    assert cents == again
+
+
+def test_ann_ivf_topk_probes_nearest_lists(vecs):
+    from neural_search_spark.pipeline.ann import ann_ivf_topk, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(vecs, n_lists=4)
+    assign = {r["vec_id"]: r["list_id"] for r in ivf_assign(vecs, cents).collect()}
+    got = [(r["vec_id"], r["score"]) for r in ann_ivf_topk(vecs, 0, k=5, n_lists=4, nprobe=2).collect()]
+    assert got and 0 not in [v for v, _ in got]
+    # candidates all live in at most nprobe distinct lists
+    assert len({assign[v] for v, _ in got}) <= 2
+    # scores are sorted desc with vec_id tie-break
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    # the exact copy of vec 4 (id 100) lands in the same list as vec 4
+    assert assign[100] == assign[4]
+
+
+def test_ann_ivf_full_probe_equals_exact(vecs):
+    """With nprobe == n_lists the IVF path degenerates to exact search."""
+    from neural_search_spark.pipeline.ann import ann_ivf_topk, cosine_topk
+
+    exact = [(r["vec_id"], r["score"]) for r in cosine_topk(vecs, 0, k=5).collect()]
+    ivf = [(r["vec_id"], r["score"]) for r in ann_ivf_topk(vecs, 0, k=5, n_lists=4, nprobe=4).collect()]
+    assert ivf == exact
+
+
 def test_lang_id(spark):
     from neural_search_spark.pipeline.textstats import lang_id
 
