@@ -26,6 +26,10 @@ from neural_search_spark.search.hybrid import hybrid_raw_sum, hybrid_search
 # fixed query texts (terms from the synthetic documents vocabulary)
 Q_MATCH = "table value spark"
 Q_TERM = "spark"
+Q_PHRASE = "part filter"
+Q_MULTI = "table src7"
+MULTI_MATCH_FIELDS = {"content": 1.0, "repo": 2.0}
+MULTI_MATCH_TIE = 0.3
 Q_FILTERED = "join merge hash"
 FILTER_PRED = "repo = 'src7'"
 HYBRID_CLAUSES = ("table value spark", "join merge hash window")
@@ -82,6 +86,25 @@ def q_bm25_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.term(Q_TERM), 10))
+
+
+def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase: postings-intersected candidates + positional verify."""
+    eng = _engine(spark, sf_dir)
+    return _round_score(topk(eng.match_phrase(Q_PHRASE), 10))
+
+
+def q_bm25_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields (DisMax) over content + boosted repo, each
+    field scored against its own df/avgdl statistics."""
+    from neural_search_spark.search.bm25 import multi_match_scores
+
+    eng = _engine(spark, sf_dir)
+    out = multi_match_scores(
+        spark, eng.corpus, MULTI_MATCH_FIELDS, Q_MULTI,
+        match_type="best_fields", tie_breaker=MULTI_MATCH_TIE,
+    )
+    return _round_score(topk(out, 10))
 
 
 def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +231,24 @@ def q_hybrid_neural_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = query_embedding_stub(NEURAL_QUERY)
     clauses = [eng.match(Q_MATCH), neural_clause_scores(emb, qv, k=HYBRID_DEPTH)]
     out = hybrid_search(clauses, "min_max", "arithmetic_mean", k=10, depth=HYBRID_DEPTH)
+    return _round_score(out)
+
+
+def q_hybrid_phrase_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase + match in one hybrid query: the positional clause's
+    sparse, high-scoring candidate set against a broad OR clause — another
+    heterogeneous-range pairing for normalize/combine. Phrase clause score
+    rounded to 6 dp at the clause boundary (both engines) like the
+    sparse/neural clauses."""
+    from neural_search_spark.pipeline import params as P
+
+    eng = _engine(spark, sf_dir)
+    phrase = eng.match_phrase(Q_PHRASE)
+    phrase = phrase.select("docID", P.round6(F.col("score")).alias("score"))
+    out = hybrid_search(
+        [phrase, eng.match(Q_MATCH)], "min_max", "arithmetic_mean",
+        k=10, depth=HYBRID_DEPTH,
+    )
     return _round_score(out)
 
 
@@ -691,6 +732,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.pipeline.ann import ann_quantized_topk
+
+    return ann_quantized_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("docID"), F.col("text").alias("content")
@@ -764,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_multi_match_topk": q_bm25_multi_match_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "doclen_quantized": q_doclen_quantized,
@@ -777,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_neural_dense": q_hybrid_neural_dense,
         "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
+        "hybrid_phrase_lex": q_hybrid_phrase_lex,
         "neural_topk": q_neural_topk,
         "rerank_ml": q_rerank_ml,
         "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
@@ -809,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -838,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "bm25_term_topk": osql.bm25_topk_sql([Q_TERM], k=10),
+        "bm25_phrase_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
+        "bm25_multi_match_topk": osql.multi_match_topk_sql(
+            MULTI_MATCH_FIELDS, tokenize_text(Q_MULTI),
+            match_type="best_fields", tie_breaker=MULTI_MATCH_TIE, k=10,
+        ),
         "bm25_filtered_topk": osql.bm25_topk_sql(
             tt(Q_FILTERED), k=10, doc_filter=FILTER_PRED
         ),
@@ -880,6 +936,15 @@ def oracle_sql() -> dict[str, str]:
             "min_max",
             "arithmetic_mean",
             weights=[0.5, 0.2, 0.3],
+            depth=HYBRID_DEPTH,
+        ),
+        "hybrid_phrase_lex": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "phrase", "terms": tt(Q_PHRASE)},
+                {"kind": "match", "terms": tt(Q_MATCH)},
+            ],
+            "min_max",
+            "arithmetic_mean",
             depth=HYBRID_DEPTH,
         ),
         "neural_topk": osql.neural_topk_sql(_neural_qv(), k=10, min_score=NEURAL_MIN_SCORE),
@@ -935,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": psql.ann_cosine_topk_sql(ANN_QUERY_ID, 10),
         "ann_lsh_topk": psql.ann_lsh_topk_sql(ANN_QUERY_ID, 10),
         "ann_ivf_topk": psql.ann_ivf_topk_sql(ANN_QUERY_ID, 10),
+        "ann_quantized_topk": psql.ann_quantized_topk_sql(ANN_QUERY_ID, 10),
         "text_token_counts": psql.text_token_counts_sql(),
         "text_lang_id": psql.text_lang_id_sql(),
         "text_quality": psql.text_quality_sql(),

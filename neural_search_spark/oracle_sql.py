@@ -88,6 +88,55 @@ LIMIT {k}
 """
 
 
+def match_phrase_topk_sql(
+    phrase_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Exact-phrase (slop 0) BM25 twin of
+    :func:`neural_search_spark.search.bm25.match_phrase_scores`:
+    phrase tf = adjacent-run count over the analyzed token array; query
+    weight = Σ idf over phrase positions (duplicates included)."""
+    m = len(phrase_terms)
+    dlq = quantize_length_sql("dls.dl")
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t.replace(chr(39), chr(39) * 2)}'"
+        for j, t in enumerate(phrase_terms)
+    )
+    pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
+    return f"""{_PRELUDE},
+toksa AS (
+    SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM corpus
+),
+pq AS (SELECT unnest([{pos_terms}]) AS term),
+nd AS (
+    SELECT tf.term, COUNT(*) AS ndoc
+    FROM tf JOIN (SELECT DISTINCT term FROM pq) d USING (term)
+    GROUP BY tf.term
+),
+qidf AS (
+    SELECT SUM(ln(1 + (s.n_docs - nd.ndoc + 0.5) / (nd.ndoc + 0.5))) AS w
+    FROM pq JOIN nd USING (term) CROSS JOIN stats s
+),
+ph AS (
+    SELECT docID, COUNT(*) AS ptf
+    FROM (SELECT docID, toks, unnest(generate_series(1, len(toks) - {m - 1})) AS i
+          FROM toksa WHERE len(toks) >= {m})
+    WHERE {conds}
+    GROUP BY docID
+)
+SELECT ph.docID AS docID,
+       ROUND(q.w * ph.ptf / (ph.ptf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs))), 4) AS score
+FROM ph
+JOIN dls ON ph.docID = dls.docID
+CROSS JOIN qidf q
+CROSS JOIN stats s
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def _clause_ctes(i: int, terms: list[str], k1: float, b: float, depth: int | None, doc_filter: str | None) -> str:
     dlq = quantize_length_sql("dls.dl")
     filt = (
@@ -192,6 +241,138 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+#: documents-view SQL expression for each multi_match-able corpus field
+#: (mirrors neural_search_spark.corpus.corpus_from_documents)
+MULTI_MATCH_FIELD_EXPRS = {
+    "content": "lower(text)",
+    "repo": "lower(source)",
+    "lang": "lower(lang)",
+}
+
+
+def multi_match_topk_sql(
+    fields: dict[str, float],
+    terms: list[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.bm25.multi_match_scores`:
+    per-field BM25 with per-field df/avgdl statistics, DisMax
+    (best_fields + tie_breaker) or sum (most_fields) combine."""
+    field_items = sorted(fields.items())
+    parts = []
+    for i, (fld, _) in enumerate(field_items):
+        expr = MULTI_MATCH_FIELD_EXPRS[fld]
+        dlq = quantize_length_sql(f"dlsf{i}.dl")
+        parts.append(f"""
+cf{i} AS (SELECT CAST(doc_id AS BIGINT) AS docID, {expr} AS t FROM documents),
+toksf{i} AS (
+    SELECT docID, unnest(regexp_extract_all(t, '{SQL_TOKEN_PATTERN}')) AS term FROM cf{i}
+),
+tff{i} AS (
+    SELECT docID, term, CAST(COUNT(*) AS INT) AS tf FROM toksf{i} GROUP BY docID, term
+),
+dlsf{i} AS (
+    SELECT c.docID, COALESCE(x.dl, 0) AS dl
+    FROM cf{i} c LEFT JOIN (SELECT docID, COUNT(*) AS dl FROM toksf{i} GROUP BY docID) x
+    ON c.docID = x.docID
+),
+statsf{i} AS (
+    SELECT (SELECT COUNT(*) FROM cf{i}) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(dl), 0) AS DOUBLE) FROM dlsf{i}) AS total
+),
+ndf{i} AS (
+    SELECT tff{i}.term, COUNT(*) AS ndoc FROM tff{i} JOIN q USING (term) GROUP BY tff{i}.term
+),
+scf{i} AS (
+    SELECT tff{i}.docID,
+           SUM(
+             ln(1 + (s.n_docs - ndf{i}.ndoc + 0.5) / (ndf{i}.ndoc + 0.5))
+             * tff{i}.tf / (tff{i}.tf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))
+           ) * {float(field_items[i][1])!r} AS fscore
+    FROM tff{i}
+    JOIN ndf{i} ON tff{i}.term = ndf{i}.term
+    JOIN dlsf{i} ON tff{i}.docID = dlsf{i}.docID
+    CROSS JOIN statsf{i} s
+    GROUP BY tff{i}.docID
+)""")
+    union = " UNION ALL ".join(f"SELECT docID, fscore FROM scf{i}" for i in range(len(field_items)))
+    if match_type == "best_fields":
+        score = f"mx + {float(tie_breaker)!r} * (sm - mx)"
+    elif match_type == "most_fields":
+        score = "sm"
+    else:
+        raise ValueError(f"unknown multi_match type {match_type}")
+    return f"""
+WITH q AS (SELECT unnest({_term_list(terms)}) AS term),
+{','.join(parts)},
+longf AS ({union}),
+aggf AS (SELECT docID, MAX(fscore) AS mx, SUM(fscore) AS sm FROM longf GROUP BY docID)
+SELECT docID, ROUND({score}, 4) AS score
+FROM aggf
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def _phrase_clause_ctes(
+    i: int, phrase_terms: list[str], k1: float, b: float, depth: int | None, doc_filter: str | None
+) -> str:
+    """match_phrase clause (slop 0) — same formula as
+    :func:`match_phrase_topk_sql`, clause score rounded to 6 dp at the
+    clause boundary (like sparse/neural) so normalization stats are
+    computed over bit-identical values on both engines."""
+    m = len(phrase_terms)
+    dlq = quantize_length_sql("dls.dl")
+    conds = " AND ".join(
+        f"toks[p+{j}] = '{t.replace(chr(39), chr(39) * 2)}'"
+        for j, t in enumerate(phrase_terms)
+    )
+    pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
+    filt = (
+        f"AND ph{i}.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    score = round6_sql(
+        f"q.w * ph{i}.ptf / (ph{i}.ptf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))"
+    )
+    return f"""
+toksa{i} AS (
+    SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM corpus
+),
+pq{i} AS (SELECT unnest([{pos_terms}]) AS term),
+nd{i} AS (
+    SELECT tf.term, COUNT(*) AS ndoc
+    FROM tf JOIN (SELECT DISTINCT term FROM pq{i}) d USING (term)
+    GROUP BY tf.term
+),
+qidf{i} AS (
+    SELECT SUM(ln(1 + (s.n_docs - nd{i}.ndoc + 0.5) / (nd{i}.ndoc + 0.5))) AS w
+    FROM pq{i} JOIN nd{i} USING (term) CROSS JOIN stats s
+),
+ph{i} AS (
+    SELECT docID, COUNT(*) AS ptf
+    FROM (SELECT docID, toks, unnest(generate_series(1, len(toks) - {m - 1})) AS p
+          FROM toksa{i} WHERE len(toks) >= {m})
+    WHERE {conds}
+    GROUP BY docID
+),
+sc{i} AS (
+    SELECT ph{i}.docID, {score} AS score
+    FROM ph{i}
+    JOIN dls ON ph{i}.docID = dls.docID
+    CROSS JOIN qidf{i} q
+    CROSS JOIN stats s
+    WHERE 1=1 {filt}
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
 def _mixed_clause_ctes(
     i: int, spec: dict, k1: float, b: float, depth: int | None, doc_filter: str | None
 ) -> str:
@@ -202,6 +383,8 @@ def _mixed_clause_ctes(
         return _neural_clause_ctes(i, spec["qvec"], depth, doc_filter)
     if kind == "sparse":
         return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
+    if kind == "phrase":
+        return _phrase_clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
     raise ValueError(f"unknown clause kind {kind}")
 
 

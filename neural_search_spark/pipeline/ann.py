@@ -201,6 +201,65 @@ def ann_ivf_topk(
     )
 
 
+def quantization_stats(emb: DataFrame, vec_col: str = "embedding") -> tuple[float, float]:
+    """Global (min, max) over every embedding component — the int8 scalar-
+    quantization interval (Lucene's scalar quantizer uses a global
+    confidence interval the same way). Two exact extremes, no sums → the
+    values are bit-identical across engines. One scan, 1-row result."""
+    row = emb.agg(
+        F.min(F.array_min(F.col(vec_col))).alias("mn"),
+        F.max(F.array_max(F.col(vec_col))).alias("mx"),
+    ).collect()[0]
+    return float(row["mn"]), float(row["mx"])
+
+
+def quantize_int8(
+    emb: DataFrame,
+    mn: float,
+    mx: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qvec array<int>): each component mapped to an int bucket
+    0..255 via floor((v - mn)/scale + 0.5) — byte storage, 4× smaller than
+    float32 at rest. Pure column expressions (transform), codegen-friendly."""
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x.cast("double") - F.lit(mn)) / F.lit(scale) + F.lit(0.5)).cast("int"),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), q.alias("qvec"))
+
+
+def ann_quantized_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = P.ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over int8-DEQUANTIZED vectors (both sides pass
+    through the same quantizer, query included) — the fidelity contract of
+    byte-compressed vector search, oracle-checkable bit-for-bit. At 100 TB
+    the qvec column is materialized at ingest; this query is one scan of
+    the byte table + TakeOrderedAndProject, no shuffle."""
+    mn, mx = quantization_stats(emb, vec_col)
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+    qt = quantize_int8(emb, mn, mx, id_col, vec_col)
+    deq = F.transform(
+        F.col("qvec"), lambda x: F.lit(mn) + x.cast("double") * F.lit(scale)
+    )
+    d = qt.select("vec_id", deq.alias("v"))
+    q = d.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    return (
+        d.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_id: int,

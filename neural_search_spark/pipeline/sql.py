@@ -292,6 +292,45 @@ LIMIT {k}
 """
 
 
+def ann_quantized_topk_sql(query_id: int, k: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.ann.ann_quantized_topk`:
+    global-interval int8 quantize → dequantize → exact cosine. The
+    (min, max) extremes involve no summation, so both engines quantize
+    with bit-identical parameters."""
+    dot = P.pairwise_dot_sql("d.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    na = P.pairwise_dot_sql("d.v", "d.v", P.EMBEDDING_DIM, one_based=True)
+    nb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    score_expr = P.round4_sql(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+st AS (
+    SELECT CAST(MIN(list_min(v)) AS DOUBLE) AS mn,
+           CAST(MAX(list_max(v)) AS DOUBLE) AS mx
+    FROM e
+),
+sc AS (
+    SELECT mn, mx,
+           CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+    FROM st
+),
+qt AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor((CAST(x AS DOUBLE) - s.mn) / s.scale + 0.5) AS INT)) AS qv
+    FROM e, sc s
+),
+d AS (
+    SELECT vec_id, list_transform(qv, x -> s.mn + CAST(x AS DOUBLE) * s.scale) AS v
+    FROM qt, sc s
+),
+q AS (SELECT v AS qv FROM d WHERE vec_id = {query_id})
+SELECT d.vec_id AS vec_id, {score_expr} AS score
+FROM d, q
+WHERE d.vec_id != {query_id}
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def ann_lsh_topk_sql(query_id: int, k: int) -> str:
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)

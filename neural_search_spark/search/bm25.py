@@ -34,7 +34,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from neural_search_spark.analysis.tokenizer import term_freq_rows, tokenize_text, term_freqs_udf
+from neural_search_spark.analysis.tokenizer import (
+    TOKEN_PATTERN,
+    term_freq_rows,
+    term_freqs_udf,
+    tokenize_text,
+)
 
 K1 = 1.2
 B = 0.75
@@ -121,6 +126,152 @@ def bm25_clause_scores(
     return matched.groupBy("docID").agg(F.sum(term_score).alias("score"))
 
 
+def phrase_freq_col(toks_col, terms: list[str]):
+    """Exact-phrase frequency (slop 0) over an analyzed token-array column:
+    the number of positions i where ``toks[i..i+m-1] == terms``. Runs as a
+    higher-order-function expression (sequence/filter/element_at) — fully
+    JVM-side, inside whole-stage codegen. The ``size >= m`` guard matters:
+    Spark's ``sequence(1, 0)`` counts *down*, unlike DuckDB's empty range."""
+    m = len(terms)
+    positions = F.sequence(F.lit(1), F.size(toks_col) - (m - 1))
+
+    def _match_at(i):
+        cond = F.element_at(toks_col, i) == F.lit(terms[0])
+        for j, t in enumerate(terms[1:], start=1):
+            cond = cond & (F.element_at(toks_col, i + j) == F.lit(t))
+        return cond
+
+    return F.when(
+        F.size(toks_col) >= m, F.size(F.filter(positions, _match_at))
+    ).otherwise(F.lit(0))
+
+
+def match_phrase_scores(
+    spark,
+    corpus: DataFrame,
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: CorpusStats,
+    phrase: str,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """``match_phrase`` query → (docID, score), Lucene ``PhraseQuery`` BM25:
+
+        score = (Σ_j idf(term_j)) * ptf / (ptf + k1·(1 − b + b·dlq/avgdl))
+
+    where ``ptf`` is the exact-phrase frequency and the idf sum runs over
+    the phrase's terms *in order, duplicates included* (Lucene
+    ``PhraseWeight`` builds one ``TermStatistics`` per phrase position).
+    Only docs with ``ptf > 0`` match.
+
+    Plan = Lucene's two-step exact-phrase strategy, Spark-shaped:
+    1. **postings intersection** — docs containing ALL distinct terms
+       (broadcast the tiny term list into the postings scan, one groupBy
+       over candidate rows only). At 10^12 files this is the index path:
+       nothing but rows for the phrase's terms ever moves.
+    2. **positional verify** — re-analyze ONLY the intersected docs
+       (semi-join pushed into the corpus scan) and count adjacent runs
+       with a codegen higher-order function. The corpus-wide tokenize
+       never happens; candidate cardinality is bounded by the rarest
+       term's document frequency.
+    """
+    terms = tokenize_text(phrase)
+    if not terms:
+        return spark.range(0).select(F.col("id").alias("docID"), F.lit(0.0).alias("score"))
+    distinct_terms = sorted(set(terms))
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in distinct_terms], "term string")
+    )
+    matched = postings.join(qt, "term")
+    # index-wide document frequency per distinct term (Lucene stats are
+    # filter/candidate-independent)
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("ndoc"))
+    # phrase idf: one row per phrase POSITION joined to its term's ndoc
+    pos_df = F.broadcast(
+        spark.createDataFrame(list(enumerate(terms)), "pos int, term string")
+    )
+    qidf = (
+        pos_df.join(F.broadcast(dfreq), "term")
+        .agg(F.sum(idf_col(stats.n_docs, F.col("ndoc"))).alias("qidf"))
+    )
+    # conjunctive candidates: every distinct term present
+    cand = (
+        matched.groupBy("docID")
+        .agg(F.count("*").alias("nt"))
+        .where(F.col("nt") == len(distinct_terms))
+        .select("docID")
+    )
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    )
+    verified = (
+        corpus.join(cand, corpus[id_col] == cand["docID"], "left_semi")
+        .select(F.col(id_col).alias("docID"), phrase_freq_col(toks, terms).alias("ptf"))
+        .where(F.col("ptf") > 0)
+    )
+    avgdl = F.lit(stats.avgdl)
+    ptf = F.col("ptf").cast("double")
+    tf_norm = ptf / (ptf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl))
+    return (
+        verified.join(doclens, "docID")
+        .crossJoin(F.broadcast(qidf))
+        .select("docID", (F.col("qidf") * tf_norm).alias("score"))
+    )
+
+
+def multi_match_scores(
+    spark,
+    corpus: DataFrame,
+    fields: dict[str, float],
+    query_text: str,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "docID",
+) -> DataFrame:
+    """``multi_match`` query over several text fields → (docID, score).
+
+    Lucene semantics (the reference inherits OpenSearch core's
+    ``MultiMatchQueryBuilder``; each field is its own index with its own
+    df/avgdl statistics):
+
+    - ``best_fields`` (DisMax): score = max_f + tie_breaker · Σ(other f)
+    - ``most_fields``: score = Σ_f field_score
+
+    ``fields`` maps field name → boost (multiplies that field's BM25
+    score). Scale shape: one postings derivation per field — at 100 TB
+    these are per-field persisted indexes, and the combine is a single
+    groupBy over the per-field candidate rows only (never the corpus).
+    """
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type {match_type}")
+    terms = tokenize_text(query_text)
+    per_field = []
+    for fld, boost in sorted(fields.items()):
+        postings = term_freq_rows(corpus, fld, id_col)
+        doclens = quantized_doc_lengths(corpus, fld, id_col)
+        stats = corpus_stats_from_doclens(doclens)
+        sc = bm25_clause_scores(spark, postings, doclens, stats, terms, k1=k1, b=b)
+        per_field.append(
+            sc.select("docID", (F.col("score") * F.lit(float(boost))).alias("fscore"))
+        )
+    long = per_field[0]
+    for df in per_field[1:]:
+        long = long.unionByName(df)
+    agg = long.groupBy("docID").agg(
+        F.max("fscore").alias("mx"), F.sum("fscore").alias("sm")
+    )
+    if match_type == "best_fields":
+        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+    else:
+        score = F.col("sm")
+    return agg.select("docID", score.alias("score"))
+
+
 def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     """Reference final cut: score desc, docID asc tie-break
     (``ScoreCombiner.java:43-56,204-209``)."""
@@ -184,6 +335,16 @@ class BM25Engine:
         _stats.record_event("term_query_requests")
         return bm25_clause_scores(
             self.spark, self.postings, self.doclens, self.stats, [term], k1=k1, b=b
+        )
+
+    def match_phrase(self, phrase: str, k1: float = K1, b: float = B) -> DataFrame:
+        """``match_phrase`` query: exact adjacent-run phrase (slop 0)."""
+        from neural_search_spark import stats as _stats
+
+        _stats.record_event("match_phrase_query_requests")
+        return match_phrase_scores(
+            self.spark, self.corpus, self.postings, self.doclens, self.stats,
+            phrase, k1=k1, b=b, text_col=self.text_col, id_col=self.id_col,
         )
 
     def match_topk(self, query_text: str, k: int = 10) -> DataFrame:

@@ -58,3 +58,94 @@ def test_sha256_invariant(tiny_corpus):
     from neural_search_spark.corpus import assert_sha256_invariant
 
     assert_sha256_invariant(tiny_corpus)
+
+
+def _phrase_oracle_scores(docs: dict[int, str], phrase_terms: list[str], oracle) -> dict[int, float]:
+    """Pure-Python match_phrase oracle: overlapping adjacent-run count,
+    query weight = sum of per-position idf (duplicates included)."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+    from neural_search_spark.index.smallfloat import quantize_length
+
+    m = len(phrase_terms)
+    qidf = sum(float(oracle.idf(t)) for t in phrase_terms)
+    out = {}
+    for doc_id, text in docs.items():
+        toks = tokenize_text(text)
+        ptf = sum(1 for i in range(len(toks) - m + 1) if toks[i:i + m] == phrase_terms)
+        if not ptf:
+            continue
+        dlq = float(quantize_length(len(toks)))
+        out[doc_id] = qidf * ptf / (ptf + 1.2 * (1 - 0.75 + 0.75 * dlq / float(oracle.avgdl)))
+    return out
+
+
+def test_match_phrase_matches_python_oracle(spark, engine, oracle, tiny_corpus_pdf):
+    docs = dict(zip(tiny_corpus_pdf["docID"], tiny_corpus_pdf["content"]))
+    # pick a bigram that actually occurs in the corpus
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    toks0 = tokenize_text(next(iter(docs.values())))
+    phrase = f"{toks0[0]} {toks0[1]}"
+    got = {r["docID"]: r["score"] for r in engine.match_phrase(phrase).collect()}
+    want = _phrase_oracle_scores(docs, tokenize_text(phrase), oracle)
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) <= 1e-3
+
+
+def test_match_phrase_requires_adjacency(spark):
+    from neural_search_spark.search.bm25 import BM25Engine
+
+    rows = [
+        (0, "alpha beta gamma"),       # phrase hit
+        (1, "alpha gamma beta"),       # both terms, not adjacent
+        (2, "beta alpha"),             # wrong order
+        (3, "alpha beta alpha beta"),  # two hits
+    ]
+    eng = BM25Engine(spark, spark.createDataFrame(rows, "docID long, content string"))
+    got = {r["docID"] for r in eng.match_phrase("alpha beta").collect()}
+    assert got == {0, 3}
+
+
+def test_match_phrase_overlapping_occurrences(spark):
+    from neural_search_spark.search.bm25 import BM25Engine, phrase_freq_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, ["a", "a", "a"]), (1, ["a"]), (2, [])], "docID long, toks array<string>")
+    got = {r["docID"]: r["ptf"] for r in df.select("docID", phrase_freq_col(F.col("toks"), ["a", "a"]).alias("ptf")).collect()}
+    assert got == {0: 2, 1: 0, 2: 0}
+
+
+def test_multi_match_best_vs_most_fields(spark):
+    from neural_search_spark.search.bm25 import multi_match_scores
+
+    rows = [
+        (0, "alpha beta", "alpha"),   # matches both fields
+        (1, "alpha beta", "zzz"),     # content only
+        (2, "zzz yyy", "alpha"),      # title only
+        (3, "qqq", "rrr"),            # no match
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string, title string")
+    fields = {"content": 1.0, "title": 2.0}
+    best = {r["docID"]: r["score"] for r in multi_match_scores(
+        spark, df, fields, "alpha", match_type="best_fields", tie_breaker=0.0).collect()}
+    most = {r["docID"]: r["score"] for r in multi_match_scores(
+        spark, df, fields, "alpha", match_type="most_fields").collect()}
+    assert set(best) == set(most) == {0, 1, 2}
+    # single-field docs: identical under both types
+    assert best[1] == most[1] and best[2] == most[2]
+    # both-field doc: most_fields sums, best_fields takes the max
+    assert most[0] > best[0]
+    assert best[0] == max(most[0] - best[0], best[0])  # max component
+    # tie_breaker interpolates between the two
+    half = {r["docID"]: r["score"] for r in multi_match_scores(
+        spark, df, fields, "alpha", match_type="best_fields", tie_breaker=1.0).collect()}
+    assert abs(half[0] - most[0]) < 1e-12
+
+
+def test_multi_match_rejects_unknown_type(spark):
+    from neural_search_spark.search.bm25 import multi_match_scores
+
+    df = spark.createDataFrame([(0, "a", "b")], "docID long, content string, title string")
+    with pytest.raises(ValueError):
+        multi_match_scores(spark, df, {"content": 1.0}, "a", match_type="cross_fields")

@@ -335,3 +335,25 @@ def test_text_image_embedding_joint_norm(spark):
     # doc 2 (no tokens): image dims only, still unit-normalized
     assert set(by_doc[2]) == {8, 9, 10, 11}
     assert sum(v * v for v in by_doc[2].values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_quantize_int8_range_and_error_bound(vecs):
+    from neural_search_spark.pipeline.ann import quantization_stats, quantize_int8
+
+    mn, mx = quantization_stats(vecs)
+    scale = (mx - mn) / 255.0
+    qt = {r["vec_id"]: r["qvec"] for r in quantize_int8(vecs, mn, mx).collect()}
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for vid, qv in qt.items():
+        assert all(0 <= q <= 255 for q in qv)
+        for q, v in zip(qv, raw[vid]):
+            assert abs((mn + q * scale) - float(v)) <= scale / 2 + 1e-12
+
+
+def test_ann_quantized_topk_tracks_exact(vecs):
+    from neural_search_spark.pipeline.ann import ann_quantized_topk, cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(vecs, 0, k=5).collect()]
+    quant = [r["vec_id"] for r in ann_quantized_topk(vecs, 0, k=5).collect()]
+    # 8-bit quantization over random gaussians: top-5 overlap must be high
+    assert len(set(exact) & set(quant)) >= 4
