@@ -28,6 +28,9 @@ Q_MATCH = "table value spark"
 Q_TERM = "spark"
 Q_PHRASE = "part filter"
 Q_MULTI = "table src7"
+BOOL_MUST = "table value"
+BOOL_SHOULD = ["join merge", "window sort"]
+BOOL_MUST_NOT = "slow"
 MULTI_MATCH_FIELDS = {"content": 1.0, "repo": 2.0}
 MULTI_MATCH_TIE = 0.3
 Q_FILTERED = "join merge hash"
@@ -92,6 +95,21 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase: postings-intersected candidates + positional verify."""
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match_phrase(Q_PHRASE), 10))
+
+
+def q_bool_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool query: must + should (minimum_should_match=1) + must_not, score
+    = Σ must + Σ matching should, membership-only exclusion."""
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    eng = _engine(spark, sf_dir)
+    out = bool_query_scores(
+        must=[eng.match(BOOL_MUST)],
+        should=[eng.match(q) for q in BOOL_SHOULD],
+        must_not=[eng.match(BOOL_MUST_NOT)],
+        minimum_should_match=1,
+    )
+    return _round_score(topk(out, 10))
 
 
 def q_bm25_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_topk": q_bm25_term_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_multi_match_topk": q_bm25_multi_match_topk,
+        "bool_query_topk": q_bool_query_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "doclen_quantized": q_doclen_quantized,
@@ -890,6 +909,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "bm25_term_topk": osql.bm25_topk_sql([Q_TERM], k=10),
         "bm25_phrase_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
+        "bool_query_topk": osql.bool_topk_sql(
+            [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
+            minimum_should_match=1, k=10,
+        ),
         "bm25_multi_match_topk": osql.multi_match_topk_sql(
             MULTI_MATCH_FIELDS, tokenize_text(Q_MULTI),
             match_type="best_fields", tie_breaker=MULTI_MATCH_TIE, k=10,

@@ -241,6 +241,67 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def bool_topk_sql(
+    must_terms: list[list[str]],
+    should_terms: list[list[str]] | None = None,
+    must_not_terms: list[list[str]] | None = None,
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.bm25.bool_query_scores`
+    (lexical clauses): must = inner joins, should = left/full joins with
+    zero-fill, must_not = NOT IN, score added in the same written order."""
+    should_terms = should_terms or []
+    must_not_terms = must_not_terms or []
+    nm, ns = len(must_terms), len(should_terms)
+    if minimum_should_match is None:
+        minimum_should_match = 0 if must_terms else 1
+    all_clauses = list(must_terms) + list(should_terms) + list(must_not_terms)
+    ctes = ",".join(
+        _clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(all_clauses)
+    )
+    cols = [f"cut{i}.score AS m{i}" for i in range(nm)] + [
+        f"cut{nm + j}.score AS s{j}" for j in range(ns)
+    ]
+    if nm:
+        joins = ["cut0"]
+        joins += [f"JOIN cut{i} USING (docID)" for i in range(1, nm)]
+        joins += [f"LEFT JOIN cut{nm + j} USING (docID)" for j in range(ns)]
+    else:
+        joins = ["cut0"]
+        joins += [f"FULL JOIN cut{j} USING (docID)" for j in range(1, ns)]
+    msm_pred = ""
+    if ns and minimum_should_match > 0:
+        cnt = " + ".join(
+            f"(CASE WHEN cut{nm + j}.score IS NOT NULL THEN 1 ELSE 0 END)"
+            for j in range(ns)
+        )
+        msm_pred = f"WHERE {cnt} >= {minimum_should_match}"
+    score_terms = [f"m{i}" for i in range(nm)] + [
+        f"COALESCE(s{j}, 0.0)" for j in range(ns)
+    ]
+    score = " + ".join(score_terms)
+    not_in = " AND ".join(
+        f"docID NOT IN (SELECT docID FROM cut{nm + ns + l})"
+        for l in range(len(must_not_terms))
+    )
+    where_not = f"WHERE {not_in}" if not_in else ""
+    return f"""{_PRELUDE},{ctes},
+base AS (
+    SELECT docID, {', '.join(cols)}
+    FROM {' '.join(joins)}
+    {msm_pred}
+)
+SELECT docID, ROUND({score}, 4) AS score
+FROM base
+{where_not}
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 #: documents-view SQL expression for each multi_match-able corpus field
 #: (mirrors neural_search_spark.corpus.corpus_from_documents)
 MULTI_MATCH_FIELD_EXPRS = {

@@ -272,6 +272,68 @@ def multi_match_scores(
     return agg.select("docID", score.alias("score"))
 
 
+def bool_query_scores(
+    must: list[DataFrame] | tuple = (),
+    should: list[DataFrame] | tuple = (),
+    must_not: list[DataFrame] | tuple = (),
+    filter_docs: DataFrame | None = None,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """Lucene ``bool`` query composition over (docID, score) clause frames.
+
+    Semantics (OpenSearch core ``BoolQueryBuilder``, inherited by the
+    reference's bool-wrapped hybrid filters — ``search/spec.py`` unwraps
+    the single-MUST case; this is the general scorer):
+
+    - a doc matches iff it matches every ``must`` clause AND at least
+      ``minimum_should_match`` of the ``should`` clauses (default 1 when
+      there are no must/filter clauses, else 0) AND no ``must_not`` clause
+    - score = Σ must scores + Σ *matching* should scores
+    - ``filter_docs`` / ``must_not`` are membership-only (never scored)
+
+    The additions are laid out in a fixed written order (must first, then
+    zero-filled should) so both engines sum left-associated over identical
+    doubles. Plan shape: a chain of docID equi-joins over per-clause
+    candidate sets — each clause is already top-k-free but term-pruned, so
+    the join inputs are candidate-sized, never corpus-sized; must_not is a
+    broadcast-able anti-join.
+    """
+    must, should, must_not = list(must), list(should), list(must_not)
+    if not must and not should:
+        raise ValueError("bool query needs at least one must or should clause")
+    base = None
+    for i, df in enumerate(must):
+        m = df.select("docID", F.col("score").alias(f"m{i}"))
+        base = m if base is None else base.join(m, "docID")
+    for j, df in enumerate(should):
+        s = df.select("docID", F.col("score").alias(f"s{j}"))
+        if base is None:
+            base = s
+        else:
+            base = base.join(s, "docID", "left" if must else "full")
+    if minimum_should_match is None:
+        minimum_should_match = 0 if (must or filter_docs is not None) else 1
+    if should and minimum_should_match > 0:
+        matched = None
+        for j in range(len(should)):
+            c = F.when(F.col(f"s{j}").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            matched = c if matched is None else matched + c
+        base = base.where(matched >= F.lit(minimum_should_match))
+    score = None
+    for i in range(len(must)):
+        c = F.col(f"m{i}")
+        score = c if score is None else score + c
+    for j in range(len(should)):
+        c = F.coalesce(F.col(f"s{j}"), F.lit(0.0))
+        score = c if score is None else score + c
+    out = base.select("docID", score.alias("score"))
+    if filter_docs is not None:
+        out = out.join(filter_docs.select("docID"), "docID", "semi")
+    for df in must_not:
+        out = out.join(df.select("docID"), "docID", "left_anti")
+    return out
+
+
 def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     """Reference final cut: score desc, docID asc tie-break
     (``ScoreCombiner.java:43-56,204-209``)."""

@@ -311,6 +311,15 @@ def hybrid_search(
     lbs = lower_bounds or [None] * len(clause_scores)
     ubs = upper_bounds or [None] * len(clause_scores)
     cut = [clause_depth_cut(df, depth) for df in clause_scores]
+    if depth is not None:
+        # every normalization technique references its clause twice (the
+        # 1-row stats aggregate + the broadcast-joined rescore), so an
+        # uncached clause plan executes twice end-to-end — ruinous when the
+        # clause itself is expensive (phrase verify, on-the-fly embedding).
+        # The depth cut bounds the cached footprint to <= depth rows per
+        # clause, so this is a guaranteed-tiny materialization, never a
+        # corpus-sized one.
+        cut = [df.cache() for df in cut]
     normalized = [
         normalize_clause(df, normalization, rank_constant, lower_bound=lb, upper_bound=ub)
         for df, lb, ub in zip(cut, lbs, ubs)

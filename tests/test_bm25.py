@@ -149,3 +149,56 @@ def test_multi_match_rejects_unknown_type(spark):
     df = spark.createDataFrame([(0, "a", "b")], "docID long, content string, title string")
     with pytest.raises(ValueError):
         multi_match_scores(spark, df, {"content": 1.0}, "a", match_type="cross_fields")
+
+
+@pytest.fixture()
+def bool_engine(spark):
+    from neural_search_spark.search.bm25 import BM25Engine
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha gamma"),
+        (3, "beta gamma"),
+        (4, "alpha beta gamma delta"),
+    ]
+    return BM25Engine(spark, spark.createDataFrame(rows, "docID long, content string"))
+
+
+def test_bool_must_and_should_scoring(spark, bool_engine):
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    eng = bool_engine
+    out = {r["docID"]: r["score"] for r in bool_query_scores(
+        must=[eng.match("alpha")], should=[eng.match("gamma")]).collect()}
+    # membership = must matches only (msm defaults to 0 with a must clause)
+    assert set(out) == {0, 1, 2, 4}
+    alpha = {r["docID"]: r["score"] for r in eng.match("alpha").collect()}
+    gamma = {r["docID"]: r["score"] for r in eng.match("gamma").collect()}
+    for d in out:
+        assert abs(out[d] - (alpha[d] + gamma.get(d, 0.0))) < 1e-12
+
+
+def test_bool_minimum_should_match_and_must_not(spark, bool_engine):
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    eng = bool_engine
+    # pure-should: msm defaults to 1 -> union of clause matches
+    union = {r["docID"] for r in bool_query_scores(
+        should=[eng.match("alpha"), eng.match("beta")]).collect()}
+    assert union == {0, 1, 2, 3, 4}
+    # msm=2 -> docs matching both shoulds
+    both = {r["docID"] for r in bool_query_scores(
+        should=[eng.match("alpha"), eng.match("beta")], minimum_should_match=2).collect()}
+    assert both == {0, 1, 4}
+    # must_not excludes
+    got = {r["docID"] for r in bool_query_scores(
+        must=[eng.match("alpha")], must_not=[eng.match("delta")]).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_bool_requires_a_scoring_clause(spark, bool_engine):
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    with pytest.raises(ValueError):
+        bool_query_scores(must_not=[bool_engine.match("alpha")])

@@ -101,3 +101,51 @@ def test_upsert_never_removes(spark, tmp_path):
 
     with open(os.path.join(d, "stats.json")) as f:
         assert json.load(f)["n_docs"] == 61
+
+
+def test_windowed_doc_stats_watermark(spark, tmp_path):
+    """Append-mode windowed stats: watermark-passed windows emit exactly
+    once; a late event behind the watermark is dropped."""
+    from datetime import datetime
+
+    from neural_search_spark.streaming.analytics import start_windowed_doc_stats
+
+    stream_dir = str(tmp_path / "evt")
+    ckpt = str(tmp_path / "evt_ckpt")
+    out_dir = str(tmp_path / "evt_out")
+    os.makedirs(stream_dir)
+    schema = "event_time timestamp, docID long, content string"
+
+    def t(mm, ss):
+        return datetime(2026, 1, 1, 10, mm, ss)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        q = start_windowed_doc_stats(stream, ckpt, output_dir=out_dir)
+        q.awaitTermination(120)
+
+    def emitted():
+        return {
+            r["window_start"].minute: (r["n_docs"], r["total_tokens"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    b1 = [
+        (t(0, 10), 1, "alpha beta gamma"),      # window 10:00
+        (t(0, 40), 2, "alpha beta"),            # window 10:00
+        (t(1, 10), 3, "one two three four"),    # window 10:01
+        (t(9, 0), 4, "late watermark driver"),  # advances watermark past 10:01
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(stream_dir)
+    drain()
+    rows = emitted()
+    assert rows[0] == (2, 5)
+    assert rows[1] == (1, 4)
+    assert 9 not in rows  # newest window not yet past the watermark
+
+    # micro-batch 2: an event far behind the watermark -> dropped (the
+    # checkpoint carries the watermark across the restart)
+    b2 = [(t(0, 50), 5, "too late to count")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(stream_dir)
+    drain()
+    assert emitted() == rows  # nothing new emitted, late event discarded
