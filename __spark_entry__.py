@@ -28,6 +28,9 @@ Q_MATCH = "table value spark"
 Q_TERM = "spark"
 Q_PHRASE = "part filter"
 Q_MULTI = "table src7"
+SPAN_SLOP = 1
+PREFIX_Q = "tab"
+FUZZY_Q = "tabl"
 BOOL_MUST = "table value"
 BOOL_SHOULD = ["join merge", "window sort"]
 BOOL_MUST_NOT = "slow"
@@ -95,6 +98,63 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase: postings-intersected candidates + positional verify."""
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match_phrase(Q_PHRASE), 10))
+
+
+_POS_INDEXES: dict = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str):
+    """Positional postings table per (session, corpus), built once under
+    /tmp — the index-backed phrase path (term-hash bucket pruning)."""
+    import hashlib
+    import os
+
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+
+    key = (id(spark), sf_dir)
+    if key not in _POS_INDEXES:
+        eng = _engine(spark, sf_dir)
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        d = os.path.join("/tmp", f"nss_positions_{tag}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            build_positions(spark, eng.corpus, d)
+        _POS_INDEXES[key] = PositionalIndex(spark, d, eng.doclens, eng.stats)
+    return _POS_INDEXES[key]
+
+
+def q_bm25_phrase_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query through the positional postings table — must be
+    rank- and score-identical to the scan path, so it shares
+    bm25_phrase_topk's oracle (like bm25_wand_topk vs bm25_match_topk)."""
+    pidx = _pos_index(spark, sf_dir)
+    return _round_score(pidx.match_phrase_topk(Q_PHRASE, k=10))
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix query, CONSTANT_SCORE rewrite: score 1.0, docID-asc cut."""
+    from neural_search_spark.search.bm25 import prefix_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return prefix_query_scores(eng, PREFIX_Q).orderBy(F.asc("docID")).limit(10)
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy query (Levenshtein <= 1, prefix_length=1), constant score."""
+    from neural_search_spark.search.bm25 import fuzzy_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return (
+        fuzzy_query_scores(eng, FUZZY_Q, max_edits=1, prefix_length=1)
+        .orderBy(F.asc("docID"))
+        .limit(10)
+    )
+
+
+def q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-order proximity (span_near analog) on the positional index:
+    per-gap slop=1, frequency = distinct reachable end positions."""
+    pidx = _pos_index(spark, sf_dir)
+    return _round_score(topk(pidx.span_near(Q_PHRASE, slop=SPAN_SLOP), 10))
 
 
 def q_bool_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,10 +804,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+_IVF_ARTIFACTS: dict = {}
+
+
+def _ivf_artifacts(spark: SparkSession, sf_dir: str):
+    """Ingest-time IVF artifacts per (session, corpus): centroids trained
+    and list assignment materialized once; queries only probe."""
+    from neural_search_spark.pipeline.ann import ivf_assign, ivf_centroids
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_ARTIFACTS:
+        emb = _embeddings(spark, sf_dir)
+        cents = ivf_centroids(emb).cache()
+        assigned = ivf_assign(emb, cents).cache()
+        assigned.count()
+        _IVF_ARTIFACTS[key] = (cents, assigned)
+    return _IVF_ARTIFACTS[key]
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.pipeline.ann import ann_ivf_topk
 
-    return ann_ivf_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
+    cents, assigned = _ivf_artifacts(spark, sf_dir)
+    return ann_ivf_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_ID, k=10,
+        centroids=cents, assigned=assigned,
+    )
 
 
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,6 +913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_topk": q_bm25_term_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_multi_match_topk": q_bm25_multi_match_topk,
+        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
+        "span_near_topk": q_span_near_topk,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
         "bool_query_topk": q_bool_query_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
@@ -909,6 +995,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "bm25_term_topk": osql.bm25_topk_sql([Q_TERM], k=10),
         "bm25_phrase_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
+        "bm25_phrase_indexed_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
+        "span_near_topk": osql.span_near_topk_sql(tokenize_text(Q_PHRASE), slop=SPAN_SLOP, k=10),
+        "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
+        "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "bool_query_topk": osql.bool_topk_sql(
             [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
             minimum_should_match=1, k=10,

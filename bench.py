@@ -35,6 +35,8 @@ def main() -> None:
     eng.postings.count()
     _ = eng.stats
     entry_mod._index(spark, sf_dir)  # compressed block-max index (WAND path)
+    entry_mod._pos_index(spark, sf_dir)  # positional postings (phrase path)
+    entry_mod._ivf_artifacts(spark, sf_dir)  # IVF centroids + list assignment
     index_build = time.perf_counter() - t_idx0
 
     qmap = entry_mod.queries()

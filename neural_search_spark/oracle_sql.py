@@ -241,6 +241,97 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def prefix_topk_sql(prefix: str, k: int = 10) -> str:
+    """Constant-score prefix query: docs containing any term with the
+    prefix score 1.0; top-k by docID asc (the deterministic tie-break)."""
+    p = prefix.lower().replace("'", "''")
+    return f"""{_PRELUDE}
+SELECT DISTINCT docID, 1.0 AS score
+FROM tf
+WHERE starts_with(term, '{p}')
+ORDER BY docID
+LIMIT {k}
+"""
+
+
+def fuzzy_topk_sql(term: str, max_edits: int = 1, prefix_length: int = 0, k: int = 10) -> str:
+    """Constant-score fuzzy query: docs containing any term within
+    ``max_edits`` Levenshtein edits (sharing ``prefix_length`` chars)."""
+    t = term.lower().replace("'", "''")
+    pre = (
+        f"starts_with(term, '{t[:prefix_length]}') AND " if prefix_length > 0 else ""
+    )
+    return f"""{_PRELUDE}
+SELECT DISTINCT docID, 1.0 AS score
+FROM tf
+WHERE {pre}levenshtein(term, '{t}') <= {max_edits}
+ORDER BY docID
+LIMIT {k}
+"""
+
+
+def span_near_topk_sql(
+    phrase_terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :meth:`neural_search_spark.index.positions.PositionalIndex.span_near`:
+    in-order proximity with per-gap slop, frequency = distinct reachable
+    end positions, phrase BM25 formula."""
+    distinct_terms = sorted(set(phrase_terms))
+    dlq = quantize_length_sql("dls.dl")
+    idx = {t: i for i, t in enumerate(distinct_terms)}
+    pos_cols = ", ".join(
+        f"[i - 1 FOR i IN generate_series(1, len(toks)) IF toks[i] = '{t.replace(chr(39), chr(39) * 2)}'] AS p{i}"
+        for t, i in idx.items()
+    )
+    non_empty = " AND ".join(f"len(p{i}) > 0" for i in range(len(distinct_terms)))
+    chain = f"p{idx[phrase_terms[0]]}"
+    for t in phrase_terms[1:]:
+        steps = ", ".join(
+            f"list_intersect(list_transform({chain}, x -> x + {d}), p{idx[t]})"
+            for d in range(1, slop + 2)
+        )
+        if slop == 0:
+            chain = f"list_intersect(list_transform({chain}, x -> x + 1), p{idx[t]})"
+        else:
+            chain = f"list_distinct(list_concat({steps}))"
+    pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
+    return f"""{_PRELUDE},
+toksa AS (
+    SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM corpus
+),
+pq AS (SELECT unnest([{pos_terms}]) AS term),
+nd AS (
+    SELECT tf.term, COUNT(*) AS ndoc
+    FROM tf JOIN (SELECT DISTINCT term FROM pq) d USING (term)
+    GROUP BY tf.term
+),
+qidf AS (
+    SELECT SUM(ln(1 + (s.n_docs - nd.ndoc + 0.5) / (nd.ndoc + 0.5))) AS w
+    FROM pq JOIN nd USING (term) CROSS JOIN stats s
+),
+wide AS (
+    SELECT docID, {pos_cols} FROM toksa
+),
+ph AS (
+    SELECT docID, len({chain}) AS ptf
+    FROM wide WHERE {non_empty}
+)
+SELECT ph.docID AS docID,
+       ROUND(q.w * ph.ptf / (ph.ptf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs))), 4) AS score
+FROM ph
+JOIN dls ON ph.docID = dls.docID
+CROSS JOIN qidf q
+CROSS JOIN stats s
+WHERE ph.ptf > 0
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def bool_topk_sql(
     must_terms: list[list[str]],
     should_terms: list[list[str]] | None = None,

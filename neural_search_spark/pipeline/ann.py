@@ -173,6 +173,8 @@ def ann_ivf_topk(
     nprobe: int = P.IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to the query's ``nprobe``
     nearest IVF lists.
@@ -181,9 +183,13 @@ def ann_ivf_topk(
     centroids by (cosine(query, centroid) desc, list_id asc); candidates =
     vectors assigned to those lists, query excluded; rank by (cosine desc,
     vec_id asc). Returns (vec_id, score).
+
+    ``centroids``/``assigned``: pass the ingest-time artifacts (the real
+    deployment shape — training and list assignment happen once at write
+    time, queries only probe); derived on the fly when omitted.
     """
-    cents = ivf_centroids(emb, n_lists, id_col, vec_col)
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_lists, id_col, vec_col)
+    assigned = assigned if assigned is not None else ivf_assign(emb, cents, id_col, vec_col)
     q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     probe = (
         cents.crossJoin(F.broadcast(q))

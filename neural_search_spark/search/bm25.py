@@ -272,6 +272,43 @@ def multi_match_scores(
     return agg.select("docID", score.alias("score"))
 
 
+def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:
+    """Lucene ``prefix`` query under its default CONSTANT_SCORE rewrite:
+    every doc containing ANY term with the prefix scores 1.0 (the
+    MultiTermQuery constant-score path — expansion never touches BM25
+    stats). Plan: one postings scan with a starts-with predicate (term
+    dictionary prune) + distinct docIDs."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("prefix_query_requests")
+    matched = engine.postings.where(F.col("term").startswith(prefix.lower()))
+    return matched.select("docID").distinct().select(
+        "docID", F.lit(1.0).alias("score")
+    )
+
+
+def fuzzy_query_scores(
+    engine: "BM25Engine", term: str, max_edits: int = 1, prefix_length: int = 0
+) -> DataFrame:
+    """Lucene ``fuzzy`` query, constant-score contract: docs containing any
+    term within ``max_edits`` Levenshtein edits of ``term`` (sharing the
+    first ``prefix_length`` chars) score 1.0. The expansion runs on the
+    postings term column with the built-in ``levenshtein`` (JVM-side);
+    Lucene bounds the automaton walk the same way the prefix_length prune
+    bounds the candidate dictionary here."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("fuzzy_query_requests")
+    t = term.lower()
+    matched = engine.postings
+    if prefix_length > 0:
+        matched = matched.where(F.col("term").startswith(t[:prefix_length]))
+    matched = matched.where(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+    return matched.select("docID").distinct().select(
+        "docID", F.lit(1.0).alias("score")
+    )
+
+
 def bool_query_scores(
     must: list[DataFrame] | tuple = (),
     should: list[DataFrame] | tuple = (),

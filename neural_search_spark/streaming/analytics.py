@@ -61,6 +61,67 @@ def windowed_doc_stats(
     )
 
 
+def streaming_dedup_filter(
+    corpus_stream: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Streaming exact-dedup: emit only the FIRST document carrying each
+    content hash; replays and later copies are suppressed.
+
+    Custom stateful operator via ``applyInPandasWithState`` — the Spark
+    construct for operators the built-in windowed aggregations can't
+    express (here: keep-first semantics with per-key memory across
+    micro-batches). Keyed by sha256(content); state per key is a single
+    seen-flag, so state size is O(distinct content), and within one batch
+    the smallest docID wins deterministically (the batch dedup keeper
+    rule, ``pipeline/dedup.py``).
+
+    Scale notes: the groupBy is the one shuffle; state lives in the state
+    store (RocksDB in production) partitioned the same way; the Python
+    hook receives Arrow batches per key group — no per-row Python. At
+    10^12 docs the seen-flag state is the minimal possible footprint for
+    exact streaming dedup (a Bloom-filter variant trades memory for false
+    drops; keep-first exactness is the contract here).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [StructField("docID", LongType()), StructField("sha", StringType())]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def _keep_first(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            return iter([])  # replay / later duplicate: suppress
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["docID"].min())
+            best = m if best is None else min(best, m)
+        state.update((1,))
+        yield pd.DataFrame({"docID": [best], "sha": [key[0]]})
+
+    hashed = corpus_stream.select(
+        F.col(id_col).cast("long").alias("docID"),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+    )
+    return hashed.groupBy("sha").applyInPandasWithState(
+        _keep_first,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_windowed_doc_stats(
     corpus_stream: DataFrame,
     checkpoint_dir: str,

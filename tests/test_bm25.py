@@ -202,3 +202,26 @@ def test_bool_requires_a_scoring_clause(spark, bool_engine):
 
     with pytest.raises(ValueError):
         bool_query_scores(must_not=[bool_engine.match("alpha")])
+
+
+def test_prefix_and_fuzzy_expansion(spark):
+    from neural_search_spark.search.bm25 import BM25Engine, fuzzy_query_scores, prefix_query_scores
+
+    rows = [
+        (0, "table chair"),
+        (1, "tablet stylus"),
+        (2, "fable story"),
+        (3, "chair only"),
+    ]
+    eng = BM25Engine(spark, spark.createDataFrame(rows, "docID long, content string"))
+    got = {r["docID"]: r["score"] for r in prefix_query_scores(eng, "tab").collect()}
+    assert got == {0: 1.0, 1: 1.0}  # table, tablet; fable excluded
+    # fuzzy "tabla" <=1 edit: table (sub), NOT tablet (2 edits from tabla? t-a-b-l-a -> t-a-b-l-e-t = 2)
+    fz = {r["docID"] for r in fuzzy_query_scores(eng, "tabla", max_edits=1).collect()}
+    assert fz == {0}
+    # without prefix guard, "fable" is 2 edits from "tabla"; with max_edits=2 it joins
+    fz2 = {r["docID"] for r in fuzzy_query_scores(eng, "tabla", max_edits=2).collect()}
+    assert 2 in fz2 and 0 in fz2
+    # prefix_length pins the first letters: fable drops back out
+    fz3 = {r["docID"] for r in fuzzy_query_scores(eng, "tabla", max_edits=2, prefix_length=1).collect()}
+    assert fz3 == {0, 1}

@@ -240,3 +240,101 @@ def test_update_empties_whole_shard(spark, tmp_path):
     np.testing.assert_allclose(
         [x[1] for x in got], [x[1] for x in want], rtol=0, atol=1e-9
     )
+
+
+def test_positional_index_matches_scan_phrase(spark, tiny_corpus, tmp_path):
+    """Index-backed phrase == scan-path phrase (same formula, same ranks)."""
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+    from neural_search_spark.search.bm25 import BM25Engine
+
+    eng = BM25Engine(spark, tiny_corpus).cache()
+    d = str(tmp_path / "pos")
+    build_positions(spark, tiny_corpus, d)
+    pidx = PositionalIndex(spark, d, eng.doclens, eng.stats)
+
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    toks0 = tokenize_text(tiny_corpus.limit(1).collect()[0]["content"])
+    for phrase in [f"{toks0[0]} {toks0[1]}", f"{toks0[0]} {toks0[1]} {toks0[2]}", "import", "zzz missing"]:
+        scan = {(r["docID"], round(r["score"], 9)) for r in eng.match_phrase(phrase).collect()}
+        idx = {(r["docID"], round(r["score"], 9)) for r in pidx.match_phrase(phrase).collect()}
+        assert idx == scan, phrase
+
+
+def test_positional_index_overlapping_and_duplicate_terms(spark, tmp_path):
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+    from neural_search_spark.search.bm25 import BM25Engine
+
+    rows = [(0, "a a a b"), (1, "a b a b"), (2, "b b")]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    eng = BM25Engine(spark, df).cache()
+    d = str(tmp_path / "pos2")
+    build_positions(spark, df, d)
+    pidx = PositionalIndex(spark, d, eng.doclens, eng.stats)
+    for phrase in ["a a", "a b", "b b", "a b a"]:
+        scan = {(r["docID"], round(r["score"], 9)) for r in eng.match_phrase(phrase).collect()}
+        idx = {(r["docID"], round(r["score"], 9)) for r in pidx.match_phrase(phrase).collect()}
+        assert idx == scan, phrase
+
+
+def test_positional_bucket_pruning(spark, tmp_path):
+    """The read path only touches the buckets of the query's terms."""
+    from neural_search_spark.index.positions import N_BUCKETS, PositionalIndex, build_positions, _bucket_col
+    from neural_search_spark.pipeline.params import hash32_py
+    from neural_search_spark.search.bm25 import BM25Engine
+    from pyspark.sql import functions as F
+
+    rows = [(0, "alpha beta"), (1, "gamma delta")]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    eng = BM25Engine(spark, df)
+    d = str(tmp_path / "pos3")
+    build_positions(spark, df, d)
+    # stored bucket equals the python-side pruning key for every term
+    got = {r["term"]: r["bucket"] for r in spark.read.parquet(d).collect()}
+    assert got == {t: hash32_py(t) % N_BUCKETS for t in got}
+    pidx = PositionalIndex(spark, d, eng.doclens, eng.stats)
+    plan = pidx._term_rows(["alpha"])._jdf.queryExecution().executedPlan().toString()
+    assert "alpha" in plan  # term predicate reaches the scan
+
+
+def test_span_near_matches_python_bruteforce(spark, tmp_path):
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+    from neural_search_spark.search.bm25 import BM25Engine
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    rows = [
+        (0, "a x b"),        # a..b gap 1
+        (1, "a b"),          # adjacent
+        (2, "a x x b"),      # gap 2
+        (3, "b a"),          # wrong order
+        (4, "a x b x b"),    # two reachable ends at slop>=1
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    eng = BM25Engine(spark, df).cache()
+    d = str(tmp_path / "span")
+    build_positions(spark, df, d)
+    pidx = PositionalIndex(spark, d, eng.doclens, eng.stats)
+
+    def brute(phrase, slop):
+        terms = tokenize_text(phrase)
+        out = {}
+        for doc_id, text in rows:
+            toks = tokenize_text(text)
+            chain = {i for i, t in enumerate(toks) if t == terms[0]}
+            for t in terms[1:]:
+                nxt = {i for i, x in enumerate(toks) if x == t}
+                chain = {p for p in nxt if any(1 <= p - c <= slop + 1 for c in chain)}
+            if chain:
+                out[doc_id] = len(chain)
+        return out
+
+    for phrase, slop in [("a b", 0), ("a b", 1), ("a b", 2), ("a b b", 1)]:
+        got = {r["docID"] for r in pidx.span_near(phrase, slop=slop).collect()}
+        assert got == set(brute(phrase, slop)), (phrase, slop)
+    # ptf surfaces through the score: doc 4 ("a x b x b") has two
+    # reachable ends once the gap budget covers distance 4
+    assert brute("a b", 2)[4] == 1 and brute("a b", 3)[4] == 2
+    # slop=0 degenerates to match_phrase
+    p0 = {(r["docID"], round(r["score"], 9)) for r in pidx.span_near("a b", slop=0).collect()}
+    mp = {(r["docID"], round(r["score"], 9)) for r in pidx.match_phrase("a b").collect()}
+    assert p0 == mp

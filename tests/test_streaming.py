@@ -149,3 +149,42 @@ def test_windowed_doc_stats_watermark(spark, tmp_path):
     spark.createDataFrame(b2, schema).write.mode("append").parquet(stream_dir)
     drain()
     assert emitted() == rows  # nothing new emitted, late event discarded
+
+
+def test_streaming_dedup_filter_keeps_first(spark, tmp_path):
+    """Stateful keep-first dedup across micro-batches: within a batch the
+    smallest docID wins; across batches (and replays) state suppresses
+    previously-seen content."""
+    from neural_search_spark.streaming.analytics import streaming_dedup_filter
+
+    stream_dir = str(tmp_path / "dd")
+    ckpt = str(tmp_path / "dd_ckpt")
+    out_dir = str(tmp_path / "dd_out")
+    os.makedirs(stream_dir)
+    schema = "docID long, content string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        q = (
+            streaming_dedup_filter(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(3, "alpha"), (1, "alpha"), (2, "beta")]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(stream_dir)
+    drain()
+    got = {(r["docID"], ) for r in spark.read.parquet(out_dir).collect()}
+    assert {d for d, in got} == {1, 2}  # smallest docID per sha kept
+
+    # batch 2: replayed content + one new doc
+    b2 = [(9, "alpha"), (5, "gamma")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(stream_dir)
+    drain()
+    kept = sorted(r["docID"] for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 2, 5]  # 9 suppressed by state
