@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 
 from neural_search_spark.search.hybrid import MAX_SUB_QUERIES, hybrid_search
 
-LEXICAL_TYPES = ("match", "term")
+LEXICAL_TYPES = ("match", "term", "match_phrase")
 CLAUSE_TYPES = LEXICAL_TYPES + ("neural_sparse", "neural")
 
 
@@ -99,6 +99,16 @@ def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
             scored = scored.join(members, "docID", "semi")
         return scored
     text = body["query"] if isinstance(body, dict) else body
+    if ctype == "match_phrase":
+        from pyspark.sql import functions as F
+
+        scored = engine.match_phrase(text)
+        if filter_expr is not None:
+            members = engine.corpus.where(filter_expr).select(
+                F.col(engine.id_col).alias("docID")
+            )
+            scored = scored.join(members, "docID", "semi")
+        return scored
     if ctype == "term":
         from pyspark.sql import functions as F
 

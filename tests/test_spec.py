@@ -130,3 +130,26 @@ def test_build_metrics(spark, tmp_path, tiny_corpus):
     assert m["lineage_entries"] >= 2
     snap = stats.snapshot(d)
     assert "events" in snap and "build" in snap
+
+
+def test_spec_match_phrase_clause(spark, engine):
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    toks0 = tokenize_text(engine.corpus.limit(1).collect()[0]["content"])
+    phrase = f"{toks0[0]} {toks0[1]}"
+    spec = {
+        "queries": [
+            {"match_phrase": {"query": phrase}},
+            {"match": {"query": "import ident1"}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [engine.match_phrase(phrase), engine.match("import ident1")],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
