@@ -31,6 +31,7 @@ Q_MULTI = "table src7"
 SPAN_SLOP = 1
 PREFIX_Q = "tab"
 FUZZY_Q = "tabl"
+TERMS_Q = ["vector", "window"]
 BOOL_MUST = "table value"
 BOOL_SHOULD = ["join merge", "window sort"]
 BOOL_MUST_NOT = "slow"
@@ -136,6 +137,14 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = _engine(spark, sf_dir)
     return prefix_query_scores(eng, PREFIX_Q).orderBy(F.asc("docID")).limit(10)
+
+
+def q_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms query: exact multi-term membership, constant score."""
+    from neural_search_spark.search.bm25 import terms_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return terms_query_scores(eng, TERMS_Q).orderBy(F.asc("docID")).limit(10)
 
 
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_topk": q_span_near_topk,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "terms_topk": q_terms_topk,
         "bool_query_topk": q_bool_query_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
@@ -999,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_topk": osql.span_near_topk_sql(tokenize_text(Q_PHRASE), slop=SPAN_SLOP, k=10),
         "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
+        "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
         "bool_query_topk": osql.bool_topk_sql(
             [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
             minimum_should_match=1, k=10,

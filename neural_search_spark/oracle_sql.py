@@ -254,6 +254,17 @@ LIMIT {k}
 """
 
 
+def terms_topk_sql(terms: list[str], k: int = 10) -> str:
+    """Constant-score terms query: membership in any of the exact terms."""
+    return f"""{_PRELUDE},
+q AS (SELECT unnest({_term_list(terms)}) AS term)
+SELECT DISTINCT docID, 1.0 AS score
+FROM tf JOIN q USING (term)
+ORDER BY docID
+LIMIT {k}
+"""
+
+
 def fuzzy_topk_sql(term: str, max_edits: int = 1, prefix_length: int = 0, k: int = 10) -> str:
     """Constant-score fuzzy query: docs containing any term within
     ``max_edits`` Levenshtein edits (sharing ``prefix_length`` chars)."""

@@ -363,16 +363,21 @@ def ngram_jaccard_pairs(
     text_col: str = "content",
     id_col: str = "docID",
     threshold: float = P.NGRAM_JACCARD_THRESHOLD,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs within a blocking key (e.g. lang).
 
     The blocking key bounds the self-join; at 10^12 scale you'd compose
     this after an LSH prefilter (see minhash_near_dups) rather than rely
-    on blocking alone.
+    on blocking alone. ``persist`` caches the shingle table — it feeds
+    both self-join sides plus the per-doc size aggregate (3 references),
+    and the tokenize+hash lineage would otherwise re-run per reference.
     """
     sh = doc_shingles(df, text_col, id_col).join(
         df.select(F.col(id_col).alias("docID"), F.col(block_col).alias("blk")), "docID"
     )
+    if persist:
+        sh = sh.persist()
     sa = sh.select(F.col("docID").alias("docA"), "sh", "blk")
     sb = sh.select(F.col("docID").alias("docB"), "sh", "blk")
     inter = (

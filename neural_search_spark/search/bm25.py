@@ -287,6 +287,24 @@ def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:
     )
 
 
+def terms_query_scores(engine: "BM25Engine", terms: list[str]) -> DataFrame:
+    """Lucene ``terms`` query (constant-score): docs containing ANY of the
+    exact terms score 1.0. One broadcast semi-filter over postings."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("terms_query_requests")
+    tl = sorted({t.lower() for t in terms})
+    qt = F.broadcast(
+        engine.spark.createDataFrame([(t,) for t in tl], "term string")
+    )
+    return (
+        engine.postings.join(qt, "term")
+        .select("docID")
+        .distinct()
+        .select("docID", F.lit(1.0).alias("score"))
+    )
+
+
 def fuzzy_query_scores(
     engine: "BM25Engine", term: str, max_edits: int = 1, prefix_length: int = 0
 ) -> DataFrame:

@@ -338,3 +338,48 @@ def test_span_near_matches_python_bruteforce(spark, tmp_path):
     p0 = {(r["docID"], round(r["score"], 9)) for r in pidx.span_near("a b", slop=0).collect()}
     mp = {(r["docID"], round(r["score"], 9)) for r in pidx.match_phrase("a b").collect()}
     assert p0 == mp
+
+
+def test_phrase_and_span_randomized_vs_python(spark, tmp_path):
+    """Randomized property check: 300 random token arrays, every (phrase,
+    slop) case compared against a pure-python positional model — one Spark
+    job per case, not per example."""
+    import numpy as np
+
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+    from neural_search_spark.search.bm25 import BM25Engine
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.randint(0, 13)).tolist()))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    eng = BM25Engine(spark, df).cache()
+    d = str(tmp_path / "rand_pos")
+    build_positions(spark, df, d)
+    pidx = PositionalIndex(spark, d, eng.doclens, eng.stats)
+
+    def brute(phrase, slop):
+        terms = tokenize_text(phrase)
+        out = {}
+        for doc_id, text in rows:
+            toks = tokenize_text(text)
+            chain = {i for i, t in enumerate(toks) if t == terms[0]}
+            for t in terms[1:]:
+                nxt = {i for i, x in enumerate(toks) if x == t}
+                chain = {p for p in nxt if any(1 <= p - c <= slop + 1 for c in chain)}
+            if chain:
+                out[doc_id] = len(chain)
+        return out
+
+    cases = [("a b", 0), ("a b", 1), ("b a c", 0), ("b a c", 2), ("a a", 0), ("a a b", 1)]
+    for phrase, slop in cases:
+        want = brute(phrase, slop)
+        got = {r["docID"] for r in pidx.span_near(phrase, slop=slop).collect()}
+        assert got == set(want), (phrase, slop)
+        if slop == 0:
+            scan = {r["docID"] for r in eng.match_phrase(phrase).collect()}
+            assert scan == set(want), phrase
