@@ -847,6 +847,31 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_quantized_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window x type aggregation over the event log."""
+    from neural_search_spark.pipeline.events import window_agg
+
+    return window_agg(_events(spark, sf_dir)).orderBy("window_start", "event_type")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), per-user windows."""
+    from neural_search_spark.pipeline.events import sessionize
+
+    return sessionize(_events(spark, sf_dir)).orderBy("user_id", "session_id")
+
+
+def q_events_json_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + per-type aggregate."""
+    from neural_search_spark.pipeline.events import json_prop_stats
+
+    return json_prop_stats(_events(spark, sf_dir)).orderBy("event_type")
+
+
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("docID"), F.col("text").alias("content")
@@ -927,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "terms_topk": q_terms_topk,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_json_prop": q_events_json_prop,
         "bool_query_topk": q_bool_query_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
@@ -1010,6 +1038,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
+        "events_window_agg": psql.events_window_agg_sql(),
+        "events_sessionize": psql.events_sessionize_sql(),
+        "events_json_prop": psql.events_json_prop_sql(),
         "bool_query_topk": osql.bool_topk_sql(
             [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
             minimum_should_match=1, k=10,

@@ -1,0 +1,88 @@
+"""Event-stream batch analytics over the ``events`` table.
+
+The large-scale companions to the streaming operators
+(:mod:`neural_search_spark.streaming.analytics`): the same event-time
+logic expressed as batch plans over the persisted event log — tumbling
+windows, gap-based sessionization, and JSON property extraction. All
+three are pure built-in column expressions / partitioned window
+functions:
+
+- :func:`window_agg` — one groupBy shuffle on (window, type); at 100 TB
+  the event log is date-partitioned so the shuffle is per-partition.
+- :func:`sessionize` — the canonical gap-session assignment: a lag +
+  cumulative-sum window PARTITIONED BY user (never a global sort), then
+  one groupBy per (user, session). State per task = one partition of
+  users.
+- :func:`json_prop_stats` — ``get_json_object`` runs JVM-side; at scale
+  a real pipeline materializes hot properties to columns at ingest, but
+  the ad-hoc path must exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from neural_search_spark.pipeline import params as P
+
+SESSION_GAP_MIN = 30
+
+
+def window_agg(events: DataFrame, window_duration: str = "1 hour") -> DataFrame:
+    """(window_start, event_type, n_events, sum_value, n_users): tumbling
+    event-time windows × type."""
+    return (
+        events.groupBy(
+            F.window("ts", window_duration).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            P.round4(F.sum("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """(user_id, session_id, session_start, n_events, duration_sec):
+    gap-based sessions — a new session starts when a user's inter-event
+    gap exceeds ``gap_minutes``. session_id is the per-user ordinal
+    (starting at 1); duration is last−first event in seconds.
+    """
+    # TIMESTAMP_NTZ needs the two-step cast; only *differences* of the
+    # epoch values are used, so the session-timezone offset cancels
+    ep = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = ep - F.lag(ep).over(w)
+    new_sess = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = events.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("long")
+    )
+    return (
+        tagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            P.round4(F.max(ep) - F.min(ep)).alias("duration_sec"),
+        )
+    )
+
+
+def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:
+    """(event_type, n_with_prop, avg_prop): extract an integer property
+    from the ``props`` JSON column and aggregate per type."""
+    v = F.get_json_object(F.col("props"), f"$.{prop}").cast("long")
+    return (
+        events.select("event_type", v.alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_with_prop"), P.round4(F.avg("v")).alias("avg_prop"))
+    )

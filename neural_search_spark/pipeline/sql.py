@@ -509,3 +509,65 @@ SELECT docID,
 FROM f
 WHERE n_frames > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (over the raw events view)
+# ---------------------------------------------------------------------------
+
+
+def events_window_agg_sql(window_hours: int = 1) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.window_agg`."""
+    return f"""
+SELECT time_bucket(INTERVAL {window_hours} HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {P.round4_sql('SUM(value)')} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sessionize_sql(gap_minutes: int = 30) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.sessionize` —
+    same lag + cumulative-sum session assignment, per-user ordinals."""
+    return f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN gap_s IS NULL OR gap_s > {gap_minutes * 60} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {P.round4_sql('(epoch(MAX(ts)) - epoch(MIN(ts)))')} AS duration_sec
+FROM tagged
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_json_prop_sql(prop: str = "k") -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.json_prop_stats`."""
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n_with_prop,
+       {P.round4_sql('AVG(v)')} AS avg_prop
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.{prop}') AS BIGINT) AS v
+    FROM events
+)
+WHERE v IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

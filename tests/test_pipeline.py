@@ -357,3 +357,48 @@ def test_ann_quantized_topk_tracks_exact(vecs):
     quant = [r["vec_id"] for r in ann_quantized_topk(vecs, 0, k=5).collect()]
     # 8-bit quantization over random gaussians: top-5 overlap must be high
     assert len(set(exact) & set(quant)) >= 4
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from neural_search_spark.pipeline.events import sessionize
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (0, t(10, 0), 1, "view", 1.0, "{}"),
+        (1, t(10, 10), 1, "click", 1.0, "{}"),   # same session (10 min gap)
+        (2, t(11, 0), 1, "view", 1.0, "{}"),     # 50 min gap -> new session
+        (3, t(10, 0), 2, "view", 1.0, "{}"),     # other user, own session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_sec"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): (2, 600.0), (1, 2): (1, 0.0), (2, 1): (1, 0.0)}
+
+
+def test_window_agg_counts(spark):
+    from datetime import datetime
+
+    from neural_search_spark.pipeline.events import window_agg
+
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 5), 1, "view", 2.0, "{}"),
+        (1, datetime(2024, 1, 1, 10, 55), 2, "view", 3.0, "{}"),
+        (2, datetime(2024, 1, 1, 11, 5), 1, "view", 4.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 30), 1, "click", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"], r["n_users"])
+        for r in window_agg(df).collect()
+    }
+    assert got == {(10, "view"): (2, 5.0, 2), (10, "click"): (1, 5.0, 1), (11, "view"): (1, 4.0, 1)}
