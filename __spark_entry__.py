@@ -339,6 +339,25 @@ def q_hybrid_phrase_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+def q_hybrid_bool_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool sub-query (must + should, msm=1) combined with a match clause
+    through normalize/combine — the bool-scoring-clause-inside-hybrid
+    shape the reference supports via OpenSearch core query composition."""
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    eng = _engine(spark, sf_dir)
+    bool_clause = bool_query_scores(
+        must=[eng.match(BOOL_MUST)],
+        should=[eng.match(q) for q in BOOL_SHOULD],
+        minimum_should_match=1,
+    )
+    out = hybrid_search(
+        [bool_clause, eng.match(Q_MATCH)], "min_max", "arithmetic_mean",
+        k=10, depth=HYBRID_DEPTH,
+    )
+    return _round_score(out)
+
+
 def q_hybrid_lex_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tri-modal hybrid: match + neural_sparse + neural in one query —
     all three clause families through one normalize/combine pass
@@ -865,6 +884,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_events(spark, sf_dir)).orderBy("user_id", "session_id")
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated value percentiles per event type."""
+    from neural_search_spark.pipeline.events import value_percentiles
+
+    return value_percentiles(_events(spark, sf_dir)).orderBy("event_type")
+
+
 def q_events_json_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + per-type aggregate."""
     from neural_search_spark.pipeline.events import json_prop_stats
@@ -955,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_prop": q_events_json_prop,
+        "events_percentiles": q_events_percentiles,
         "bool_query_topk": q_bool_query_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
@@ -970,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_neural_dense": q_hybrid_neural_dense,
         "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
         "hybrid_phrase_lex": q_hybrid_phrase_lex,
+        "hybrid_bool_lex": q_hybrid_bool_lex,
         "neural_topk": q_neural_topk,
         "rerank_ml": q_rerank_ml,
         "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
@@ -1041,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": psql.events_window_agg_sql(),
         "events_sessionize": psql.events_sessionize_sql(),
         "events_json_prop": psql.events_json_prop_sql(),
+        "events_percentiles": psql.events_percentiles_sql(),
         "bool_query_topk": osql.bool_topk_sql(
             [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
             minimum_should_match=1, k=10,
@@ -1096,6 +1125,20 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_phrase_lex": osql.hybrid_mixed_topk_sql(
             [
                 {"kind": "phrase", "terms": tt(Q_PHRASE)},
+                {"kind": "match", "terms": tt(Q_MATCH)},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+        ),
+        "hybrid_bool_lex": osql.hybrid_mixed_topk_sql(
+            [
+                {
+                    "kind": "bool",
+                    "must": [tt(BOOL_MUST)],
+                    "should": [tt(q) for q in BOOL_SHOULD],
+                    "minimum_should_match": 1,
+                },
                 {"kind": "match", "terms": tt(Q_MATCH)},
             ],
             "min_max",

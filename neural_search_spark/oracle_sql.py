@@ -536,10 +536,69 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def _bool_clause_ctes(
+    i: int,
+    must: list[list[str]],
+    should: list[list[str]],
+    minimum_should_match: int,
+    k1: float,
+    b: float,
+    depth: int | None,
+    doc_filter: str | None,
+) -> str:
+    """bool sub-query inside a hybrid: the bool_topk_sql composition
+    exposed as a clause's sc{i}/cut{i} CTE pair. Sub-clause CTEs use the
+    offset namespace (i+1)*100 + j to avoid collisions."""
+    nm, ns = len(must), len(should)
+    base_idx = (i + 1) * 100
+    subs = list(must) + list(should)
+    ctes = ",".join(
+        _clause_ctes(base_idx + j, t, k1, b, None, doc_filter)
+        for j, t in enumerate(subs)
+    )
+    if nm:
+        joins = [f"cut{base_idx}"]
+        joins += [f"JOIN cut{base_idx + j} USING (docID)" for j in range(1, nm)]
+        joins += [f"LEFT JOIN cut{base_idx + nm + j} USING (docID)" for j in range(ns)]
+    else:
+        joins = [f"cut{base_idx}"]
+        joins += [f"FULL JOIN cut{base_idx + j} USING (docID)" for j in range(1, ns)]
+    msm_pred = ""
+    if ns and minimum_should_match > 0:
+        cnt = " + ".join(
+            f"(CASE WHEN cut{base_idx + nm + j}.score IS NOT NULL THEN 1 ELSE 0 END)"
+            for j in range(ns)
+        )
+        msm_pred = f"WHERE {cnt} >= {minimum_should_match}"
+    score_terms = [f"cut{base_idx + j}.score" for j in range(nm)] + [
+        f"COALESCE(cut{base_idx + nm + j}.score, 0.0)" for j in range(ns)
+    ]
+    score = " + ".join(score_terms)
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    return f"""{ctes},
+sc{i} AS (
+    SELECT docID, {score} AS score
+    FROM {' '.join(joins)}
+    {msm_pred}
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
 def _mixed_clause_ctes(
     i: int, spec: dict, k1: float, b: float, depth: int | None, doc_filter: str | None
 ) -> str:
     kind = spec["kind"]
+    if kind == "bool":
+        return _bool_clause_ctes(
+            i,
+            spec.get("must", []),
+            spec.get("should", []),
+            spec.get("minimum_should_match", 0),
+            k1,
+            b,
+            depth,
+            doc_filter,
+        )
     if kind == "match":
         return _clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
     if kind == "neural":

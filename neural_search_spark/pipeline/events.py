@@ -76,6 +76,22 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+def value_percentiles(
+    events: DataFrame, probs: tuple = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """(event_type, p50, p95, p99): EXACT interpolated percentiles of
+    ``value`` per type (Spark's ``percentile``; same linear-interpolation
+    definition as DuckDB ``quantile_cont`` — the oracle-able contract).
+    At 100 TB the approximate path swaps in ``percentile_approx``
+    unchanged; exact is kept here because the cross-engine gate needs a
+    deterministic definition."""
+    aggs = [
+        P.round4(F.expr(f"percentile(value, {p!r})")).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return events.groupBy("event_type").agg(*aggs)
+
+
 def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:
     """(event_type, n_with_prop, avg_prop): extract an integer property
     from the ``props`` JSON column and aggregate per type."""

@@ -571,3 +571,18 @@ WHERE v IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_percentiles_sql(probs: tuple = (0.5, 0.95, 0.99)) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.value_percentiles`."""
+    cols = ",\n       ".join(
+        f"{P.round4_sql(f'quantile_cont(value, {p!r})')} AS p{int(p * 100)}"
+        for p in probs
+    )
+    return f"""
+SELECT event_type,
+       {cols}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
