@@ -448,7 +448,9 @@ statsf{i} AS (
            (SELECT CAST(COALESCE(SUM(dl), 0) AS DOUBLE) FROM dlsf{i}) AS total
 ),
 ndf{i} AS (
-    SELECT tff{i}.term, COUNT(*) AS ndoc FROM tff{i} JOIN q USING (term) GROUP BY tff{i}.term
+    SELECT tff{i}.term, COUNT(*) AS ndoc
+    FROM tff{i} JOIN (SELECT DISTINCT term FROM q) qd{i} USING (term)
+    GROUP BY tff{i}.term
 ),
 scf{i} AS (
     SELECT tff{i}.docID,
@@ -545,13 +547,17 @@ def _bool_clause_ctes(
     b: float,
     depth: int | None,
     doc_filter: str | None,
+    must_not: list[list[str]] | None = None,
 ) -> str:
     """bool sub-query inside a hybrid: the bool_topk_sql composition
     exposed as a clause's sc{i}/cut{i} CTE pair. Sub-clause CTEs use the
-    offset namespace (i+1)*100 + j to avoid collisions."""
-    nm, ns = len(must), len(should)
+    offset namespace (i+1)*100 + j to avoid collisions. must_not is
+    membership-only exclusion (NOT IN over the sub-clause cut), matching
+    bool_topk_sql and the engine's bool_query_scores."""
+    must_not = must_not or []
+    nm, ns, nn = len(must), len(should), len(must_not)
     base_idx = (i + 1) * 100
-    subs = list(must) + list(should)
+    subs = list(must) + list(should) + list(must_not)
     ctes = ",".join(
         _clause_ctes(base_idx + j, t, k1, b, None, doc_filter)
         for j, t in enumerate(subs)
@@ -563,13 +569,16 @@ def _bool_clause_ctes(
     else:
         joins = [f"cut{base_idx}"]
         joins += [f"FULL JOIN cut{base_idx + j} USING (docID)" for j in range(1, ns)]
-    msm_pred = ""
+    conds = []
     if ns and minimum_should_match > 0:
         cnt = " + ".join(
             f"(CASE WHEN cut{base_idx + nm + j}.score IS NOT NULL THEN 1 ELSE 0 END)"
             for j in range(ns)
         )
-        msm_pred = f"WHERE {cnt} >= {minimum_should_match}"
+        conds.append(f"{cnt} >= {minimum_should_match}")
+    for j in range(nn):
+        conds.append(f"docID NOT IN (SELECT docID FROM cut{base_idx + nm + ns + j})")
+    pred = f"WHERE {' AND '.join(conds)}" if conds else ""
     score_terms = [f"cut{base_idx + j}.score" for j in range(nm)] + [
         f"COALESCE(cut{base_idx + nm + j}.score, 0.0)" for j in range(ns)
     ]
@@ -579,7 +588,7 @@ def _bool_clause_ctes(
 sc{i} AS (
     SELECT docID, {score} AS score
     FROM {' '.join(joins)}
-    {msm_pred}
+    {pred}
 ),
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
@@ -589,6 +598,9 @@ def _mixed_clause_ctes(
 ) -> str:
     kind = spec["kind"]
     if kind == "bool":
+        extra = set(spec) - {"kind", "must", "should", "must_not", "minimum_should_match"}
+        if extra:
+            raise ValueError(f"unsupported bool clause keys {sorted(extra)}")
         return _bool_clause_ctes(
             i,
             spec.get("must", []),
@@ -598,6 +610,7 @@ def _mixed_clause_ctes(
             b,
             depth,
             doc_filter,
+            must_not=spec.get("must_not", []),
         )
     if kind == "match":
         return _clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)

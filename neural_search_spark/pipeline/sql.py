@@ -564,7 +564,7 @@ SELECT event_type,
        COUNT(*) AS n_with_prop,
        {P.round4_sql('AVG(v)')} AS avg_prop
 FROM (
-    SELECT event_type, CAST(json_extract_string(props, '$.{prop}') AS BIGINT) AS v
+    SELECT event_type, TRY_CAST(json_extract_string(props, '$.{prop}') AS BIGINT) AS v
     FROM events
 )
 WHERE v IS NOT NULL

@@ -4,8 +4,10 @@ BENCH_SCALING.json.
 Under time-varying hypervisor steal, individual N→4N pairs swing with the
 host, not the job. This tool collects every same-trial pair across the
 given run reports, annotates each with the steal its two runs measured,
-and writes a canonical report whose headline is the best pair from the
-cleanest window — the paired-comparison answer to a time-varying nuisance
+and writes a canonical report whose headline is the pair from the
+CLEANEST window — lowest combined measured steal, never max efficiency
+(max-of-noisy-ratios is upward-biased) — plus the median paired
+efficiency — the paired-comparison answer to a time-varying nuisance
 variable (see tools/scaling_run.py for the estimator rationale).
 
 Usage: python tools/merge_scaling_evidence.py out.json run1.json run2.json ...
@@ -52,15 +54,30 @@ def main() -> None:
             rep = json.load(f)
         base = base or rep
         all_pairs.extend(pairs_from(rep))
-    best = max(all_pairs, key=lambda x: x["efficiency"])
+    for p in all_pairs:
+        p["pair_steal_cpus"] = round(
+            (p.get("steal_cpus_n") or 0.0) + (p.get("steal_cpus_4n") or 0.0), 2
+        )
+    # cleanest window = lowest combined steal; ties broken by input order,
+    # never by efficiency (that would reintroduce the max-of-noise bias)
+    best = min(enumerate(all_pairs), key=lambda ip: (ip[1]["pair_steal_cpus"], ip[0]))[1]
+    eff_sorted = sorted(p["efficiency"] for p in all_pairs)
+    mid = len(eff_sorted) // 2
+    median_eff = (
+        eff_sorted[mid]
+        if len(eff_sorted) % 2
+        else round((eff_sorted[mid - 1] + eff_sorted[mid]) / 2, 3)
+    )
     report = {
         "metric": base["metric"],
         "sf_dir": base["sf_dir"],
         "replicate": base["replicate"],
-        "all_pairs": sorted(all_pairs, key=lambda x: -x["efficiency"]),
+        "all_pairs": sorted(all_pairs, key=lambda x: x["pair_steal_cpus"]),
         "best_pair": best,
+        "pair_selection": "lowest combined host steal (cleanest window)",
         "speedup": best["speedup"],
         "scaling_efficiency": best["efficiency"],
+        "efficiency_median_paired": median_eff,
         "levels": {
             str(best["n"]): {
                 "cpus": best["n"],
@@ -74,8 +91,9 @@ def main() -> None:
             },
         },
         "estimator": (
-            "best same-trial (same host window) N/4N pair across runs; "
-            "pairs carry measured hypervisor steal — see BASELINE.md"
+            "same-trial (same host window) N/4N pair with the lowest combined "
+            "measured hypervisor steal across runs; median paired efficiency "
+            "reported alongside — see BASELINE.md"
         ),
         "target": 0.8,
         "pass": best["efficiency"] >= 0.8,

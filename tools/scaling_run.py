@@ -176,11 +176,30 @@ def main() -> None:
                 "trial": t,
                 "wall_n": trials[n][t]["wall_s"],
                 "wall_4n": trials[n4][t]["wall_s"],
+                "pair_steal_cpus": round(
+                    trials[n][t].get("host_steal_cpus", 0.0)
+                    + trials[n4][t].get("host_steal_cpus", 0.0),
+                    2,
+                ),
                 "speedup": round(sp, 3),
                 "efficiency": round(sp / (n4 / n), 3),
             }
         )
-    best_pair = max(per_trial, key=lambda p: p["efficiency"])
+    # Headline selection: picking the max-efficiency pair is upward-biased
+    # under noise (any pair whose N run was slowed or 4N run sped by host
+    # contention inflates the ratio). The headline pair is the CLEANEST
+    # window instead — lowest combined measured hypervisor steal across its
+    # two runs, tie-broken by trial order, never by efficiency — and the
+    # median paired efficiency is reported alongside. All pairs stay in the
+    # report as evidence.
+    best_pair = min(per_trial, key=lambda p: (p["pair_steal_cpus"], p["trial"]))
+    eff_sorted = sorted(p["efficiency"] for p in per_trial)
+    mid = len(eff_sorted) // 2
+    median_eff = (
+        eff_sorted[mid]
+        if len(eff_sorted) % 2
+        else round((eff_sorted[mid - 1] + eff_sorted[mid]) / 2, 3)
+    )
     speedup = best[n]["wall_s"] / best[n4]["wall_s"]
     efficiency = speedup / (n4 / n)
     report = {
@@ -192,8 +211,10 @@ def main() -> None:
         "speedup_min_mixed": round(speedup, 3),
         "efficiency_min_mixed": round(efficiency, 3),
         "per_trial_pairs": per_trial,
+        "pair_selection": "lowest combined host_steal_cpus (cleanest window)",
         "speedup": best_pair["speedup"],
         "scaling_efficiency": best_pair["efficiency"],
+        "efficiency_median_paired": median_eff,
         "pairwise": pairs,
         "target": 0.8,
         "pass": best_pair["efficiency"] >= 0.8,
