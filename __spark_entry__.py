@@ -115,7 +115,20 @@ def _pos_index(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _POS_INDEXES:
         eng = _engine(spark, sf_dir)
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        # Tag includes a corpus fingerprint (per-file size+mtime of the source
+        # parquet), not just the path: regenerating data in-place at the same
+        # path must invalidate the cached positional index, or the indexed
+        # phrase/span paths would silently diverge from the live-data oracle.
+        fp = hashlib.sha1(sf_dir.encode())
+        src = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(src):
+            for name in sorted(os.listdir(src)):
+                st = os.stat(os.path.join(src, name))
+                fp.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+        elif os.path.exists(src):
+            st = os.stat(src)
+            fp.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+        tag = fp.hexdigest()[:10]
         d = os.path.join("/tmp", f"nss_positions_{tag}")
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             build_positions(spark, eng.corpus, d)
@@ -188,7 +201,7 @@ def q_bm25_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = _engine(spark, sf_dir)
     out = multi_match_scores(
-        spark, eng.corpus, MULTI_MATCH_FIELDS, Q_MULTI,
+        eng, MULTI_MATCH_FIELDS, Q_MULTI,
         match_type="best_fields", tie_breaker=MULTI_MATCH_TIE,
     )
     return _round_score(topk(out, 10))
@@ -326,11 +339,15 @@ def q_hybrid_phrase_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse, high-scoring candidate set against a broad OR clause — another
     heterogeneous-range pairing for normalize/combine. Phrase clause score
     rounded to 6 dp at the clause boundary (both engines) like the
-    sparse/neural clauses."""
+    sparse/neural clauses. The phrase clause runs through the POSITIONAL
+    INDEX (score-identical to the scan path by contract — both share
+    bm25_phrase_topk's oracle) so no candidate re-tokenization happens
+    inside the hybrid."""
     from neural_search_spark.pipeline import params as P
 
     eng = _engine(spark, sf_dir)
-    phrase = eng.match_phrase(Q_PHRASE)
+    pidx = _pos_index(spark, sf_dir)
+    phrase = pidx.match_phrase(Q_PHRASE)
     phrase = phrase.select("docID", P.round6(F.col("score")).alias("score"))
     out = hybrid_search(
         [phrase, eng.match(Q_MATCH)], "min_max", "arithmetic_mean",
@@ -968,7 +985,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (driver checks the FIRST 50 dict entries per
+    # round): never-oracle-checked keys first, then keys unchecked in r2,
+    # then keys new this round, then the long-green staples at the tail.
     return {
+        # -- never oracle-checked before round 3 --
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "mm_text_image_embedding": q_mm_text_image_embedding,
+        "hybrid_sort_field": q_hybrid_sort_field,
+        "hybrid_explain_full": q_hybrid_explain_full,
+        # -- unchecked in round 2 (green in round 1) --
+        "hybrid_explain": q_hybrid_explain,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
@@ -1019,25 +1061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_max_score": q_hybrid_max_score,
         "hybrid_spec_enriched": q_hybrid_spec_enriched,
         "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
-        "hybrid_sort_field": q_hybrid_sort_field,
-        "hybrid_explain": q_hybrid_explain,
-        "hybrid_explain_full": q_hybrid_explain_full,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "text_token_counts": q_text_token_counts,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "mm_image_meta": q_mm_image_meta,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_text_image_embedding": q_mm_text_image_embedding,
     }
 
 

@@ -223,15 +223,13 @@ def match_phrase_scores(
 
 
 def multi_match_scores(
-    spark,
-    corpus: DataFrame,
+    engine: "BM25Engine",
     fields: dict[str, float],
     query_text: str,
     match_type: str = "best_fields",
     tie_breaker: float = 0.0,
     k1: float = K1,
     b: float = B,
-    id_col: str = "docID",
 ) -> DataFrame:
     """``multi_match`` query over several text fields → (docID, score).
 
@@ -243,19 +241,21 @@ def multi_match_scores(
     - ``most_fields``: score = Σ_f field_score
 
     ``fields`` maps field name → boost (multiplies that field's BM25
-    score). Scale shape: one postings derivation per field — at 100 TB
-    these are per-field persisted indexes, and the combine is a single
-    groupBy over the per-field candidate rows only (never the corpus).
+    score). Scale shape: per-field artifacts come from
+    :meth:`BM25Engine.field_artifacts` — derived once per engine, cached,
+    reused across queries (at 100 TB these are per-field persisted
+    indexes); the combine is a single groupBy over the per-field
+    candidate rows only (never the corpus).
     """
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown multi_match type {match_type}")
     terms = tokenize_text(query_text)
     per_field = []
     for fld, boost in sorted(fields.items()):
-        postings = term_freq_rows(corpus, fld, id_col)
-        doclens = quantized_doc_lengths(corpus, fld, id_col)
-        stats = corpus_stats_from_doclens(doclens)
-        sc = bm25_clause_scores(spark, postings, doclens, stats, terms, k1=k1, b=b)
+        postings, doclens, stats = engine.field_artifacts(fld)
+        sc = bm25_clause_scores(
+            engine.spark, postings, doclens, stats, terms, k1=k1, b=b
+        )
         per_field.append(
             sc.select("docID", (F.col("score") * F.lit(float(boost))).alias("fscore"))
         )
@@ -276,12 +276,16 @@ def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:
     """Lucene ``prefix`` query under its default CONSTANT_SCORE rewrite:
     every doc containing ANY term with the prefix scores 1.0 (the
     MultiTermQuery constant-score path — expansion never touches BM25
-    stats). Plan: one postings scan with a starts-with predicate (term
-    dictionary prune) + distinct docIDs."""
+    stats). Plan = Lucene's terms-dict walk, Spark-shaped: the starts-with
+    predicate runs over the DISTINCT-term dictionary (vocabulary-sized —
+    millions of rows at 100 TB), and the expansion broadcast-semi-joins
+    back into postings (billions of rows) — never a per-posting string
+    scan."""
     from neural_search_spark import stats as _stats
 
     _stats.record_event("prefix_query_requests")
-    matched = engine.postings.where(F.col("term").startswith(prefix.lower()))
+    expanded = engine.term_dict.where(F.col("term").startswith(prefix.lower()))
+    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )
@@ -318,10 +322,19 @@ def fuzzy_query_scores(
 
     _stats.record_event("fuzzy_query_requests")
     t = term.lower()
-    matched = engine.postings
+    # Expand over the distinct-term dictionary (Lucene walks the terms
+    # dict with a Levenshtein automaton): one string-distance evaluation
+    # per VOCABULARY term, not per posting occurrence. Edit distance also
+    # bounds the length delta, pruning the dict before Levenshtein runs.
+    expanded = engine.term_dict
     if prefix_length > 0:
-        matched = matched.where(F.col("term").startswith(t[:prefix_length]))
-    matched = matched.where(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+        expanded = expanded.where(F.col("term").startswith(t[:prefix_length]))
+    expanded = expanded.where(
+        (F.length("term") >= len(t) - max_edits)
+        & (F.length("term") <= len(t) + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+    )
+    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )
@@ -412,12 +425,18 @@ class BM25Engine:
         self.postings = term_freq_rows(corpus, text_col, id_col)
         self.doclens = quantized_doc_lengths(corpus, text_col, id_col)
         self._stats: CorpusStats | None = None
+        self._term_dict: DataFrame | None = None
+        self._cached = False
+        # per-field (postings, doclens, stats) for multi_match — built once
+        # per engine, the Spark analog of Lucene's one-index-per-field
+        self._field_artifacts: dict[str, tuple[DataFrame, DataFrame, CorpusStats]] = {}
 
     def cache(self) -> "BM25Engine":
         """Materialize derived tables once for repeated queries (query-time
         hot path; at scale this is the persisted postings index instead)."""
         self.postings = self.postings.cache()
         self.doclens = self.doclens.cache()
+        self._cached = True
         return self
 
     @property
@@ -425,6 +444,31 @@ class BM25Engine:
         if self._stats is None:
             self._stats = corpus_stats_from_doclens(self.doclens)
         return self._stats
+
+    @property
+    def term_dict(self) -> DataFrame:
+        """Distinct-term dictionary (one row per vocabulary term) — the
+        expansion target for prefix/fuzzy rewrites (Lucene's terms dict).
+        Vocabulary-sized, so cached whenever the engine is."""
+        if self._term_dict is None:
+            td = self.postings.select("term").distinct()
+            self._term_dict = td.cache() if self._cached else td
+        return self._term_dict
+
+    def field_artifacts(self, field: str) -> tuple[DataFrame, DataFrame, CorpusStats]:
+        """(postings, doclens, stats) for an arbitrary text field, derived
+        once per engine and reused across queries (multi_match hot path —
+        at 100 TB these are per-field persisted indexes). The engine's own
+        text field aliases the already-cached primary artifacts."""
+        if field == self.text_col:
+            return self.postings, self.doclens, self.stats
+        if field not in self._field_artifacts:
+            p = term_freq_rows(self.corpus, field, self.id_col)
+            d = quantized_doc_lengths(self.corpus, field, self.id_col)
+            if self._cached:
+                p, d = p.cache(), d.cache()
+            self._field_artifacts[field] = (p, d, corpus_stats_from_doclens(d))
+        return self._field_artifacts[field]
 
     def match(
         self,

@@ -101,6 +101,18 @@ def sparse_features_from_tf(corpus: DataFrame, text_col: str = "content", id_col
     )
 
 
+def sparse_query_encoding_stub(query_text: str) -> dict[str, float]:
+    """Deterministic stand-in for query-side sparse encoding
+    (``query/NeuralSparseQueryBuilder.java`` runs the sparse model on the
+    query text at rewrite time): token weight = term frequency in the
+    query — the query-side mirror of :func:`sparse_features_from_tf`."""
+    from collections import Counter
+
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    return {t: float(c) for t, c in Counter(tokenize_text(query_text)).items()}
+
+
 def sparse_postings(features: DataFrame) -> DataFrame:
     """(docID, features) → long-form (term, docID, weight): the
     rank_features "index" as a DataFrame."""

@@ -6,11 +6,21 @@ Mirrors the reference's REST parse/rewrite surface as a library API:
   (``fromXContent``): reads ``queries`` (1..5), ``filter``,
   ``pagination_depth``; rejects nested hybrid
   (``search/query/HybridQueryPhaseSearcher.java:147-189``).
-- clause types: ``match`` / ``term`` (lexical BM25, §2.2),
-  ``neural_sparse`` (token-weight map), ``neural`` (dense kNN over the
-  doc-embedding column via the deterministic stand-in model —
-  ``NeuralQueryBuilder.java:1145-1152`` rewrite surface with
+- clause types: ``match`` / ``term`` / ``match_phrase`` (lexical BM25,
+  §2.2), ``multi_match``, ``bool`` (recursive sub-clauses), ``prefix`` /
+  ``fuzzy`` / ``terms`` (constant-score rewrites), ``span_near``
+  (positional), ``neural_sparse`` (token-weight map), ``neural`` (dense
+  kNN over the doc-embedding column via the deterministic stand-in
+  model — ``NeuralQueryBuilder.java:1145-1152`` rewrite surface with
   k/filter/min_score; see :mod:`neural_search_spark.search.neural`).
+  The reference composes clauses from arbitrary OpenSearch-core
+  ``QueryBuilders`` (``HybridQueryIT.java:139-141``); this parser covers
+  the same families the engine scores.
+- ``neural`` clause field-type dispatch: when the clause's target field
+  resolves to ``rank_features`` (authored or enricher-injected
+  ``field_type``), the clause rewrites to neural_sparse scoring —
+  ``NeuralQueryBuilder.java`` rewrites per target field type;
+  ``NeuralSparseQueryBuilder.java:520-524``.
 - the pushed ``filter`` restricts every sub-query
   (``query/HybridQueryBuilder.java:107-122``).
 - ``enrich_spec`` ≈ ``processor/NeuralQueryEnricherProcessor.java``:
@@ -32,7 +42,10 @@ from pyspark.sql import DataFrame
 from neural_search_spark.search.hybrid import MAX_SUB_QUERIES, hybrid_search
 
 LEXICAL_TYPES = ("match", "term", "match_phrase")
-CLAUSE_TYPES = LEXICAL_TYPES + ("neural_sparse", "neural")
+CONSTANT_SCORE_TYPES = ("prefix", "fuzzy", "terms")
+CLAUSE_TYPES = LEXICAL_TYPES + CONSTANT_SCORE_TYPES + (
+    "neural_sparse", "neural", "bool", "multi_match", "span_near",
+)
 
 
 def enrich_spec(spec: dict, defaults: dict[str, Any] | None = None) -> dict:
@@ -51,12 +64,82 @@ def enrich_spec(spec: dict, defaults: dict[str, Any] | None = None) -> dict:
     return out
 
 
+def _members(engine, filter_expr: str | None) -> DataFrame | None:
+    """The pushed filter's membership set (docID only) — a semi-join
+    target; per Lucene semantics it never changes stats."""
+    if filter_expr is None:
+        return None
+    from pyspark.sql import functions as F
+
+    return engine.corpus.where(filter_expr).select(F.col(engine.id_col).alias("docID"))
+
+
+def _apply_members(scored: DataFrame, members: DataFrame | None) -> DataFrame:
+    return scored if members is None else scored.join(members, "docID", "semi")
+
+
 def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
     (ctype, body), = clause.items()
     if ctype not in CLAUSE_TYPES:
         raise ValueError(f"unsupported clause type: {ctype}")
     if ctype == "hybrid":  # unreachable via CLAUSE_TYPES; kept for clarity
         raise ValueError("hybrid query cannot be nested inside hybrid")
+    if ctype == "bool":
+        # OpenSearch-core bool composition as a hybrid sub-clause
+        # (HybridQueryIT.java:139-141 builds from arbitrary QueryBuilders).
+        # The pushed hybrid filter reaches every sub-clause
+        # (HybridQueryBuilder.java:107-122).
+        from neural_search_spark.search.bm25 import bool_query_scores
+
+        extra = set(body) - {"must", "should", "must_not", "minimum_should_match"}
+        if extra:
+            raise ValueError(f"unsupported bool clause keys {sorted(extra)}")
+        return bool_query_scores(
+            must=[_score_clause(engine, c, filter_expr) for c in body.get("must", [])],
+            should=[_score_clause(engine, c, filter_expr) for c in body.get("should", [])],
+            must_not=[_score_clause(engine, c, None) for c in body.get("must_not", [])],
+            minimum_should_match=body.get("minimum_should_match"),
+        )
+    if ctype == "multi_match":
+        from neural_search_spark.search.bm25 import multi_match_scores
+
+        scored = multi_match_scores(
+            engine,
+            body["fields"],
+            body["query"],
+            match_type=body.get("type", "best_fields"),
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+        )
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "prefix":
+        from neural_search_spark.search.bm25 import prefix_query_scores
+
+        value = body["value"] if isinstance(body, dict) else body
+        scored = prefix_query_scores(engine, value)
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "fuzzy":
+        from neural_search_spark.search.bm25 import fuzzy_query_scores
+
+        value = body["value"] if isinstance(body, dict) else body
+        scored = fuzzy_query_scores(
+            engine,
+            value,
+            max_edits=int(body.get("fuzziness", 1)) if isinstance(body, dict) else 1,
+            prefix_length=int(body.get("prefix_length", 0)) if isinstance(body, dict) else 0,
+        )
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "terms":
+        from neural_search_spark.search.bm25 import terms_query_scores
+
+        values = body if isinstance(body, list) else body.get("values") or body["query"]
+        scored = terms_query_scores(engine, list(values))
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "span_near":
+        # positional-index clause; ``positions`` is the caller-supplied
+        # PositionalIndex (same convention as neural's ``embeddings`` /
+        # neural_sparse's ``postings`` artifact handles)
+        scored = body["positions"].span_near(body["query"], slop=int(body.get("slop", 0)))
+        return _apply_members(scored, _members(engine, filter_expr))
     if ctype == "neural":
         # NeuralQueryBuilder.java:1145-1152 → NeuralKNNQueryBuilder.java:33-41
         # rewrite: embed the query text (deterministic stand-in model —

@@ -117,7 +117,7 @@ def test_match_phrase_overlapping_occurrences(spark):
 
 
 def test_multi_match_best_vs_most_fields(spark):
-    from neural_search_spark.search.bm25 import multi_match_scores
+    from neural_search_spark.search.bm25 import BM25Engine, multi_match_scores
 
     rows = [
         (0, "alpha beta", "alpha"),   # matches both fields
@@ -126,11 +126,14 @@ def test_multi_match_best_vs_most_fields(spark):
         (3, "qqq", "rrr"),            # no match
     ]
     df = spark.createDataFrame(rows, "docID long, content string, title string")
+    eng = BM25Engine(spark, df)
     fields = {"content": 1.0, "title": 2.0}
     best = {r["docID"]: r["score"] for r in multi_match_scores(
-        spark, df, fields, "alpha", match_type="best_fields", tie_breaker=0.0).collect()}
+        eng, fields, "alpha", match_type="best_fields", tie_breaker=0.0).collect()}
     most = {r["docID"]: r["score"] for r in multi_match_scores(
-        spark, df, fields, "alpha", match_type="most_fields").collect()}
+        eng, fields, "alpha", match_type="most_fields").collect()}
+    # second call reuses the per-field artifacts built on the engine
+    assert set(eng._field_artifacts) == {"title"}
     assert set(best) == set(most) == {0, 1, 2}
     # single-field docs: identical under both types
     assert best[1] == most[1] and best[2] == most[2]
@@ -139,16 +142,16 @@ def test_multi_match_best_vs_most_fields(spark):
     assert best[0] == max(most[0] - best[0], best[0])  # max component
     # tie_breaker interpolates between the two
     half = {r["docID"]: r["score"] for r in multi_match_scores(
-        spark, df, fields, "alpha", match_type="best_fields", tie_breaker=1.0).collect()}
+        eng, fields, "alpha", match_type="best_fields", tie_breaker=1.0).collect()}
     assert abs(half[0] - most[0]) < 1e-12
 
 
 def test_multi_match_rejects_unknown_type(spark):
-    from neural_search_spark.search.bm25 import multi_match_scores
+    from neural_search_spark.search.bm25 import BM25Engine, multi_match_scores
 
     df = spark.createDataFrame([(0, "a", "b")], "docID long, content string, title string")
     with pytest.raises(ValueError):
-        multi_match_scores(spark, df, {"content": 1.0}, "a", match_type="cross_fields")
+        multi_match_scores(BM25Engine(spark, df), {"content": 1.0}, "a", match_type="cross_fields")
 
 
 @pytest.fixture()
