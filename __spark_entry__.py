@@ -416,6 +416,67 @@ def q_neural_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neural_clause_scores(emb, qv, k=10, min_score=NEURAL_MIN_SCORE)
 
 
+NEURAL_MAX_DISTANCE = 0.93  # cos ≥ 1 − d²/2 ≈ 0.5675: inside the top-10 band
+
+
+def q_neural_max_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial variant of the neural query: max_distance instead of
+    min_score (NeuralKNNQueryBuilder.java:33-41 exposes exactly one of
+    the two bounds). With L2-normalized stand-in vectors the bound keeps
+    docs with 2·(1−cos) ≤ max_distance²."""
+    from neural_search_spark.search.neural import (
+        neural_clause_scores,
+        query_embedding_stub,
+    )
+
+    emb = _doc_embeddings(spark, sf_dir)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    return neural_clause_scores(emb, qv, k=10, max_distance=NEURAL_MAX_DISTANCE)
+
+
+def q_neural_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neural_knn ``rescore``: coarse int8-dequantized cosine selects a
+    3×k window, the exact float cosine rescores only that window
+    (OpenSearch k-NN rescore oversample; composes the ann_quantized path
+    with an exact verify)."""
+    from neural_search_spark.pipeline.ann import ann_quantized_rescore_topk
+
+    return ann_quantized_rescore_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_ID, k=10, oversample=3
+    )
+
+
+def q_neural_nested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neural over a nested chunk field, score_mode=max with the best-chunk
+    inner hit (expand_nested=false)."""
+    from neural_search_spark.analysis.chunking import chunk_table
+    from neural_search_spark.search.neural import (
+        neural_nested_scores,
+        query_embedding_stub,
+    )
+
+    c = corpus_from_documents(spark, sf_dir)
+    chunks = chunk_table(c, "content", "docID", "delimiter", delimiter=CHUNK_DELIM)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    return neural_nested_scores(chunks, qv, expand_nested=False, k=10)
+
+
+def q_neural_nested_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same nested neural query with expand_nested=true: every scored chunk
+    row of the top parents (NeuralKNNQueryBuilder.java:33-41 expand_nested;
+    the all-nested-matches inner-hits view)."""
+    from neural_search_spark.analysis.chunking import chunk_table
+    from neural_search_spark.search.neural import (
+        neural_nested_scores,
+        query_embedding_stub,
+    )
+
+    c = corpus_from_documents(spark, sf_dir)
+    chunks = chunk_table(c, "content", "docID", "delimiter", delimiter=CHUNK_DELIM)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    return neural_nested_scores(chunks, qv, expand_nested=True, k=10)
+
+
 def q_rerank_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rerank.ml_opensearch with the deterministic stand-in cross-encoder:
     BM25 top-50 window, scores REPLACED by model similarity, re-sorted
@@ -670,6 +731,33 @@ def q_hybrid_spec_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     out = parse_hybrid_spec(eng, spec, k=10, enricher_defaults=defaults)
+    return _round_score(out)
+
+
+def q_hybrid_spec_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed bool + prefix + neural request through the dict parser — the
+    reference composes hybrid clauses from arbitrary OpenSearch-core
+    QueryBuilders (HybridQueryIT.java:139-141); this exercises the round-3
+    parser surface: a recursive bool clause, a constant-score rewrite, and
+    a model-backed dense clause in one normalize/combine pass."""
+    from neural_search_spark.search.spec import parse_hybrid_spec
+
+    eng = _engine(spark, sf_dir)
+    spec = {
+        "queries": [
+            {
+                "bool": {
+                    "must": [{"match": {"query": BOOL_MUST}}],
+                    "should": [{"match": {"query": q}} for q in BOOL_SHOULD],
+                    "minimum_should_match": 1,
+                }
+            },
+            {"prefix": {"value": PREFIX_Q}},
+            {"neural": {"query": NEURAL_QUERY, "embeddings": _doc_embeddings(spark, sf_dir)}},
+        ],
+        "pagination_depth": HYBRID_DEPTH,
+    }
+    out = parse_hybrid_spec(eng, spec, k=10)
     return _round_score(out)
 
 
@@ -1010,6 +1098,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        # -- new in round 3 --
+        "hybrid_spec_full": q_hybrid_spec_full,
+        "neural_max_distance": q_neural_max_distance,
+        "neural_rescored_topk": q_neural_rescored_topk,
+        "neural_nested_topk": q_neural_nested_topk,
+        "neural_nested_expand": q_neural_nested_expand,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1169,6 +1263,16 @@ def oracle_sql() -> dict[str, str]:
             depth=HYBRID_DEPTH,
         ),
         "neural_topk": osql.neural_topk_sql(_neural_qv(), k=10, min_score=NEURAL_MIN_SCORE),
+        "neural_max_distance": osql.neural_topk_sql(
+            _neural_qv(), k=10, max_distance=NEURAL_MAX_DISTANCE
+        ),
+        "neural_rescored_topk": psql.ann_quantized_rescore_topk_sql(ANN_QUERY_ID, 10, 3),
+        "neural_nested_topk": osql.neural_nested_sql(
+            _neural_qv(), CHUNK_DELIM, k=10, expand_nested=False
+        ),
+        "neural_nested_expand": osql.neural_nested_sql(
+            _neural_qv(), CHUNK_DELIM, k=10, expand_nested=True
+        ),
         "rerank_ml": osql.rerank_ml_sql(tt(Q_MATCH), _qv_of(Q_MATCH), window=50, k=10),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
         "hybrid_agg_metrics": osql.hybrid_agg_metrics_sql(h2),
@@ -1191,6 +1295,21 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
         "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
         "hybrid_max_score": osql.hybrid_max_score_sql(h2, depth=HYBRID_DEPTH),
+        "hybrid_spec_full": osql.hybrid_mixed_topk_sql(
+            [
+                {
+                    "kind": "bool",
+                    "must": [tt(BOOL_MUST)],
+                    "should": [tt(q) for q in BOOL_SHOULD],
+                    "minimum_should_match": 1,
+                },
+                {"kind": "prefix", "prefix": PREFIX_Q},
+                {"kind": "neural", "qvec": _neural_qv()},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+        ),
         "hybrid_spec_enriched": osql.hybrid_mixed_topk_sql(
             [
                 {"kind": "match", "terms": tt(Q_MATCH)},

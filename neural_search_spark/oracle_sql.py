@@ -593,6 +593,25 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def _prefix_clause_ctes(i: int, prefix: str, depth: int | None, doc_filter: str | None) -> str:
+    """Constant-score prefix clause inside a hybrid (MultiTermQuery
+    CONSTANT_SCORE rewrite — every matching doc scores 1.0; the depth cut
+    falls back to the docID-asc tie-break)."""
+    p = prefix.lower().replace("'", "''")
+    filt = (
+        f"AND tf.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    return f"""
+sc{i} AS (
+    SELECT DISTINCT docID, 1.0 AS score FROM tf
+    WHERE starts_with(term, '{p}') {filt}
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
 def _mixed_clause_ctes(
     i: int, spec: dict, k1: float, b: float, depth: int | None, doc_filter: str | None
 ) -> str:
@@ -620,6 +639,8 @@ def _mixed_clause_ctes(
         return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
     if kind == "phrase":
         return _phrase_clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
+    if kind == "prefix":
+        return _prefix_clause_ctes(i, spec["prefix"], depth, doc_filter)
     raise ValueError(f"unknown clause kind {kind}")
 
 
@@ -665,11 +686,22 @@ LIMIT {k}
 """
 
 
-def neural_topk_sql(qvec: list[float], k: int = 10, min_score: float | None = None) -> str:
+def neural_topk_sql(
+    qvec: list[float],
+    k: int = 10,
+    min_score: float | None = None,
+    max_distance: float | None = None,
+) -> str:
     """Standalone dense ``neural`` query (the NeuralKNNQueryBuilder rewrite
-    surface: k + optional min_score over the stand-in embedding column)."""
+    surface: k + optional min_score OR max_distance over the stand-in
+    embedding column; the distance bound is 2·(1−score) ≤ max_distance²
+    on the rounded score, matching ``search.neural``)."""
     score = round6_sql(_neural_dot(qvec))
-    filt = f"WHERE {score} >= {float(min_score)!r}" if min_score is not None else ""
+    filt = ""
+    if min_score is not None:
+        filt = f"WHERE {score} >= {float(min_score)!r}"
+    elif max_distance is not None:
+        filt = f"WHERE 2.0 * (1.0 - {score}) <= {float(max_distance) ** 2!r}"
     return f"""
 WITH {_neural_prelude().strip()}
 SELECT docID, {score} AS score
@@ -678,6 +710,88 @@ FROM edim
 ORDER BY score DESC, docID
 LIMIT {k}
 """
+
+
+def neural_nested_sql(
+    qvec: list[float],
+    delimiter: str,
+    k: int = 10,
+    expand_nested: bool = False,
+    n_dims: int = 8,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.neural.neural_nested_scores`:
+    delimiter-chunked nested docs, stand-in embedding per chunk, cosine vs
+    the query (6 dp), parents ranked by best chunk (score_mode=max).
+    ``expand_nested`` switches between the per-parent inner-hit view and
+    every chunk row of the selected parents."""
+    d = delimiter.replace("'", "''")
+    dims = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN c.dim = {j} THEN c.v END), 0.0) / n.nrm AS d{j}"
+        for j in range(n_dims)
+    )
+    score = round6_sql(_neural_dot(qvec))
+    base = f"""
+WITH split AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, string_split(text, '{d}') AS parts
+    FROM documents
+),
+chunks AS (
+    SELECT docID,
+           CAST(ord - 1 AS INT) AS chunk_idx,
+           part || CASE WHEN ord < n THEN '{d}' ELSE '' END AS chunk
+    FROM (
+        SELECT docID,
+               unnest(parts) AS part,
+               unnest(range(1, len(parts) + 1)) AS ord,
+               len(parts) AS n
+        FROM split
+    )
+    WHERE NOT (ord = n AND part = '')
+),
+ctoks AS (
+    SELECT docID, chunk_idx,
+           unnest(regexp_extract_all(lower(chunk), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM chunks
+),
+ccnt AS (
+    SELECT docID, chunk_idx, CAST(length(term) % {n_dims} AS INT) AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM ctoks GROUP BY docID, chunk_idx, dim
+),
+cnrm AS (
+    SELECT docID, chunk_idx, SQRT(SUM(v * v)) AS nrm
+    FROM ccnt GROUP BY docID, chunk_idx
+),
+cdim AS (
+    SELECT c.docID, c.chunk_idx,
+           {dims}
+    FROM ccnt c JOIN cnrm n USING (docID, chunk_idx)
+    GROUP BY c.docID, c.chunk_idx, n.nrm
+),
+csc AS (SELECT docID, chunk_idx, {score} AS score FROM cdim),
+best AS (
+    SELECT docID, score, chunk_idx AS best_chunk_idx
+    FROM (
+        SELECT docID, chunk_idx, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY docID ORDER BY score DESC, chunk_idx
+               ) AS rn
+        FROM csc
+    )
+    WHERE rn = 1
+    ORDER BY score DESC, docID
+    LIMIT {k}
+)"""
+    if not expand_nested:
+        return base + "\nSELECT docID, score, best_chunk_idx FROM best\n"
+    return (
+        base
+        + """
+SELECT csc.docID, csc.chunk_idx, csc.score
+FROM csc JOIN best USING (docID)
+ORDER BY docID, chunk_idx
+"""
+    )
 
 
 def rerank_ml_sql(terms: list[str], qvec: list[float], window: int, k: int) -> str:

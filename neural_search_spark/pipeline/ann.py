@@ -266,6 +266,52 @@ def ann_quantized_topk(
     )
 
 
+def ann_quantized_rescore_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = P.ANN_K,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase quantized search with exact rescore — the
+    ``NeuralKNNQueryBuilder`` ``rescore`` surface
+    (``query/NeuralKNNQueryBuilder.java:33-41``; OpenSearch k-NN rescore
+    with an oversample factor): the int8-dequantized cosine selects a
+    ``k × oversample`` candidate window cheaply, then the exact float
+    cosine rescores ONLY that window.
+
+    Scale shape: the coarse pass scans the byte table (4× less I/O than
+    float32) ending in TakeOrderedAndProject; the exact pass touches
+    ``k × oversample`` rows via a broadcast-able semi-join — the raw float
+    table is never fully read at query time."""
+    mn, mx = quantization_stats(emb, vec_col)
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+    qt = quantize_int8(emb, mn, mx, id_col, vec_col)
+    deq = F.transform(
+        F.col("qvec"), lambda x: F.lit(mn) + x.cast("double") * F.lit(scale)
+    )
+    d = qt.select("vec_id", deq.alias("v"))
+    cq = d.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    window = (
+        d.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(cq))
+        .select("vec_id", P.round4(_cosine("v", "qv")).alias("cscore"))
+        .orderBy(F.desc("cscore"), F.asc("vec_id"))
+        .limit(k * oversample)
+        .select("vec_id")
+    )
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    rq = e.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    return (
+        e.join(window, "vec_id", "semi")
+        .crossJoin(F.broadcast(rq))
+        .select("vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_id: int,

@@ -331,6 +331,55 @@ LIMIT {k}
 """
 
 
+def ann_quantized_rescore_topk_sql(query_id: int, k: int, oversample: int = 3) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.ann.ann_quantized_rescore_topk`:
+    coarse dequantized-int8 cosine window (k × oversample, 4-dp rounded,
+    vec_id-asc tie-break) → exact float cosine over the window only."""
+    cdot = P.pairwise_dot_sql("d.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    cna = P.pairwise_dot_sql("d.v", "d.v", P.EMBEDDING_DIM, one_based=True)
+    cnb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    coarse_expr = P.round4_sql(f"{cdot} / (sqrt({cna}) * sqrt({cnb}))")
+    edot = P.pairwise_dot_sql("e.v", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    ena = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    enb = P.pairwise_dot_sql("r.qv", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    exact_expr = P.round4_sql(f"{edot} / (sqrt({ena}) * sqrt({enb}))")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+st AS (
+    SELECT CAST(MIN(list_min(v)) AS DOUBLE) AS mn,
+           CAST(MAX(list_max(v)) AS DOUBLE) AS mx
+    FROM e
+),
+sc AS (
+    SELECT mn, mx,
+           CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+    FROM st
+),
+qt AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor((CAST(x AS DOUBLE) - s.mn) / s.scale + 0.5) AS INT)) AS qv
+    FROM e, sc s
+),
+d AS (
+    SELECT vec_id, list_transform(qv, x -> s.mn + CAST(x AS DOUBLE) * s.scale) AS v
+    FROM qt, sc s
+),
+q AS (SELECT v AS qv FROM d WHERE vec_id = {query_id}),
+win AS (
+    SELECT d.vec_id, {coarse_expr} AS cscore
+    FROM d, q
+    WHERE d.vec_id != {query_id}
+    ORDER BY cscore DESC, vec_id ASC
+    LIMIT {k * oversample}
+),
+r AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id AS vec_id, {exact_expr} AS score
+FROM e JOIN win USING (vec_id), r
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def ann_lsh_topk_sql(query_id: int, k: int) -> str:
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)

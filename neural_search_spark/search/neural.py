@@ -61,6 +61,7 @@ def neural_clause_scores(
     k: int | None = None,
     candidate_docs: DataFrame | None = None,
     min_score: float | None = None,
+    max_distance: float | None = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(docID, score): cosine of the stand-in embeddings (both sides are
@@ -70,9 +71,17 @@ def neural_clause_scores(
     (score desc, docID asc). ``candidate_docs`` restricts membership (the
     pushed filter; like BM25, stats-free so order of application is
     immaterial). ``min_score`` drops candidates below the bound.
+    ``max_distance`` is the radial-search alternative bound
+    (``NeuralKNNQueryBuilder.java:33-41`` exposes exactly one of
+    min_score/max_distance): with L2-normalized vectors the Euclidean
+    distance is sqrt(2·(1−cos)), so the bound keeps docs with
+    2·(1−score) ≤ max_distance² — evaluated on the 6-dp-rounded score so
+    the cut is bit-identical on both engines.
     """
     from neural_search_spark.pipeline.ann import _dot
 
+    if min_score is not None and max_distance is not None:
+        raise ValueError("neural clause accepts min_score OR max_distance, not both")
     qv = F.array(*[F.lit(float(v)) for v in query_vector])
     scored = doc_embeddings.select(
         "docID", P.round6(_dot(F.col(vec_col), qv)).alias("score")
@@ -81,9 +90,80 @@ def neural_clause_scores(
         scored = scored.join(candidate_docs.select("docID"), "docID", "semi")
     if min_score is not None:
         scored = scored.where(F.col("score") >= float(min_score))
+    if max_distance is not None:
+        scored = scored.where(
+            F.lit(2.0) * (F.lit(1.0) - F.col("score")) <= float(max_distance) ** 2
+        )
     if k is not None:
         scored = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
     return scored
+
+
+def neural_nested_scores(
+    chunks: DataFrame,
+    query_vector: list[float],
+    expand_nested: bool = False,
+    k: int = 10,
+    chunk_col: str = "chunk",
+    parent_col: str = "docID",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """``neural`` clause against a NESTED embedding field — the
+    ``expand_nested`` surface of ``NeuralKNNQueryBuilder.java:33-41``
+    (nested unwrap in ``HybridQueryPhaseSearcher.java:83-110``).
+
+    Each nested chunk embeds through the stand-in model and scores cosine
+    against the query (6-dp rounded, like every neural clause). Parents
+    rank by their best chunk (nested ``score_mode=max``), top-k by
+    (score desc, docID asc). ``expand_nested=False`` returns one row per
+    parent — ``(docID, score, best_chunk_idx)``, the inner-hit view;
+    ``True`` returns EVERY scored chunk row of those parents —
+    ``(docID, chunk_idx, score)`` — the reference uses this to surface
+    all nested matches, not just the best one.
+
+    Scale shape: chunk embedding is the same relational stub as ingest
+    (no per-row Python), parent ranking is one groupBy(parent) shuffle,
+    and the expansion is a semi-join of chunk rows against the tiny top-k
+    parent set. Chunks with no tokens have no embedding and drop out on
+    both engines.
+    """
+    from neural_search_spark.pipeline.ann import _dot
+    from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+    # surrogate chunk key: the stub embeds one id column; chunk_idx is
+    # bounded far below 100000 by every chunker's max-chunk guard
+    keyed = chunks.select(
+        (F.col(parent_col).cast("long") * 100000 + F.col(idx_col)).alias("ckey"),
+        F.col(chunk_col).alias("ctext"),
+    )
+    emb = text_embedding_stub(keyed, text_col="ctext", id_col="ckey")
+    qv = F.array(*[F.lit(float(v)) for v in query_vector])
+    scored = emb.select(
+        (F.col("docID") / 100000).cast("long").alias("parent"),
+        (F.col("docID") % 100000).cast("int").alias(idx_col),
+        P.round6(_dot(F.col("embedding"), qv)).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy("parent").orderBy(F.desc("score"), F.asc(idx_col))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(worder))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("parent").alias(parent_col),
+            "score",
+            F.col(idx_col).alias("best_chunk_idx"),
+        )
+        .orderBy(F.desc("score"), F.asc(parent_col))
+        .limit(k)
+    )
+    if not expand_nested:
+        return best
+    return (
+        scored.join(best.select(F.col(parent_col).alias("parent")), "parent", "semi")
+        .select(F.col("parent").alias(parent_col), idx_col, "score")
+        .orderBy(parent_col, idx_col)
+    )
 
 
 def cross_encoder_stub_scores(

@@ -147,6 +147,21 @@ def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
         # k / filter / min_score. ``embeddings`` is the caller-supplied
         # (docID, embedding) table (at scale: the text_embedding processor's
         # ingest-time output column).
+        #
+        # Field-type dispatch first: a neural clause whose target field is
+        # rank_features rewrites to SPARSE scoring (NeuralQueryBuilder
+        # rewrites per target field type; NeuralSparseQueryBuilder.java:
+        # 520-524) — query tokens come from the clause or the query-side
+        # sparse encoding stub, and ``postings`` is the sparse artifact.
+        if body.get("field_type") == "rank_features":
+            from neural_search_spark.search.sparse import (
+                neural_sparse_score,
+                sparse_query_encoding_stub,
+            )
+
+            tokens = body.get("query_tokens") or sparse_query_encoding_stub(body["query"])
+            scored = neural_sparse_score(engine.spark, body["postings"], tokens)
+            return _apply_members(scored, _members(engine, filter_expr))
         from pyspark.sql import functions as F
 
         from neural_search_spark.search.neural import (
@@ -166,6 +181,7 @@ def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
             k=body.get("k"),
             candidate_docs=cand,
             min_score=body.get("min_score"),
+            max_distance=body.get("max_distance"),
         )
     if ctype == "neural_sparse":
         from pyspark.sql import functions as F

@@ -137,3 +137,60 @@ def test_spec_neural_clause_respects_filter(spark, emb):
     }
     out = parse_hybrid_spec(eng, spec, k=5).collect()
     assert [r["docID"] for r in out] == [0]
+
+
+def test_max_distance_bound(spark, docs, emb):
+    """max_distance keeps docs with 2·(1−cos) ≤ d² and excludes min_score
+    (NeuralKNNQueryBuilder exposes exactly one of the two bounds)."""
+    qv = query_embedding_stub("customer stream window partition")
+    all_scores = {
+        r["docID"]: r["score"] for r in neural_clause_scores(emb, qv).collect()
+    }
+    # bound placed just under the best score's distance: only docs at
+    # distance <= d survive
+    best = max(all_scores.values())
+    d = math.sqrt(2 * (1 - best)) + 1e-9
+    got = {r["docID"] for r in neural_clause_scores(emb, qv, max_distance=d).collect()}
+    want = {i for i, s in all_scores.items() if 2 * (1 - s) <= d * d}
+    assert got == want and got  # non-empty and exact
+    # very large bound keeps everything
+    assert {
+        r["docID"] for r in neural_clause_scores(emb, qv, max_distance=2.0).collect()
+    } == set(all_scores)
+    with pytest.raises(ValueError, match="min_score OR max_distance"):
+        neural_clause_scores(emb, qv, min_score=0.1, max_distance=0.5)
+
+
+def test_quantized_rescore_matches_exact_on_separated_data(spark):
+    """With well-separated vectors the coarse int8 window contains the true
+    top-k, so rescored results equal the exact ones."""
+    from neural_search_spark.pipeline.ann import ann_quantized_rescore_topk, cosine_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(64) + (i % 4)).tolist()) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = [r["vec_id"] for r in cosine_topk(e, 0, k=5).collect()]
+    resc = [r["vec_id"] for r in ann_quantized_rescore_topk(e, 0, k=5, oversample=4).collect()]
+    assert resc == exact
+
+
+def test_neural_nested_expand_modes(spark):
+    from neural_search_spark.search.neural import neural_nested_scores
+
+    chunks = spark.createDataFrame(
+        [
+            (0, 0, "customer stream window partition"),  # exact query text
+            (0, 1, "the quick brown fox"),
+            (1, 0, "customer stream window"),
+            (2, 0, ""),  # empty chunk drops out
+        ],
+        "docID long, chunk_idx int, chunk string",
+    )
+    qv = query_embedding_stub("customer stream window partition")
+    best = neural_nested_scores(chunks, qv, expand_nested=False, k=10).collect()
+    assert [r["docID"] for r in best][0] == 0  # exact-text chunk wins
+    assert best[0]["best_chunk_idx"] == 0
+    assert all(r["docID"] != 2 for r in best)
+    expanded = neural_nested_scores(chunks, qv, expand_nested=True, k=10).collect()
+    # every scored chunk of the selected parents, parent/chunk ordered
+    assert [(r["docID"], r["chunk_idx"]) for r in expanded] == [(0, 0), (0, 1), (1, 0)]

@@ -132,6 +132,120 @@ def test_build_metrics(spark, tmp_path, tiny_corpus):
     assert "events" in snap and "build" in snap
 
 
+def test_spec_const_score_and_multi_match_clauses(spark, engine):
+    """The full OpenSearch-core clause family through the dict parser:
+    each clause resolves to exactly the direct engine call
+    (HybridQueryIT.java:139-141 builds hybrid clauses from arbitrary
+    QueryBuilders)."""
+    from neural_search_spark.search.bm25 import (
+        fuzzy_query_scores,
+        multi_match_scores,
+        prefix_query_scores,
+        terms_query_scores,
+    )
+
+    spec = {
+        "queries": [
+            {"prefix": {"value": "ident1"}},
+            {"fuzzy": {"value": "import", "fuzziness": 1, "prefix_length": 1}},
+            {"terms": {"values": ["import", "def"]}},
+            {"multi_match": {"query": "import ident1", "fields": {"content": 1.0, "repo": 2.0}, "tie_breaker": 0.3}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [
+            prefix_query_scores(engine, "ident1"),
+            fuzzy_query_scores(engine, "import", max_edits=1, prefix_length=1),
+            terms_query_scores(engine, ["import", "def"]),
+            multi_match_scores(engine, {"content": 1.0, "repo": 2.0}, "import ident1", tie_breaker=0.3),
+        ],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_spec_bool_clause_recursive(spark, engine):
+    from neural_search_spark.search.bm25 import bool_query_scores
+
+    spec = {
+        "queries": [
+            {
+                "bool": {
+                    "must": [{"match": {"query": "import"}}],
+                    "should": [{"match": {"query": "ident1"}}, {"term": {"query": "def"}}],
+                    "must_not": [{"term": {"query": "uniq_000003"}}],
+                    "minimum_should_match": 1,
+                }
+            },
+            {"match": {"query": "return ident2"}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [
+            bool_query_scores(
+                must=[engine.match("import")],
+                should=[engine.match("ident1"), engine.term("def")],
+                must_not=[engine.term("uniq_000003")],
+                minimum_should_match=1,
+            ),
+            engine.match("return ident2"),
+        ],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
+    with pytest.raises(ValueError, match="unsupported bool clause keys"):
+        parse_hybrid_spec(
+            engine,
+            {"queries": [{"bool": {"must": [{"match": "a"}], "boost": 2.0}}]},
+        )
+
+
+def test_spec_neural_rank_features_rewrites_sparse(spark, engine):
+    """neural clause targeting a rank_features field rewrites to sparse
+    scoring (NeuralQueryBuilder field-type dispatch;
+    NeuralSparseQueryBuilder.java:520-524)."""
+    from neural_search_spark.search.sparse import (
+        neural_sparse_score,
+        sparse_features_from_tf,
+        sparse_postings,
+        sparse_query_encoding_stub,
+    )
+
+    postings = sparse_postings(sparse_features_from_tf(engine.corpus)).cache()
+    qtext = "import ident1 ident1"
+    spec = {
+        "queries": [
+            {"neural": {"query": qtext, "field_type": "rank_features", "postings": postings}},
+            {"match": {"query": "def return"}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [
+            neural_sparse_score(spark, postings, sparse_query_encoding_stub(qtext)),
+            engine.match("def return"),
+        ],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
+    # the stub doubles repeated query terms, like tf on the doc side
+    assert sparse_query_encoding_stub(qtext)["ident1"] == 2.0
+
+
 def test_spec_match_phrase_clause(spark, engine):
     from neural_search_spark.analysis.tokenizer import tokenize_text
 
