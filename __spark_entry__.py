@@ -644,6 +644,46 @@ def q_highlight_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for the STREAMING windowed_doc_stats plan:
+    the aggregation is mode-agnostic (same function runs under
+    readStream/writeStream in streaming/analytics.py, pinned by
+    tests/test_streaming.py); here it runs in batch over documents with a
+    deterministic synthetic event time (2026-01-01 + doc_id seconds) so
+    the DuckDB oracle can check the exact window/group/stat values."""
+    from neural_search_spark.streaming.analytics import windowed_doc_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("timestamp'2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND").alias(
+            "event_time"
+        ),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    agg = windowed_doc_stats(
+        docs, window_duration="1 minute", group_col="lang"
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round("avg_dl", 4).alias("avg_dl"),
+    ).orderBy("window_start", "lang")
+
+
+def q_highlight_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic highlighter with the stand-in QA model
+    (highlight/SemanticHighlighterEngine.java): fragment = sentence
+    analog, scored by cosine(fragment embedding, query embedding) —
+    completes the last model-backed surface next to the lexical analog."""
+    from neural_search_spark.search.ops import highlight_semantic
+
+    eng = _engine(spark, sf_dir)
+    cand = _round_score(topk(eng.match(Q_MATCH), 10))
+    return highlight_semantic(cand, eng.corpus, Q_MATCH, fragment_delim=CHUNK_DELIM)
+
+
 def q_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_embedding processor plumbing with a deterministic stand-in model
     (long form for the oracle compare)."""
@@ -1104,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neural_rescored_topk": q_neural_rescored_topk,
         "neural_nested_topk": q_neural_nested_topk,
         "neural_nested_expand": q_neural_nested_expand,
+        "highlight_semantic": q_highlight_semantic,
+        "stream_window_stats_batch": q_stream_window_stats_batch,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1184,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
         "events_window_agg": psql.events_window_agg_sql(),
+        "stream_window_stats_batch": psql.stream_window_stats_batch_sql(),
         "events_sessionize": psql.events_sessionize_sql(),
         "events_json_prop": psql.events_json_prop_sql(),
         "events_percentiles": psql.events_percentiles_sql(),
@@ -1287,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
             SPARSE_QTOK, k=10, doc_prune=("max_ratio", 0.4)
         ),
         "highlight_match": osql.highlight_sql(tt(Q_MATCH), CHUNK_DELIM, depth=10),
+        "highlight_semantic": osql.highlight_semantic_sql(
+            tt(Q_MATCH), _qv_of(Q_MATCH), CHUNK_DELIM, depth=10
+        ),
         "text_embedding": osql.text_embedding_sql(),
         "rerank_by_field": osql.rerank_by_field_sql(tt(Q_MATCH), "n_chars", depth=50, k=10),
         "sort_search_after": osql.sort_search_after_sql(

@@ -1096,6 +1096,69 @@ ORDER BY score DESC, docID
 """
 
 
+def highlight_semantic_sql(
+    terms: list[str],
+    qvec: list[float],
+    fragment_delim: str,
+    depth: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_dims: int = 8,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.ops.highlight_semantic`:
+    BM25 top-``depth`` hits, per-fragment stand-in embedding, best
+    fragment by cosine vs the query embedding (6 dp; token-free fragments
+    score 0), ties to the earliest fragment."""
+    d = fragment_delim.replace("'", "''")
+    inner = bm25_topk_sql(terms, k=depth, k1=k1, b=b)
+    dims = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN c.dim = {j} THEN c.v END), 0.0) / n.nrm AS d{j}"
+        for j in range(n_dims)
+    )
+    sim = round6_sql(_neural_dot(qvec))
+    return f"""
+WITH cand AS ({inner}),
+frags AS (
+    SELECT cand.docID, cand.score,
+           unnest(string_split(doc.text, '{d}')) AS fragment,
+           CAST(unnest(range(0, len(string_split(doc.text, '{d}')))) AS INT) AS frag_idx
+    FROM cand JOIN documents doc ON cand.docID = CAST(doc.doc_id AS BIGINT)
+),
+ftoks AS (
+    SELECT docID, frag_idx,
+           unnest(regexp_extract_all(lower(fragment), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM frags
+),
+fcnt AS (
+    SELECT docID, frag_idx, CAST(length(term) % {n_dims} AS INT) AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM ftoks GROUP BY docID, frag_idx, dim
+),
+fnrm AS (
+    SELECT docID, frag_idx, SQRT(SUM(v * v)) AS nrm
+    FROM fcnt GROUP BY docID, frag_idx
+),
+fdim AS (
+    SELECT c.docID, c.frag_idx,
+           {dims}
+    FROM fcnt c JOIN fnrm n USING (docID, frag_idx)
+    GROUP BY c.docID, c.frag_idx, n.nrm
+),
+fsim AS (SELECT docID, frag_idx, {sim} AS sim FROM fdim),
+scored AS (
+    SELECT f.docID, f.score, f.frag_idx, f.fragment,
+           COALESCE(s.sim, 0.0) AS sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY f.docID ORDER BY COALESCE(s.sim, 0.0) DESC, f.frag_idx
+           ) AS rn
+    FROM frags f LEFT JOIN fsim s ON f.docID = s.docID AND f.frag_idx = s.frag_idx
+)
+SELECT docID, score, frag_idx, fragment, sim
+FROM scored WHERE rn = 1
+ORDER BY score DESC, docID
+"""
+
+
 def text_embedding_sql(n_dims: int = 8) -> str:
     """Deterministic text_embedding stand-in (dim = token length %% n_dims,
     L2-normalized), long form (docID, dim, value) — mirrors

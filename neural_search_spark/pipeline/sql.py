@@ -565,6 +565,29 @@ WHERE n_frames > 0
 # ---------------------------------------------------------------------------
 
 
+def stream_window_stats_batch_sql() -> str:
+    """Twin of the batch-mode run of
+    :func:`neural_search_spark.streaming.analytics.windowed_doc_stats`
+    (synthetic event time = 2026-01-01 + doc_id seconds, 1-minute
+    tumbling windows grouped by lang)."""
+    return f"""
+WITH docs AS (
+    SELECT TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS event_time,
+           lang,
+           len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS dl
+    FROM documents
+)
+SELECT time_bucket(INTERVAL 1 MINUTE, event_time) AS window_start,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS total_tokens,
+       {P.round4_sql('SUM(dl) / COUNT(*)')} AS avg_dl
+FROM docs
+GROUP BY 1, 2
+ORDER BY window_start, lang
+"""
+
+
 def events_window_agg_sql(window_hours: int = 1) -> str:
     """Twin of :func:`neural_search_spark.pipeline.events.window_agg`."""
     return f"""

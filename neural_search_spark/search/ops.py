@@ -299,3 +299,70 @@ def highlight_best_fragment(
         .select("docID", F.round("score", 4).alias("score"), F.col("frag_idx").cast("int").alias("frag_idx"), "fragment", "hits")
         .orderBy(F.desc("score"), F.asc("docID"))
     )
+
+
+def highlight_semantic(
+    results: DataFrame,
+    corpus: DataFrame,
+    query_text: str,
+    fragment_delim: str = "\n",
+    content_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Semantic highlighter (``highlight/SemanticHighlighterEngine.java``)
+    with the deterministic stand-in embedding model replacing the QA
+    model — the same swap that backs the ``neural``/``rerank_ml``
+    surfaces: each fragment (sentence analog) scores
+    cosine(fragment embedding, query embedding), the best fragment per
+    hit wins, ties to the earliest fragment. Fragments with no tokens
+    have no embedding and score 0. Returns
+    ``(docID, score, frag_idx, fragment, sim)``.
+
+    Plan shape: broadcast the top-k results onto the corpus, posexplode
+    fragments, relational per-fragment embedding (groupBy over fragment
+    tokens — no per-row Python), one window per doc.
+    """
+    import re
+
+    from neural_search_spark.pipeline.ann import _dot
+    from neural_search_spark.pipeline import params as P
+    from neural_search_spark.pipeline.embedding import text_embedding_stub
+    from neural_search_spark.search.neural import query_embedding_stub
+
+    hits_df = results.select(F.col("docID").alias("_hit_id"), "score")
+    frags = corpus.join(
+        F.broadcast(hits_df), corpus[id_col] == F.col("_hit_id"), "inner"
+    ).select(
+        F.col("_hit_id").alias("docID"),
+        "score",
+        F.posexplode(F.split(F.col(content_col), re.escape(fragment_delim))).alias(
+            "frag_idx", "fragment"
+        ),
+    )
+    keyed = frags.select(
+        (F.col("docID").cast("long") * 100000 + F.col("frag_idx")).alias("ckey"),
+        F.col("fragment").alias("ctext"),
+    )
+    femb = text_embedding_stub(keyed, text_col="ctext", id_col="ckey")
+    qv = F.array(*[F.lit(float(v)) for v in query_embedding_stub(query_text)])
+    sims = femb.select(
+        (F.col("docID") / 100000).cast("long").alias("docID"),
+        (F.col("docID") % 100000).cast("int").alias("frag_idx"),
+        P.round6(_dot(F.col("embedding"), qv)).alias("sim"),
+    )
+    joined = frags.join(sims, ["docID", "frag_idx"], "left").withColumn(
+        "sim", F.coalesce("sim", F.lit(0.0))
+    )
+    w = Window.partitionBy("docID").orderBy(F.desc("sim"), F.asc("frag_idx"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "docID",
+            F.round("score", 4).alias("score"),
+            F.col("frag_idx").cast("int").alias("frag_idx"),
+            "fragment",
+            "sim",
+        )
+        .orderBy(F.desc("score"), F.asc("docID"))
+    )
