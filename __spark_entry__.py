@@ -931,6 +931,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(inject_duplicates(spark, sf_dir)).orderBy("docA", "docB")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs:
+    (docID, cluster_id) with cluster_id = min docID of the component (the
+    canonical keeper after transitive closure — A~B, B~C collapse to one
+    keeper even when LSH never emitted A~C)."""
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import connected_components, minhash_near_dups
+
+    pairs = minhash_near_dups(inject_duplicates(spark, sf_dir))
+    return connected_components(pairs)
+
+
+PACK_BUDGET = 2048
+
+
+def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (90/5/5):
+    a pure function of (seed, docID) so reruns and backfills agree
+    doc-by-doc regardless of partitioning."""
+    from neural_search_spark.pipeline.training import split_assign
+
+    return split_assign(corpus_from_documents(spark, sf_dir))
+
+
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout at a 2048-token budget: concat-then-cut
+    tape offsets via a two-stage distributed prefix sum (no global
+    sort)."""
+    from neural_search_spark.pipeline.training import pack_plan
+
+    return pack_plan(corpus_from_documents(spark, sf_dir), PACK_BUDGET)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.corpus import inject_duplicates
     from neural_search_spark.pipeline.dedup import simhash_near_dups
@@ -1146,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neural_nested_expand": q_neural_nested_expand,
         "highlight_semantic": q_highlight_semantic,
         "stream_window_stats_batch": q_stream_window_stats_batch,
+        "dedup_clusters": q_dedup_clusters,
+        "train_split_assign": q_train_split_assign,
+        "pack_plan": q_pack_plan,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1380,6 +1416,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": psql.dedup_exact_sql(),
         "dedup_minhash_lsh": psql.dedup_minhash_sql(),
+        "dedup_clusters": psql.dedup_clusters_sql(),
+        "train_split_assign": psql.train_split_assign_sql(),
+        "pack_plan": psql.pack_plan_sql(PACK_BUDGET),
         "dedup_simhash": psql.dedup_simhash_sql(),
         "dedup_ngram_jaccard": psql.dedup_ngram_jaccard_sql(),
         "dedup_embedding_cosine": psql.dedup_embedding_cosine_sql(),

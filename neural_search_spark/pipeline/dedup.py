@@ -245,6 +245,76 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "docA",
+    b_col: str = "docB",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(docID, cluster_id) for every doc in a near-dup pair: connected
+    components over the verified pair edges, cluster_id = MIN docID in the
+    component (so the cluster id IS the canonical keeper — the dedup
+    keeper rule).
+
+    A dedup pipeline needs cluster ids, not just pairs: "keep one doc per
+    group" is only well-defined after transitive closure (A~B, B~C must
+    collapse to one keeper even if A~C was never emitted by LSH).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; fixpoint in
+    O(component diameter) rounds. Near-dup components are shallow (stars /
+    short chains), so this converges in a handful of rounds where a
+    general-graph large-star/small-star dance isn't warranted. Scale
+    shape: the edge list is the (tiny) LSH-verify output, never the
+    corpus; each round is one groupBy(docID) shuffle over edges + labels,
+    and the convergence check is a 1-row aggregate. Labels persist per
+    round with the previous round explicitly unpersisted.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("docID"))
+        .distinct()
+        .withColumn("label", F.col("docID"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor = (
+                edges.join(labels, edges["src"] == labels["docID"])
+                .select(F.col("dst").alias("docID"), "label")
+            )
+            new_labels = (
+                neighbor.unionByName(labels.select("docID", "label"))
+                .groupBy("docID")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            n_changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "docID")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        return labels.select("docID", F.col("label").alias("cluster_id")).orderBy(
+            "docID"
+        )
+    finally:
+        edges.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -84,7 +84,10 @@ ORDER BY docID
 """
 
 
-def dedup_minhash_sql() -> str:
+def _minhash_pairs_block() -> str:
+    """CTE block ending in ``pairs`` (docA, docB, jaccard) — the verified
+    MinHash-LSH near-dup pairs; shared by :func:`dedup_minhash_sql` and
+    :func:`dedup_clusters_sql`."""
     sig_cols = ",\n           ".join(
         f"MIN({P.minhash_sql(i, 'sh')}) AS m{i}" for i in range(P.NUM_MINHASHES)
     )
@@ -96,8 +99,7 @@ def dedup_minhash_sql() -> str:
         )
     bands = "\n    UNION ALL\n    ".join(band_selects)
     thr = P.MINHASH_JACCARD_THRESHOLD
-    return f"""
-WITH {DUPDOCS_CTE.strip()},
+    return f"""{DUPDOCS_CTE.strip()},
 {_shingle_ctes().strip()},
 sig AS (
     SELECT docID, {sig_cols}
@@ -118,14 +120,48 @@ inter AS (
     JOIN sh a ON a.docID = c.docA
     JOIN sh b ON b.docID = c.docB AND b.sh = a.sh
     GROUP BY c.docA, c.docB
-)
-SELECT i.docA AS docA, i.docB AS docB,
-       (floor(i.inter / (ca.cnt + cb.cnt - i.inter) * 10000 + 0.5) / 10000) AS jaccard
-FROM inter i
-JOIN sizes ca ON ca.docID = i.docA
-JOIN sizes cb ON cb.docID = i.docB
-WHERE i.inter / (ca.cnt + cb.cnt - i.inter) >= {thr}
+),
+pairs AS (
+    SELECT i.docA AS docA, i.docB AS docB,
+           (floor(i.inter / (ca.cnt + cb.cnt - i.inter) * 10000 + 0.5) / 10000) AS jaccard
+    FROM inter i
+    JOIN sizes ca ON ca.docID = i.docA
+    JOIN sizes cb ON cb.docID = i.docB
+    WHERE i.inter / (ca.cnt + cb.cnt - i.inter) >= {thr}
+)"""
+
+
+def dedup_minhash_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_block()}
+SELECT docA, docB, jaccard
+FROM pairs
 ORDER BY docA, docB
+"""
+
+
+def dedup_clusters_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.dedup.connected_components`
+    over the MinHash near-dup pairs: transitive closure via a recursive
+    min-label CTE; cluster_id = MIN docID reachable (undirected)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_block()},
+edges AS (
+    SELECT docA AS src, docB AS dst FROM pairs
+    UNION
+    SELECT docB AS src, docA AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS docID FROM edges),
+reach AS (
+    SELECT docID, docID AS root FROM nodes
+    UNION
+    SELECT e.dst AS docID, r.root AS root
+    FROM reach r JOIN edges e ON e.src = r.docID
+)
+SELECT docID, MIN(root) AS cluster_id
+FROM reach
+GROUP BY docID
+ORDER BY docID
 """
 
 
@@ -563,6 +599,48 @@ WHERE n_frames > 0
 # ---------------------------------------------------------------------------
 # Event analytics (over the raw events view)
 # ---------------------------------------------------------------------------
+
+
+def train_split_assign_sql(seed: str = "split-v1") -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.split_assign`
+    (default 90/5/5 weights, md5-prefix hash32, seed-versioned)."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docID,
+       CAST({h} % 10000 AS INT) AS bucket,
+       CASE WHEN {h} % 10000 < 9000 THEN 'train'
+            WHEN {h} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY docID
+"""
+
+
+def pack_plan_sql(budget: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.pack_plan`:
+    exclusive prefix sum of token counts in docID order, pack = offset
+    div budget, span = packs touched by [start, start+dl)."""
+    return f"""
+WITH dl AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           CAST(len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS BIGINT) AS dl
+    FROM documents
+),
+c AS (
+    SELECT docID, dl,
+           COALESCE(SUM(dl) OVER (
+               ORDER BY docID ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start_offset
+    FROM dl
+)
+SELECT docID, dl, start_offset,
+       CAST(floor(start_offset / {budget}) AS BIGINT) AS pack_id,
+       CAST(CASE WHEN dl = 0 THEN 0
+            ELSE floor((start_offset + dl - 1) / {budget}) - floor(start_offset / {budget}) + 1
+       END AS BIGINT) AS n_packs
+FROM c
+ORDER BY docID
+"""
 
 
 def stream_window_stats_batch_sql() -> str:

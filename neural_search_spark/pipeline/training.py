@@ -1,0 +1,135 @@
+"""Training-data pipeline operators: deterministic splits and sequence
+packing.
+
+The reference is a search plugin with no training-data surface; these are
+the operations a 100 TB LLM-pretraining pipeline runs downstream of the
+dedup/quality stages in this package (SURVEY.md's pipeline scope). Both
+ops are deterministic, engine-agnostic contracts shared with the DuckDB
+oracle (:mod:`neural_search_spark.pipeline.sql`).
+
+- :func:`split_assign` — hash-based train/val/test assignment. The split
+  must be a pure function of the document identity (not of partitioning,
+  sampling order, or cluster size) so reruns, backfills and multi-site
+  processing agree doc-by-doc.
+- :func:`pack_plan` — sequence-packing layout: documents are laid out in
+  docID order on one global token tape and cut every ``budget`` tokens
+  (the standard concat-then-cut LLM pretraining packing; documents may
+  straddle a boundary). The op emits each doc's tape offset, owning pack,
+  and how many packs it spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import term_freqs_udf
+
+SPLIT_BUCKETS = 10000
+DEFAULT_SPLITS = (("train", 9000), ("val", 500), ("test", 500))  # per-10000 weights
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "docID",
+    splits: tuple = DEFAULT_SPLITS,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """(docID, bucket, split): deterministic hash split.
+
+    bucket = hash32(seed || ':' || docID) mod 10000; split boundaries are
+    the cumulative weights (train < 9000 <= val < 9500 <= test). The hash
+    is the engine-wide md5-prefix hash32 (``pipeline/params.py``) so
+    Spark, DuckDB and Python agree bit-for-bit; the ``seed`` string
+    versions the split (changing it re-rolls every assignment).
+
+    Scale shape: a single projection — no shuffle, no sampling, no state.
+    """
+    from neural_search_spark.pipeline import params as P
+
+    total = sum(w for _, w in splits)
+    if total != SPLIT_BUCKETS:
+        raise ValueError(f"split weights must sum to {SPLIT_BUCKETS}, got {total}")
+    bucket = F.expr(
+        P.hash32_sql_spark(f"concat('{seed}', ':', CAST({id_col} AS STRING))")
+    ) % SPLIT_BUCKETS
+    expr = None
+    acc = 0
+    for name, w in splits:
+        acc += w
+        cond = F.col("bucket") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        df.select(F.col(id_col).alias("docID"))
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("split", expr)
+        .orderBy("docID")
+    )
+
+
+def pack_plan(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "content",
+    id_col: str = "docID",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """(docID, dl, start_offset, pack_id, n_packs): sequence-packing layout
+    for a token budget.
+
+    Contract: documents concatenate in docID order into one token tape;
+    pack ``p`` owns tape positions [p·budget, (p+1)·budget). A document's
+    ``pack_id`` is the pack containing its first token; ``n_packs`` is how
+    many packs it spans (> 1 when it straddles boundaries — the standard
+    concat-then-cut pretraining layout). Zero-length documents occupy the
+    pack at their offset and span 0 packs.
+
+    Scale shape: a global prefix sum WITHOUT a global sort — the two-stage
+    distributed scan: range-partition by docID, per-partition running sums
+    (window within partition), then a tiny per-partition-totals aggregate
+    (``n_ranges`` rows) is collected, prefix-summed driver-side, and
+    broadcast back as each partition's base offset. No single-partition
+    bottleneck at any size; the only wide exchange is the range partition.
+    """
+    dl = df.select(
+        F.col(id_col).alias("docID"),
+        term_freqs_udf(F.col(text_col)).getField("dl").cast("long").alias("dl"),
+    )
+    parts = dl.repartitionByRange(n_ranges, "docID").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("docID")
+    local = parts.withColumn(
+        "_local_start", F.sum("dl").over(w) - F.col("dl")
+    ).persist()
+    totals = (
+        local.groupBy("_pid").agg(F.sum("dl").alias("_t")).orderBy("_pid").collect()
+    )
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = base
+        base += int(r["_t"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    start = F.col("_local_start") + F.col("_off")
+    end = start + F.col("dl")  # exclusive
+    out = (
+        local.join(off_df, "_pid")
+        .select(
+            "docID",
+            "dl",
+            start.alias("start_offset"),
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            F.when(F.col("dl") == 0, F.lit(0))
+            .otherwise(F.floor((end - 1) / budget) - F.floor(start / budget) + 1)
+            .cast("long")
+            .alias("n_packs"),
+        )
+        .orderBy("docID")
+    )
+    return out

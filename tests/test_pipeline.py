@@ -402,3 +402,52 @@ def test_window_agg_counts(spark):
         for r in window_agg(df).collect()
     }
     assert got == {(10, "view"): (2, 5.0, 2), (10, "click"): (1, 5.0, 1), (11, "view"): (1, 4.0, 1)}
+
+
+def test_connected_components_transitive(spark):
+    from neural_search_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 7)], "docA long, docB long"
+    )
+    got = {r["docID"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    # chain 1-2-3 collapses to min id 1 even though (1,3) was never a pair
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 20: 7}
+
+
+def test_split_assign_deterministic(spark):
+    from neural_search_spark.pipeline import params as P
+    from neural_search_spark.pipeline.training import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "docID long")
+    rows = split_assign(df).collect()
+    assert len(rows) == 200
+    for r in rows[:20]:
+        b = P.hash32_py(f"split-v1:{r['docID']}") % 10000
+        assert r["bucket"] == b
+        assert r["split"] == ("train" if b < 9000 else "val" if b < 9500 else "test")
+    # re-run identical (pure function of id, not of partitioning)
+    again = split_assign(df.repartition(7)).collect()
+    assert {(r["docID"], r["split"]) for r in again} == {
+        (r["docID"], r["split"]) for r in rows
+    }
+    with pytest.raises(ValueError, match="sum"):
+        split_assign(df, splits=(("train", 5000),))
+
+
+def test_pack_plan_offsets_and_straddle(spark):
+    from neural_search_spark.pipeline.training import pack_plan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # dl 3, start 0, pack 0
+            (1, " ".join(["t"] * 6)),  # dl 6, start 3, spans packs 0-1 (budget 8)
+            (2, ""),               # dl 0, start 9, occupies pack 1, spans 0
+            (3, "x y"),            # dl 2, start 9, pack 1
+        ],
+        "docID long, content string",
+    )
+    got = {r["docID"]: r for r in pack_plan(docs, budget=8, n_ranges=2).collect()}
+    assert [got[i]["start_offset"] for i in range(4)] == [0, 3, 9, 9]
+    assert [got[i]["pack_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [got[i]["n_packs"] for i in range(4)] == [1, 2, 0, 1]
