@@ -207,6 +207,20 @@ def q_bm25_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(out, 10))
 
 
+def q_bm25_match_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match with operator=and: every distinct query term required
+    (OpenSearch-core MatchQuery BooleanQuery-of-MUST rewrite); scores are
+    the untouched per-term BM25 sums over the surviving docs."""
+    eng = _engine(spark, sf_dir)
+    return _round_score(topk(eng.match(Q_MATCH, operator="and"), 10))
+
+
+def q_bm25_match_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match with minimum_should_match=2 of the 3 query terms."""
+    eng = _engine(spark, sf_dir)
+    return _round_score(topk(eng.match(Q_MATCH, minimum_should_match=2), 10))
+
+
 def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match(Q_FILTERED, filter_expr=FILTER_PRED), 10))
@@ -801,6 +815,57 @@ def q_hybrid_spec_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+def q_hybrid_bool_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-level boost through the dict parser: every QueryBuilder
+    carries a boost (Lucene BoostQuery wrap) multiplying its clause's
+    scores. Boost is observable inside the bool's raw-score sum (a
+    constant per-clause scale would be invisible after min_max alone)."""
+    from neural_search_spark.search.spec import parse_hybrid_spec
+
+    eng = _engine(spark, sf_dir)
+    spec = {
+        "queries": [
+            {
+                "bool": {
+                    "must": [{"match": {"query": BOOL_MUST, "boost": 2.0}}],
+                    "should": [
+                        {"match": {"query": BOOL_SHOULD[0], "boost": 0.5}},
+                        {"match": {"query": BOOL_SHOULD[1]}},
+                    ],
+                    "minimum_should_match": 1,
+                }
+            },
+            {"match": {"query": Q_MATCH}},
+        ],
+        "pagination_depth": HYBRID_DEPTH,
+    }
+    return _round_score(parse_hybrid_spec(eng, spec, k=10))
+
+
+RANGE_BOUNDS = (200, 400)  # sf0.01 n_chars spans 48..553 → all three buckets hit
+
+
+def q_hybrid_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit range-bucket aggregation under hybrid (§2.7,
+    BucketAggregationsWithHybridQueryIT family): n_chars ranges, doc
+    score = Σ raw sub-scores."""
+    lo, hi = RANGE_BOUNDS
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    docs = _documents(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_chars") < lo, f"*-{lo}")
+        .when(F.col("n_chars") < hi, f"{lo}-{hi}")
+        .otherwise(f"{hi}-*")
+    )
+    return (
+        scored.join(docs, "docID")
+        .groupBy(bucket.alias("range_key"))
+        .agg(F.count("*").alias("doc_count"), F.round(F.sum("score"), 4).alias("sum_score"))
+        .orderBy("range_key")
+    )
+
+
 def q_hybrid_collapse_per_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sub-query collapse during collection + coordinator re-collapse
     (HybridCollapsingTopDocsCollector group queues; CollapseDTO re-collapse).
@@ -1182,6 +1247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_split_assign": q_train_split_assign,
         "pack_plan": q_pack_plan,
+        "bm25_match_and_topk": q_bm25_match_and_topk,
+        "bm25_match_msm_topk": q_bm25_match_msm_topk,
+        "hybrid_bool_boosted": q_hybrid_bool_boosted,
+        "hybrid_agg_range": q_hybrid_agg_range,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1254,6 +1323,10 @@ def oracle_sql() -> dict[str, str]:
     h3 = [tt(c) for c in HYBRID_CLAUSES_3]
     return {
         "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
+        "bm25_match_and_topk": osql.bm25_topk_sql(
+            tt(Q_MATCH), k=10, min_term_match=len(set(tt(Q_MATCH)))
+        ),
+        "bm25_match_msm_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10, min_term_match=2),
         "bm25_term_topk": osql.bm25_topk_sql([Q_TERM], k=10),
         "bm25_phrase_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
         "bm25_phrase_indexed_topk": osql.match_phrase_topk_sql(tokenize_text(Q_PHRASE), k=10),
@@ -1354,6 +1427,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rerank_ml": osql.rerank_ml_sql(tt(Q_MATCH), _qv_of(Q_MATCH), window=50, k=10),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
+        "hybrid_agg_range": osql.hybrid_agg_range_sql(h2, *RANGE_BOUNDS),
+        "hybrid_bool_boosted": osql.hybrid_mixed_topk_sql(
+            [
+                {
+                    "kind": "bool",
+                    "must": [{"terms": tt(BOOL_MUST), "boost": 2.0}],
+                    "should": [
+                        {"terms": tt(BOOL_SHOULD[0]), "boost": 0.5},
+                        tt(BOOL_SHOULD[1]),
+                    ],
+                    "minimum_should_match": 1,
+                },
+                {"kind": "match", "terms": tt(Q_MATCH)},
+            ],
+            "min_max",
+            "arithmetic_mean",
+            depth=HYBRID_DEPTH,
+        ),
         "hybrid_agg_metrics": osql.hybrid_agg_metrics_sql(h2),
         "hybrid_agg_pipeline": osql.hybrid_agg_pipeline_sql(h2),
         "nested_inner_hits": osql.nested_inner_hits_sql(CHUNK_DELIM, NESTED_QUERY_TERMS, k=10),

@@ -53,20 +53,26 @@ def bm25_topk_sql(
     k1: float = 1.2,
     b: float = 0.75,
     doc_filter: str | None = None,
+    min_term_match: int | None = None,
 ) -> str:
     """BM25 top-k over ``documents``. ``doc_filter`` is a predicate over the
     ``corpus`` CTE columns (repo/lang/docID); per Lucene semantics it
     restricts *candidates* only — idf and avgdl stay index-wide
     (filters are pushed into sub-queries, ``HybridQueryBuilder.java:107-122``,
-    but Lucene stats never depend on the filter)."""
+    but Lucene stats never depend on the filter). ``min_term_match``
+    requires that many distinct query terms per doc (operator=and passes
+    the full distinct-term count; minimum_should_match passes its floor)."""
     dlq = quantize_length_sql("dls.dl")
     filt = (
         f"AND tf.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
         if doc_filter
         else ""
     )
+    having = (
+        f"HAVING COUNT(*) >= {int(min_term_match)}" if min_term_match is not None else ""
+    )
     return f"""{_PRELUDE},
-q AS (SELECT unnest({_term_list(terms)}) AS term),
+q AS (SELECT DISTINCT unnest({_term_list(terms)}) AS term),
 nd AS (SELECT tf.term, COUNT(*) AS ndoc FROM tf JOIN q USING (term) GROUP BY tf.term),
 scored AS (
     SELECT tf.docID,
@@ -80,6 +86,7 @@ scored AS (
     CROSS JOIN stats s
     WHERE 1=1 {filt}
     GROUP BY tf.docID
+    {having}
 )
 SELECT docID, ROUND(score, 4) AS score
 FROM scored
@@ -137,7 +144,15 @@ LIMIT {k}
 """
 
 
-def _clause_ctes(i: int, terms: list[str], k1: float, b: float, depth: int | None, doc_filter: str | None) -> str:
+def _clause_ctes(
+    i: int,
+    terms: list[str],
+    k1: float,
+    b: float,
+    depth: int | None,
+    doc_filter: str | None,
+    boost: float | None = None,
+) -> str:
     dlq = quantize_length_sql("dls.dl")
     filt = (
         f"AND tf.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
@@ -145,15 +160,18 @@ def _clause_ctes(i: int, terms: list[str], k1: float, b: float, depth: int | Non
         else ""
     )
     limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    # boost multiplies AFTER the sum — the engine's BoostQuery wrapper
+    # multiplies the clause's summed score, so the doubles stay identical
+    mul = f" * {float(boost)!r}" if boost is not None else ""
     return f"""
-q{i} AS (SELECT unnest({_term_list(terms)}) AS term),
+q{i} AS (SELECT DISTINCT unnest({_term_list(terms)}) AS term),
 nd{i} AS (SELECT tf.term, COUNT(*) AS ndoc FROM tf JOIN q{i} USING (term) GROUP BY tf.term),
 sc{i} AS (
     SELECT tf.docID,
            SUM(
              ln(1 + (s.n_docs - nd{i}.ndoc + 0.5) / (nd{i}.ndoc + 0.5))
              * tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))
-           ) AS score
+           ){mul} AS score
     FROM tf
     JOIN nd{i} ON tf.term = nd{i}.term
     JOIN dls ON tf.docID = dls.docID
@@ -558,8 +576,16 @@ def _bool_clause_ctes(
     nm, ns, nn = len(must), len(should), len(must_not)
     base_idx = (i + 1) * 100
     subs = list(must) + list(should) + list(must_not)
+
+    # a sub-clause is either a plain term list or {"terms": [...],
+    # "boost": x} — the BoostQuery wrap on a bool sub-clause
+    def _sub(t):
+        if isinstance(t, dict):
+            return t["terms"], t.get("boost")
+        return t, None
+
     ctes = ",".join(
-        _clause_ctes(base_idx + j, t, k1, b, None, doc_filter)
+        _clause_ctes(base_idx + j, _sub(t)[0], k1, b, None, doc_filter, boost=_sub(t)[1])
         for j, t in enumerate(subs)
     )
     if nm:
@@ -632,7 +658,9 @@ def _mixed_clause_ctes(
             must_not=spec.get("must_not", []),
         )
     if kind == "match":
-        return _clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
+        return _clause_ctes(
+            i, spec["terms"], k1, b, depth, doc_filter, boost=spec.get("boost")
+        )
     if kind == "neural":
         return _neural_clause_ctes(i, spec["qvec"], depth, doc_filter)
     if kind == "sparse":
@@ -978,6 +1006,31 @@ SELECT c.{group_col} AS {group_col},
 FROM docsum d JOIN corpus c ON d.docID = c.docID
 GROUP BY c.{group_col}
 ORDER BY {group_col}
+"""
+
+
+def hybrid_agg_range_sql(
+    clause_terms: list[list[str]],
+    lo: int,
+    hi: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Explicit range buckets (n_chars) under a hybrid query — twin of the
+    engine's range aggregation (§2.7)."""
+    n = len(clause_terms)
+    clause_sql = ",".join(_clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID)
+SELECT CASE WHEN doc.n_chars < {lo} THEN '*-{lo}'
+            WHEN doc.n_chars < {hi} THEN '{lo}-{hi}'
+            ELSE '{hi}-*' END AS range_key,
+       COUNT(*) AS doc_count,
+       ROUND(SUM(d.score), 4) AS sum_score
+FROM docsum d JOIN documents doc ON d.docID = CAST(doc.doc_id AS BIGINT)
+GROUP BY range_key
+ORDER BY range_key
 """
 
 

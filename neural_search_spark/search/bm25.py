@@ -95,8 +95,10 @@ def bm25_clause_scores(
     k1: float = K1,
     b: float = B,
     candidate_docs: DataFrame | None = None,
+    operator: str = "or",
+    minimum_should_match: int | None = None,
 ) -> DataFrame:
-    """Score one lexical clause (match/term, OR semantics) → (docID, score).
+    """Score one lexical clause (match/term) → (docID, score).
 
     ``postings`` is the long-form (docID, term, tf) DataFrame (from
     :func:`term_freq_rows` or the compressed-index reader); ``doclens``
@@ -105,7 +107,16 @@ def bm25_clause_scores(
     filter never changes idf/avgdl, so document frequency is computed
     before the filter is applied (``HybridQueryBuilder.java:107-122``
     pushes filters into clauses; Lucene stats stay index-wide).
+
+    ``operator`` — OpenSearch-core ``match`` semantics: ``"or"`` (default,
+    any term matches) or ``"and"`` (every distinct query term must occur —
+    the BooleanQuery-of-MUST rewrite). ``minimum_should_match`` — with
+    ``"or"``, the minimum count of distinct query terms a doc must
+    contain. Both are MEMBERSHIP constraints; the score stays the plain
+    per-term BM25 sum (Lucene scores the same terms it matched).
     """
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown match operator {operator}")
     terms = sorted(set(terms))
     if not terms:
         return postings.sparkSession.range(0).select(
@@ -123,7 +134,19 @@ def bm25_clause_scores(
     tf = F.col("tf").cast("double")
     tf_norm = tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl))
     term_score = idf_col(stats.n_docs, F.col("ndoc")) * tf_norm
-    return matched.groupBy("docID").agg(F.sum(term_score).alias("score"))
+    need = None
+    if operator == "and":
+        need = len(terms)
+    elif minimum_should_match:
+        need = min(int(minimum_should_match), len(terms))
+    agg = matched.groupBy("docID").agg(
+        F.sum(term_score).alias("score"), F.count("*").alias("_nt")
+    )
+    if need is not None:
+        # postings rows are distinct (term, docID) → _nt counts distinct
+        # matched query terms
+        agg = agg.where(F.col("_nt") >= need)
+    return agg.select("docID", "score")
 
 
 def phrase_freq_col(toks_col, terms: list[str]):
@@ -476,10 +499,14 @@ class BM25Engine:
         k1: float = K1,
         b: float = B,
         filter_expr: str | None = None,
+        operator: str = "or",
+        minimum_should_match: int | None = None,
     ) -> DataFrame:
-        """``match`` query: analyze the text, OR the terms (Lucene default).
-        ``filter_expr`` is a SQL predicate over corpus columns, pushed into
-        the clause (restricts candidates, not stats)."""
+        """``match`` query: analyze the text, OR the terms (Lucene default;
+        ``operator="and"`` requires every term, ``minimum_should_match``
+        sets an OR floor). ``filter_expr`` is a SQL predicate over corpus
+        columns, pushed into the clause (restricts candidates, not
+        stats)."""
         from neural_search_spark import stats as _stats
 
         _stats.record_event("match_query_requests")
@@ -487,6 +514,7 @@ class BM25Engine:
         return bm25_clause_scores(
             self.spark, self.postings, self.doclens, self.stats,
             tokenize_text(query_text), k1=k1, b=b, candidate_docs=cand,
+            operator=operator, minimum_should_match=minimum_should_match,
         )
 
     def term(self, term: str, k1: float = K1, b: float = B) -> DataFrame:

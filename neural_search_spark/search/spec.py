@@ -79,6 +79,23 @@ def _apply_members(scored: DataFrame, members: DataFrame | None) -> DataFrame:
 
 
 def _score_clause(engine, clause: dict, filter_expr: str | None) -> DataFrame:
+    """Score one clause dict; a ``boost`` key on any clause body multiplies
+    the clause's scores (every QueryBuilder carries a boost — Lucene
+    ``BoostQuery`` wraps the rewritten query)."""
+    (ctype, body), = clause.items()
+    if isinstance(body, dict) and "boost" in body:
+        from pyspark.sql import functions as F
+
+        boost = float(body["boost"])
+        inner = {ctype: {k: v for k, v in body.items() if k != "boost"}}
+        scored = _score_clause(engine, inner, filter_expr)
+        return scored.select(
+            "docID", (F.col("score") * F.lit(boost)).alias("score")
+        )
+    return _score_clause_impl(engine, clause, filter_expr)
+
+
+def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFrame:
     (ctype, body), = clause.items()
     if ctype not in CLAUSE_TYPES:
         raise ValueError(f"unsupported clause type: {ctype}")

@@ -228,3 +228,41 @@ def test_prefix_and_fuzzy_expansion(spark):
     # prefix_length pins the first letters: fable drops back out
     fz3 = {r["docID"] for r in fuzzy_query_scores(eng, "tabla", max_edits=2, prefix_length=1).collect()}
     assert fz3 == {0, 1}
+
+
+def test_match_operator_and_msm(spark):
+    from neural_search_spark.search.bm25 import BM25Engine
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha"),
+        (3, "zzz"),
+    ]
+    eng = BM25Engine(spark, spark.createDataFrame(rows, "docID long, content string"))
+    q = "alpha beta gamma"
+    or_ids = {r["docID"] for r in eng.match(q).collect()}
+    and_ids = {r["docID"] for r in eng.match(q, operator="and").collect()}
+    msm2 = {r["docID"] for r in eng.match(q, minimum_should_match=2).collect()}
+    assert or_ids == {0, 1, 2}
+    assert and_ids == {0}
+    assert msm2 == {0, 1}
+    # scores of surviving docs are the untouched OR scores
+    or_scores = {r["docID"]: r["score"] for r in eng.match(q).collect()}
+    and_scores = {r["docID"]: r["score"] for r in eng.match(q, operator="and").collect()}
+    assert and_scores[0] == or_scores[0]
+    with pytest.raises(ValueError, match="operator"):
+        eng.match(q, operator="xor")
+
+
+def test_spec_clause_boost(spark):
+    from neural_search_spark.search.bm25 import BM25Engine
+    from neural_search_spark.search.spec import _score_clause
+
+    rows = [(0, "alpha beta"), (1, "alpha"), (2, "beta")]
+    eng = BM25Engine(spark, spark.createDataFrame(rows, "docID long, content string"))
+    plain = {r["docID"]: r["score"] for r in _score_clause(eng, {"match": {"query": "alpha"}}, None).collect()}
+    boosted = {r["docID"]: r["score"] for r in _score_clause(eng, {"match": {"query": "alpha", "boost": 2.5}}, None).collect()}
+    assert set(plain) == set(boosted)
+    for d in plain:
+        assert abs(boosted[d] - 2.5 * plain[d]) < 1e-12
