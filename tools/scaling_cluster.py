@@ -1,0 +1,232 @@
+"""Postings-build scaling on a REAL multi-executor cluster (north rule).
+
+The north rule's criterion is throughput scaling efficiency >= 0.8 from N
+to 4N EXECUTORS. ``tools/scaling_run.py`` stands that in with one JVM at
+two thread counts (local[N] vs local[4N]) — but one JVM with 4x threads
+shares a single heap/GC/shuffle pipeline, which is NOT how a cluster
+scales: a real cluster adds whole executors, each with its own JVM heap,
+GC, Python workers, and shuffle server. This harness builds that shape
+inside the sandbox:
+
+- one Spark STANDALONE master (separate JVM),
+- N worker JVMs, each offering exactly 1 core and its own memory, each
+  optionally pinned to its own host CPU with ``taskset`` (a real
+  executor is cpuset-limited),
+- the SAME build job (same input files, same n_shards / shuffle
+  partitions) submitted with ``spark.executor.cores=1`` — so the two
+  levels differ ONLY in executor count: N=1 vs 4N=4.
+
+Shuffles between executors cross real JVM boundaries (netty transfer),
+per-executor overheads replicate with the executor count exactly as on a
+1000-node cluster, and host steal is sampled per run like scaling_run.
+
+Usage:
+    python tools/scaling_cluster.py            # full report (2 trials x {1,4} executors)
+    SPARK_GRAFT_SCALING_TRIALS=3 python tools/scaling_cluster.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "800"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_DIR = "/tmp/nss_scaling_corpus"
+LEVELS = tuple(
+    sorted(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(","))
+)
+N_SHARDS = 32
+EXEC_MEM = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "6g")
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _spark_class() -> list[str]:
+    home = _spark_home()
+    script = os.path.join(home, "bin", "spark-class")
+    if os.path.exists(script):
+        return [script]
+    raise SystemExit(f"spark-class not found under {home}/bin")
+
+
+def cpu_sample() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    busy = int(parts[1]) + int(parts[2]) + int(parts[3])
+    steal = int(parts[8]) if len(parts) > 8 else 0
+    return busy, steal
+
+
+class Cluster:
+    """A standalone master + n single-core pinned worker JVMs."""
+
+    def __init__(self, n_workers: int, port: int):
+        self.n = n_workers
+        self.port = port
+        self.procs: list[subprocess.Popen] = []
+
+    def __enter__(self):
+        env = {
+            **os.environ,
+            "SPARK_LOCAL_IP": "127.0.0.1",
+            "SPARK_NO_DAEMONIZE": "1",
+            "SPARK_HOME": _spark_home(),
+            "PYSPARK_PYTHON": sys.executable,
+        }
+        devnull = open(os.devnull, "wb")
+        self.procs.append(
+            subprocess.Popen(
+                _spark_class()
+                + [
+                    "org.apache.spark.deploy.master.Master",
+                    "-h", "127.0.0.1", "-p", str(self.port), "--webui-port", "0",
+                ],
+                env=env, stdout=devnull, stderr=devnull,
+            )
+        )
+        time.sleep(5)
+        pin = shutil.which("taskset")
+        for i in range(self.n):
+            cmd = _spark_class() + [
+                "org.apache.spark.deploy.worker.Worker",
+                f"spark://127.0.0.1:{self.port}",
+                "-c", "1", "-m", EXEC_MEM, "--webui-port", "0",
+            ]
+            if pin:
+                cmd = ["taskset", "-c", str(i)] + cmd
+            wenv = {**env, "SPARK_WORKER_DIR": f"/tmp/nss_worker_{self.port}_{i}"}
+            self.procs.append(
+                subprocess.Popen(cmd, env=wenv, stdout=devnull, stderr=devnull)
+            )
+        time.sleep(8)
+        return self
+
+    def __exit__(self, *exc):
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def run_level(n_exec: int, port: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from neural_search_spark.index.builder import build_index, raw_postings, read_manifest
+
+    with Cluster(n_exec, port):
+        spark = (
+            SparkSession.builder.appName(f"scaling-cluster-{n_exec}x1")
+            .master(f"spark://127.0.0.1:{port}")
+            .config("spark.executor.cores", "1")
+            .config("spark.executor.memory", EXEC_MEM)
+            .config("spark.cores.max", str(n_exec))
+            .config("spark.driver.memory", "6g")
+            .config("spark.driver.host", "127.0.0.1")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.executorEnv.PYTHONPATH", REPO)
+            .getOrCreate()
+        )
+        try:
+            corpus = spark.read.parquet(CORPUS_DIR)
+            # untimed warmup: executor registration, python worker spawn, codegen
+            warm = corpus.limit(256).repartition(2 * n_exec)
+            raw_postings(warm, 4).groupBy("shard").count().collect()
+            out_dir = f"/tmp/nss_scaling_cluster_{n_exec}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            b0, s0 = cpu_sample()
+            t0 = time.perf_counter()
+            stats = build_index(spark, corpus, out_dir, n_shards=N_SHARDS, resume=False)
+            wall = time.perf_counter() - t0
+            b1, s1 = cpu_sample()
+            rows = sum(e["rows"] for e in read_manifest(out_dir) if e["stage"] == "raw")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {
+                "executors": n_exec,
+                "wall_s": round(wall, 3),
+                "posting_rows": rows,
+                "rows_per_sec": round(rows / wall, 1),
+                "n_docs": stats["n_docs"],
+                "host_busy_cpus": round((b1 - b0) / 100.0 / wall, 2),
+                "host_steal_cpus": round((s1 - s0) / 100.0 / wall, 2),
+            }
+        finally:
+            spark.stop()
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        raise SystemExit("run tools/scaling_run.py once first to materialize the corpus")
+    n, n4 = LEVELS[0], LEVELS[-1]
+    trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    port = 7201
+    for t in range(TRIALS):
+        for lvl in LEVELS:
+            r = run_level(lvl, port)
+            port += 1
+            trials[lvl].append(r)
+            print(f"trial {t} {lvl} executor(s): {json.dumps(r)}", file=sys.stderr)
+    per_trial = []
+    for t in range(min(len(trials[n]), len(trials[n4]))):
+        sp = trials[n][t]["wall_s"] / trials[n4][t]["wall_s"]
+        per_trial.append(
+            {
+                "trial": t,
+                "wall_n": trials[n][t]["wall_s"],
+                "wall_4n": trials[n4][t]["wall_s"],
+                "pair_steal_cpus": round(
+                    trials[n][t]["host_steal_cpus"] + trials[n4][t]["host_steal_cpus"], 2
+                ),
+                "speedup": round(sp, 3),
+                "efficiency": round(sp / (n4 / n), 3),
+            }
+        )
+    best_pair = min(per_trial, key=lambda p: (p["pair_steal_cpus"], p["trial"]))
+    effs = sorted(p["efficiency"] for p in per_trial)
+    mid = len(effs) // 2
+    median_eff = effs[mid] if len(effs) % 2 else round((effs[mid - 1] + effs[mid]) / 2, 3)
+    report = {
+        "metric": "postings-build scaling efficiency, N -> 4N single-core executors (standalone cluster)",
+        "sf_dir": SF_DIR,
+        "replicate": REPLICATE,
+        "protocol": (
+            "separate master + per-executor worker JVMs (own heap/GC/Python "
+            "workers/shuffle server), each worker taskset-pinned to one host "
+            "CPU; spark.executor.cores=1; levels differ only in executor count"
+        ),
+        "trials": trials,
+        "per_trial_pairs": per_trial,
+        "pair_selection": "lowest combined host_steal_cpus (cleanest window)",
+        "speedup": best_pair["speedup"],
+        "scaling_efficiency": best_pair["efficiency"],
+        "efficiency_median_paired": median_eff,
+        "target": 0.8,
+        "pass": best_pair["efficiency"] >= 0.8,
+    }
+    out = os.path.join(REPO, "BENCH_SCALING_CLUSTER.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
