@@ -221,6 +221,19 @@ def q_bm25_match_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(eng.match(Q_MATCH, minimum_should_match=2), 10))
 
 
+def q_bm25_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=phrase: match_phrase per field against per-field
+    statistics, DisMax combine (MultiMatchQueryBuilder.Type.PHRASE)."""
+    from neural_search_spark.search.bm25 import multi_match_scores
+
+    eng = _engine(spark, sf_dir)
+    out = multi_match_scores(
+        eng, MULTI_MATCH_FIELDS, Q_PHRASE,
+        match_type="phrase", tie_breaker=MULTI_MATCH_TIE,
+    )
+    return _round_score(topk(out, 10))
+
+
 def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match(Q_FILTERED, filter_expr=FILTER_PRED), 10))
@@ -1264,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_msm_topk": q_bm25_match_msm_topk,
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
+        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1355,6 +1369,10 @@ def oracle_sql() -> dict[str, str]:
         "bool_query_topk": osql.bool_topk_sql(
             [tt(BOOL_MUST)], [tt(q) for q in BOOL_SHOULD], [tt(BOOL_MUST_NOT)],
             minimum_should_match=1, k=10,
+        ),
+        "bm25_multi_match_phrase": osql.multi_match_phrase_topk_sql(
+            MULTI_MATCH_FIELDS, tokenize_text(Q_PHRASE),
+            tie_breaker=MULTI_MATCH_TIE, k=10,
         ),
         "bm25_multi_match_topk": osql.multi_match_topk_sql(
             MULTI_MATCH_FIELDS, tokenize_text(Q_MULTI),

@@ -431,6 +431,89 @@ MULTI_MATCH_FIELD_EXPRS = {
 }
 
 
+def multi_match_phrase_topk_sql(
+    fields: dict[str, float],
+    phrase_terms: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of ``multi_match_scores(match_type="phrase")``: each field runs
+    the exact-phrase BM25 formula against its own statistics; fields
+    combine DisMax (max + tie_breaker · rest) like best_fields
+    (``MultiMatchQueryBuilder.Type.PHRASE``)."""
+    m = len(phrase_terms)
+    field_items = sorted(fields.items())
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t.replace(chr(39), chr(39) * 2)}'"
+        for j, t in enumerate(phrase_terms)
+    )
+    pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
+    parts = [f"pq AS (SELECT unnest([{pos_terms}]) AS term)"]
+    for i, (fld, boost) in enumerate(field_items):
+        expr = MULTI_MATCH_FIELD_EXPRS[fld]
+        dlq = quantize_length_sql(f"dlsf{i}.dl")
+        parts.append(f"""
+cf{i} AS (SELECT CAST(doc_id AS BIGINT) AS docID, {expr} AS t FROM documents),
+toksf{i} AS (
+    SELECT docID, unnest(regexp_extract_all(t, '{SQL_TOKEN_PATTERN}')) AS term FROM cf{i}
+),
+tff{i} AS (
+    SELECT docID, term, CAST(COUNT(*) AS INT) AS tf FROM toksf{i} GROUP BY docID, term
+),
+dlsf{i} AS (
+    SELECT c.docID, COALESCE(x.dl, 0) AS dl
+    FROM cf{i} c LEFT JOIN (SELECT docID, COUNT(*) AS dl FROM toksf{i} GROUP BY docID) x
+    ON c.docID = x.docID
+),
+statsf{i} AS (
+    SELECT (SELECT COUNT(*) FROM cf{i}) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(dl), 0) AS DOUBLE) FROM dlsf{i}) AS total
+),
+ndf{i} AS (
+    SELECT tff{i}.term, COUNT(*) AS ndoc
+    FROM tff{i} JOIN (SELECT DISTINCT term FROM pq) qd{i} USING (term)
+    GROUP BY tff{i}.term
+),
+qidff{i} AS (
+    SELECT SUM(ln(1 + (s.n_docs - ndf{i}.ndoc + 0.5) / (ndf{i}.ndoc + 0.5))) AS w
+    FROM pq JOIN ndf{i} USING (term) CROSS JOIN statsf{i} s
+),
+toksa{i} AS (
+    SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM cf{i}
+),
+phf{i} AS (
+    SELECT docID, COUNT(*) AS ptf
+    FROM (SELECT docID, toks, unnest(generate_series(1, len(toks) - {m - 1})) AS i
+          FROM toksa{i} WHERE len(toks) >= {m})
+    WHERE {conds}
+    GROUP BY docID
+),
+scf{i} AS (
+    SELECT phf{i}.docID,
+           (q.w * phf{i}.ptf
+            / (phf{i}.ptf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs))))
+           * {float(boost)!r} AS fscore
+    FROM phf{i}
+    JOIN dlsf{i} ON phf{i}.docID = dlsf{i}.docID
+    CROSS JOIN qidff{i} q
+    CROSS JOIN statsf{i} s
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT docID, fscore FROM scf{i}" for i in range(len(field_items))
+    )
+    return f"""
+WITH {','.join(parts)},
+longf AS ({union}),
+aggf AS (SELECT docID, MAX(fscore) AS mx, SUM(fscore) AS sm FROM longf GROUP BY docID)
+SELECT docID, ROUND(mx + {float(tie_breaker)!r} * (sm - mx), 4) AS score
+FROM aggf
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def multi_match_topk_sql(
     fields: dict[str, float],
     terms: list[str],

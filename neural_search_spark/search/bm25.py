@@ -262,6 +262,9 @@ def multi_match_scores(
 
     - ``best_fields`` (DisMax): score = max_f + tie_breaker · Σ(other f)
     - ``most_fields``: score = Σ_f field_score
+    - ``phrase``: each field runs ``match_phrase`` on the query text;
+      fields combine DisMax like best_fields
+      (``MultiMatchQueryBuilder.Type.PHRASE``)
 
     ``fields`` maps field name → boost (multiplies that field's BM25
     score). Scale shape: per-field artifacts come from
@@ -270,15 +273,21 @@ def multi_match_scores(
     indexes); the combine is a single groupBy over the per-field
     candidate rows only (never the corpus).
     """
-    if match_type not in ("best_fields", "most_fields"):
+    if match_type not in ("best_fields", "most_fields", "phrase"):
         raise ValueError(f"unknown multi_match type {match_type}")
     terms = tokenize_text(query_text)
     per_field = []
     for fld, boost in sorted(fields.items()):
         postings, doclens, stats = engine.field_artifacts(fld)
-        sc = bm25_clause_scores(
-            engine.spark, postings, doclens, stats, terms, k1=k1, b=b
-        )
+        if match_type == "phrase":
+            sc = match_phrase_scores(
+                engine.spark, engine.corpus, postings, doclens, stats,
+                query_text, k1=k1, b=b, text_col=fld, id_col=engine.id_col,
+            )
+        else:
+            sc = bm25_clause_scores(
+                engine.spark, postings, doclens, stats, terms, k1=k1, b=b
+            )
         per_field.append(
             sc.select("docID", (F.col("score") * F.lit(float(boost))).alias("fscore"))
         )
@@ -288,10 +297,10 @@ def multi_match_scores(
     agg = long.groupBy("docID").agg(
         F.max("fscore").alias("mx"), F.sum("fscore").alias("sm")
     )
-    if match_type == "best_fields":
-        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
-    else:
+    if match_type == "most_fields":
         score = F.col("sm")
+    else:  # best_fields and phrase both combine DisMax
+        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
     return agg.select("docID", score.alias("score"))
 
 

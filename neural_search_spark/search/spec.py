@@ -235,7 +235,13 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
             )
             scored = scored.join(members, "docID", "semi")
         return scored
-    return engine.match(text, filter_expr=filter_expr)
+    kwargs = {}
+    if isinstance(body, dict):
+        if "operator" in body:
+            kwargs["operator"] = body["operator"]
+        if "minimum_should_match" in body:
+            kwargs["minimum_should_match"] = int(body["minimum_should_match"])
+    return engine.match(text, filter_expr=filter_expr, **kwargs)
 
 
 def parse_hybrid_spec(

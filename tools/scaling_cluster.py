@@ -181,7 +181,18 @@ def main() -> None:
     port = 7201
     for t in range(TRIALS):
         for lvl in LEVELS:
-            r = run_level(lvl, port)
+            # each level runs in its own subprocess: a stopped SparkContext
+            # in-process leaves a dead Python accumulator endpoint that the
+            # next context trips over (EOF before Python server acknowledged)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", str(lvl), str(port)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(
+                [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            )
             port += 1
             trials[lvl].append(r)
             print(f"trial {t} {lvl} executor(s): {json.dumps(r)}", file=sys.stderr)
@@ -214,6 +225,9 @@ def main() -> None:
             "CPU; spark.executor.cores=1; levels differ only in executor count"
         ),
         "trials": trials,
+        "levels": {
+            str(lvl): min(rs, key=lambda r: r["wall_s"]) for lvl, rs in trials.items()
+        },
         "per_trial_pairs": per_trial,
         "pair_selection": "lowest combined host_steal_cpus (cleanest window)",
         "speedup": best_pair["speedup"],
@@ -229,4 +243,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        print(json.dumps(run_level(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()
