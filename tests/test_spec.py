@@ -203,10 +203,12 @@ def test_spec_bool_clause_recursive(spark, engine):
         depth=20,
     )
     assert _ids(got) == _ids(want)
+    # boost on a bool clause is handled by the BoostQuery wrapper, but any
+    # other unknown key is still a spec error
     with pytest.raises(ValueError, match="unsupported bool clause keys"):
         parse_hybrid_spec(
             engine,
-            {"queries": [{"bool": {"must": [{"match": "a"}], "boost": 2.0}}]},
+            {"queries": [{"bool": {"must": [{"match": "a"}], "adjust_pure_negative": True}}]},
         )
 
 
