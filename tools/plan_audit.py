@@ -22,7 +22,10 @@ def audit_one(df) -> dict:
         df._jdf.queryExecution(), "formatted"
     )
     return {
-        "exch": s.count("Exchange"),
+        # shuffle exchanges only — formatted explain puts the node name on
+        # its own "(n) Exchange" header line; "BroadcastExchange" and
+        # "ReusedExchange" are distinct node names
+        "exch": s.count(") Exchange"),
         "BHJ": s.count("BroadcastHashJoin"),
         "SMJ": s.count("SortMergeJoin"),
         "BNLJ": s.count("BroadcastNestedLoopJoin"),
