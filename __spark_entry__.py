@@ -221,6 +221,68 @@ def q_bm25_match_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(eng.match(Q_MATCH, minimum_should_match=2), 10))
 
 
+WILDCARD_Q = "*alue"
+CONST_BOOST = 1.7
+NEG_BOOST = 0.3
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wildcard query (constant-score rewrite), expansion over the
+    distinct-term dictionary like prefix/fuzzy."""
+    from neural_search_spark.search.bm25 import wildcard_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return wildcard_query_scores(eng, WILDCARD_Q).orderBy(F.asc("docID")).limit(10)
+
+
+def q_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range query over a numeric doc field (constant-score membership)."""
+    from neural_search_spark.search.bm25 import range_query_scores
+
+    eng = _engine(spark, sf_dir)
+    lo, hi = RANGE_BOUNDS
+    return (
+        range_query_scores(eng, "n_chars", gte=lo, lt=hi)
+        .orderBy(F.asc("docID"))
+        .limit(10)
+    )
+
+
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max over three match clauses: max + tie_breaker · Σ(others) —
+    the DisjunctionMaxQuery combine over arbitrary sub-queries."""
+    from neural_search_spark.search.bm25 import dis_max_scores
+
+    eng = _engine(spark, sf_dir)
+    out = dis_max_scores(
+        [eng.match(Q_MATCH), eng.match(Q_FILTERED), eng.term(Q_TERM)],
+        tie_breaker=MULTI_MATCH_TIE,
+    )
+    return _round_score(topk(out, 10))
+
+
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boosting query: positive match scores demoted (× negative_boost)
+    where the negative clause also matches — demotion, never exclusion."""
+    from neural_search_spark.search.bm25 import boosting_query_scores
+
+    eng = _engine(spark, sf_dir)
+    out = boosting_query_scores(
+        eng.match(Q_MATCH), eng.match(BOOL_MUST_NOT), negative_boost=NEG_BOOST
+    )
+    return _round_score(topk(out, 10))
+
+
+def q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constant_score wrapper: every doc matching the inner match clause
+    scores exactly the boost."""
+    from neural_search_spark.search.bm25 import constant_score_query
+
+    eng = _engine(spark, sf_dir)
+    out = constant_score_query(eng.match(Q_FILTERED), boost=CONST_BOOST)
+    return out.orderBy(F.asc("docID")).limit(10)
+
+
 def q_bm25_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match type=phrase: match_phrase per field against per-field
     statistics, DisMax combine (MultiMatchQueryBuilder.Type.PHRASE)."""
@@ -1278,6 +1340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
         "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "wildcard_topk": q_wildcard_topk,
+        "range_topk": q_range_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "constant_score_topk": q_constant_score_topk,
         # -- long-green staples (round 1 + round 2 both green) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
@@ -1361,6 +1428,17 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
+        "wildcard_topk": osql.wildcard_topk_sql(WILDCARD_Q, k=10),
+        "range_topk": osql.range_topk_sql("n_chars", *RANGE_BOUNDS, k=10),
+        "dis_max_topk": osql.dis_max_topk_sql(
+            [tt(Q_MATCH), tt(Q_FILTERED), [Q_TERM]], tie_breaker=MULTI_MATCH_TIE, k=10
+        ),
+        "boosting_topk": osql.boosting_topk_sql(
+            tt(Q_MATCH), tt(BOOL_MUST_NOT), NEG_BOOST, k=10
+        ),
+        "constant_score_topk": osql.constant_score_topk_sql(
+            tt(Q_FILTERED), CONST_BOOST, k=10
+        ),
         "events_window_agg": psql.events_window_agg_sql(),
         "stream_window_stats_batch": psql.stream_window_stats_batch_sql(),
         "events_sessionize": psql.events_sessionize_sql(),

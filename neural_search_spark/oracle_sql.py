@@ -283,6 +283,101 @@ LIMIT {k}
 """
 
 
+def wildcard_topk_sql(pattern: str, k: int = 10) -> str:
+    """Constant-score wildcard query twin: * → %, ? → _, LIKE over the
+    distinct term dictionary."""
+    like = (
+        pattern.lower()
+        .replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+        .replace("'", "''")
+    )
+    return f"""{_PRELUDE}
+SELECT DISTINCT docID, 1.0 AS score
+FROM tf
+WHERE term LIKE '{like}' ESCAPE '\\'
+ORDER BY docID
+LIMIT {k}
+"""
+
+
+def range_topk_sql(field: str, gte: int, lt: int, k: int = 10) -> str:
+    """Constant-score range query twin over a documents column."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docID, 1.0 AS score
+FROM documents
+WHERE {field} >= {gte} AND {field} < {lt}
+ORDER BY docID
+LIMIT {k}
+"""
+
+
+def dis_max_topk_sql(
+    clause_terms: list[list[str]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.bm25.dis_max_scores` over
+    match clauses: max + tie_breaker · Σ(others)."""
+    n = len(clause_terms)
+    clause_sql = ",".join(
+        _clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms)
+    )
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+longd AS ({union}),
+aggd AS (SELECT docID, MAX(score) AS mx, SUM(score) AS sm FROM longd GROUP BY docID)
+SELECT docID, ROUND(mx + {float(tie_breaker)!r} * (sm - mx), 4) AS score
+FROM aggd
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
+def boosting_topk_sql(
+    pos_terms: list[str],
+    neg_terms: list[str],
+    negative_boost: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.bm25.boosting_query_scores`:
+    positive match scores, × negative_boost where the negative clause also
+    matches (membership demotion, not exclusion)."""
+    clause_sql = _clause_ctes(0, pos_terms, k1, b, None, None)
+    negl = _term_list(neg_terms)
+    return f"""{_PRELUDE},{clause_sql},
+negd AS (
+    SELECT DISTINCT docID FROM tf JOIN (SELECT unnest({negl}) AS term) nq USING (term)
+)
+SELECT sc0.docID,
+       ROUND(CASE WHEN negd.docID IS NOT NULL
+                  THEN sc0.score * {float(negative_boost)!r}
+                  ELSE sc0.score END, 4) AS score
+FROM sc0 LEFT JOIN negd ON sc0.docID = negd.docID
+ORDER BY score DESC, sc0.docID
+LIMIT {k}
+"""
+
+
+def constant_score_topk_sql(terms: list[str], boost: float, k: int = 10) -> str:
+    """Twin of :func:`neural_search_spark.search.bm25.constant_score_query`
+    wrapping a match clause: membership → score = boost."""
+    return f"""{_PRELUDE},
+q AS (SELECT DISTINCT unnest({_term_list(terms)}) AS term)
+SELECT DISTINCT docID, {float(boost)!r} AS score
+FROM tf JOIN q USING (term)
+ORDER BY docID
+LIMIT {k}
+"""
+
+
 def fuzzy_topk_sql(term: str, max_edits: int = 1, prefix_length: int = 0, k: int = 10) -> str:
     """Constant-score fuzzy query: docs containing any term within
     ``max_edits`` Levenshtein edits (sharing ``prefix_length`` chars)."""

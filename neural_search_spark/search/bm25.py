@@ -372,6 +372,105 @@ def fuzzy_query_scores(
     )
 
 
+def wildcard_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
+    """Lucene ``wildcard`` query (constant-score rewrite): ``*`` matches
+    any run, ``?`` one char. The expansion walks the distinct-term
+    dictionary (like prefix/fuzzy — never per-posting) with a SQL LIKE
+    translated from the pattern, then broadcast-semi-joins postings."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("wildcard_query_requests")
+    like = (
+        pattern.lower()
+        .replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+    # Spark SQL string literals treat backslash as an escape, so the LIKE
+    # pattern's escape backslashes double up in the SQL text
+    sql_pat = like.replace("\\", "\\\\").replace("'", "''")
+    expanded = engine.term_dict.where(
+        F.expr(f"term LIKE '{sql_pat}' ESCAPE '\\\\'")
+    )
+    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
+    return matched.select("docID").distinct().select(
+        "docID", F.lit(1.0).alias("score")
+    )
+
+
+def range_query_scores(
+    engine: "BM25Engine",
+    field: str,
+    gte=None,
+    lt=None,
+) -> DataFrame:
+    """``range`` query over a corpus field (constant-score): membership by
+    bound predicates, score 1.0. One pushdown-friendly corpus scan."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("range_query_requests")
+    cond = F.lit(True)
+    if gte is not None:
+        cond = cond & (F.col(field) >= gte)
+    if lt is not None:
+        cond = cond & (F.col(field) < lt)
+    return engine.corpus.where(cond).select(
+        F.col(engine.id_col).alias("docID"), F.lit(1.0).alias("score")
+    )
+
+
+def dis_max_scores(
+    clauses: list[DataFrame], tie_breaker: float = 0.0
+) -> DataFrame:
+    """Lucene ``dis_max`` query over scored clause frames: a doc matching
+    any clause scores max + tie_breaker · Σ(others) — the same DisMax
+    combine multi_match best_fields uses, over arbitrary sub-queries.
+    Plan: one union + one groupBy over clause candidate rows."""
+    from functools import reduce
+
+    long = reduce(
+        DataFrame.unionByName, [df.select("docID", "score") for df in clauses]
+    )
+    agg = long.groupBy("docID").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm")
+    )
+    return agg.select(
+        "docID",
+        (F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))).alias(
+            "score"
+        ),
+    )
+
+
+def boosting_query_scores(
+    positive: DataFrame, negative: DataFrame, negative_boost: float
+) -> DataFrame:
+    """Lucene ``boosting`` query: positive-clause scores, demoted (×
+    negative_boost) for docs also matching the negative clause —
+    membership-only demotion, never exclusion. Plan: one broadcast-able
+    left semi-ish join (left join on the negative membership)."""
+    neg = negative.select("docID").distinct().withColumn("_neg", F.lit(1))
+    return (
+        positive.join(neg, "docID", "left")
+        .select(
+            "docID",
+            F.when(F.col("_neg").isNotNull(), F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+    )
+
+
+def constant_score_query(inner: DataFrame, boost: float = 1.0) -> DataFrame:
+    """Lucene ``constant_score`` wrapper: every doc matching the inner
+    clause scores exactly ``boost``."""
+    return inner.select("docID").distinct().select(
+        "docID", F.lit(float(boost)).alias("score")
+    )
+
+
 def bool_query_scores(
     must: list[DataFrame] | tuple = (),
     should: list[DataFrame] | tuple = (),

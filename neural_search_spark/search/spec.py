@@ -42,9 +42,10 @@ from pyspark.sql import DataFrame
 from neural_search_spark.search.hybrid import MAX_SUB_QUERIES, hybrid_search
 
 LEXICAL_TYPES = ("match", "term", "match_phrase")
-CONSTANT_SCORE_TYPES = ("prefix", "fuzzy", "terms")
+CONSTANT_SCORE_TYPES = ("prefix", "fuzzy", "terms", "wildcard", "range")
 CLAUSE_TYPES = LEXICAL_TYPES + CONSTANT_SCORE_TYPES + (
     "neural_sparse", "neural", "bool", "multi_match", "span_near",
+    "dis_max", "boosting", "constant_score",
 )
 
 
@@ -151,6 +152,40 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
         values = body if isinstance(body, list) else body.get("values") or body["query"]
         scored = terms_query_scores(engine, list(values))
         return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "wildcard":
+        from neural_search_spark.search.bm25 import wildcard_query_scores
+
+        value = body["value"] if isinstance(body, dict) else body
+        return _apply_members(
+            wildcard_query_scores(engine, value), _members(engine, filter_expr)
+        )
+    if ctype == "range":
+        from neural_search_spark.search.bm25 import range_query_scores
+
+        scored = range_query_scores(
+            engine, body["field"], gte=body.get("gte"), lt=body.get("lt")
+        )
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "dis_max":
+        from neural_search_spark.search.bm25 import dis_max_scores
+
+        return dis_max_scores(
+            [_score_clause(engine, c, filter_expr) for c in body["queries"]],
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+        )
+    if ctype == "boosting":
+        from neural_search_spark.search.bm25 import boosting_query_scores
+
+        return boosting_query_scores(
+            _score_clause(engine, body["positive"], filter_expr),
+            _score_clause(engine, body["negative"], None),
+            negative_boost=float(body.get("negative_boost", 0.5)),
+        )
+    if ctype == "constant_score":
+        from neural_search_spark.search.bm25 import constant_score_query
+
+        inner = _score_clause(engine, body["filter"], filter_expr)
+        return constant_score_query(inner, boost=float(body.get("boost", 1.0)))
     if ctype == "span_near":
         # positional-index clause; ``positions`` is the caller-supplied
         # PositionalIndex (same convention as neural's ``embeddings`` /

@@ -266,3 +266,47 @@ def test_spec_clause_boost(spark):
     assert set(plain) == set(boosted)
     for d in plain:
         assert abs(boosted[d] - 2.5 * plain[d]) < 1e-12
+
+
+def test_dis_max_boosting_constant_wildcard_range(spark):
+    from neural_search_spark.search.bm25 import (
+        BM25Engine,
+        boosting_query_scores,
+        constant_score_query,
+        dis_max_scores,
+        range_query_scores,
+        wildcard_query_scores,
+    )
+
+    rows = [
+        (0, "alpha beta", "x", 10),
+        (1, "alpha slow", "y", 20),
+        (2, "beta gamma", "z", 30),
+        (3, "delta", "w", 40),
+    ]
+    eng = BM25Engine(
+        spark,
+        spark.createDataFrame(rows, "docID long, content string, lang string, n_chars long"),
+    )
+    a = {r["docID"]: r["score"] for r in eng.match("alpha").collect()}
+    g = {r["docID"]: r["score"] for r in eng.match("gamma").collect()}
+    dm = {r["docID"]: r["score"] for r in dis_max_scores(
+        [eng.match("alpha"), eng.match("gamma")], tie_breaker=0.5).collect()}
+    assert set(dm) == set(a) | set(g)
+    for d in dm:
+        mx = max(a.get(d, 0.0), g.get(d, 0.0))
+        sm = a.get(d, 0.0) + g.get(d, 0.0)
+        assert abs(dm[d] - (mx + 0.5 * (sm - mx))) < 1e-12
+    # boosting: doc 1 matches negative 'slow' -> demoted, not excluded
+    bq = {r["docID"]: r["score"] for r in boosting_query_scores(
+        eng.match("alpha"), eng.match("slow"), 0.25).collect()}
+    assert set(bq) == set(a)
+    assert abs(bq[1] - 0.25 * a[1]) < 1e-12 and bq[0] == a[0]
+    # constant_score: membership at exactly the boost
+    cs = {r["docID"]: r["score"] for r in constant_score_query(eng.match("alpha"), 2.5).collect()}
+    assert cs == {0: 2.5, 1: 2.5}
+    # wildcard: ?lpha and *amma
+    assert {r["docID"] for r in wildcard_query_scores(eng, "?lpha").collect()} == {0, 1}
+    assert {r["docID"] for r in wildcard_query_scores(eng, "*amma").collect()} == {2}
+    # range over n_chars
+    assert {r["docID"] for r in range_query_scores(eng, "n_chars", gte=20, lt=40).collect()} == {1, 2}
