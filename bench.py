@@ -37,6 +37,9 @@ def main() -> None:
     entry_mod._index(spark, sf_dir)  # compressed block-max index (WAND path)
     entry_mod._pos_index(spark, sf_dir)  # positional postings (phrase path)
     entry_mod._ivf_artifacts(spark, sf_dir)  # IVF centroids + list assignment
+    for fld in entry_mod.MULTI_MATCH_FIELDS:  # per-field indexes (multi_match)
+        p, _d, _s = eng.field_artifacts(fld)
+        p.count()
     index_build = time.perf_counter() - t_idx0
 
     qmap = entry_mod.queries()

@@ -269,3 +269,68 @@ def test_spec_match_phrase_clause(spark, engine):
         depth=20,
     )
     assert _ids(got) == _ids(want)
+
+
+def test_spec_dismax_boosting_constant_score(spark, engine):
+    from neural_search_spark.search.bm25 import (
+        boosting_query_scores,
+        constant_score_query,
+        dis_max_scores,
+    )
+
+    spec = {
+        "queries": [
+            {
+                "dis_max": {
+                    "queries": [{"match": "import"}, {"match": "ident1"}],
+                    "tie_breaker": 0.4,
+                }
+            },
+            {
+                "boosting": {
+                    "positive": {"match": "import def"},
+                    "negative": {"match": "ident2"},
+                    "negative_boost": 0.2,
+                }
+            },
+            {"constant_score": {"filter": {"match": "return"}, "boost": 1.5}},
+        ],
+        "pagination_depth": 20,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [
+            dis_max_scores([engine.match("import"), engine.match("ident1")], tie_breaker=0.4),
+            boosting_query_scores(engine.match("import def"), engine.match("ident2"), 0.2),
+            constant_score_query(engine.match("return"), 1.5),
+        ],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=20,
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_spec_wildcard_and_range_clauses(spark, engine):
+    from neural_search_spark.search.bm25 import range_query_scores, wildcard_query_scores
+
+    spec = {
+        "queries": [
+            {"wildcard": {"value": "ident?"}},
+            {"range": {"field": "docID", "gte": 10, "lt": 60}},
+        ],
+        "pagination_depth": 30,
+    }
+    got = parse_hybrid_spec(engine, spec, k=5)
+    want = hybrid_search(
+        [
+            wildcard_query_scores(engine, "ident?"),
+            range_query_scores(engine, "docID", gte=10, lt=60),
+        ],
+        "min_max",
+        "arithmetic_mean",
+        k=5,
+        depth=30,
+    )
+    assert _ids(got) == _ids(want)
