@@ -226,6 +226,18 @@ CONST_BOOST = 1.7
 NEG_BOOST = 0.3
 
 
+def q_match_all_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_all + pushed filter through the dict parser — the
+    browse-with-filters shape; the reference's ITs compose hybrid clauses
+    from matchAllQuery (HybridQueryIT)."""
+    from neural_search_spark.search.spec import _apply_members, _members
+    from neural_search_spark.search.bm25 import match_all_scores
+
+    eng = _engine(spark, sf_dir)
+    out = _apply_members(match_all_scores(eng), _members(eng, FILTER_PRED))
+    return out.orderBy(F.asc("docID")).limit(10)
+
+
 def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wildcard query (constant-score rewrite), expansion over the
     distinct-term dictionary like prefix/fuzzy."""
@@ -1340,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
         "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "match_all_filtered": q_match_all_filtered,
         "wildcard_topk": q_wildcard_topk,
         "range_topk": q_range_topk,
         "dis_max_topk": q_dis_max_topk,
@@ -1428,6 +1441,13 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
+        "match_all_filtered": """
+SELECT CAST(doc_id AS BIGINT) AS docID, 1.0 AS score
+FROM documents
+WHERE source = 'src7'
+ORDER BY docID
+LIMIT 10
+""",
         "wildcard_topk": osql.wildcard_topk_sql(WILDCARD_Q, k=10),
         "range_topk": osql.range_topk_sql("n_chars", *RANGE_BOUNDS, k=10),
         "dis_max_topk": osql.dis_max_topk_sql(

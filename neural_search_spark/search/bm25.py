@@ -372,6 +372,18 @@ def fuzzy_query_scores(
     )
 
 
+def match_all_scores(engine: "BM25Engine") -> DataFrame:
+    """Lucene ``match_all``: every doc scores 1.0 (the reference's own ITs
+    compose hybrid clauses from matchAllQuery — HybridQueryIT). One
+    column-pruned corpus scan."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("match_all_query_requests")
+    return engine.corpus.select(
+        F.col(engine.id_col).alias("docID"), F.lit(1.0).alias("score")
+    )
+
+
 def wildcard_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
     """Lucene ``wildcard`` query (constant-score rewrite): ``*`` matches
     any run, ``?`` one char. The expansion walks the distinct-term
