@@ -226,6 +226,17 @@ CONST_BOOST = 1.7
 NEG_BOOST = 0.3
 
 
+IDS_Q = [3, 17, 42, 99, 256, 480]
+
+
+def q_ids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids query: explicit docID membership, constant score."""
+    from neural_search_spark.search.bm25 import ids_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return ids_query_scores(eng, IDS_Q).orderBy(F.asc("docID")).limit(10)
+
+
 def q_match_all_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_all + pushed filter through the dict parser — the
     browse-with-filters shape; the reference's ITs compose hybrid clauses
@@ -1353,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_agg_range": q_hybrid_agg_range,
         "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
         "match_all_filtered": q_match_all_filtered,
+        "ids_topk": q_ids_topk,
         "wildcard_topk": q_wildcard_topk,
         "range_topk": q_range_topk,
         "dis_max_topk": q_dis_max_topk,
@@ -1441,6 +1453,13 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql(PREFIX_Q, k=10),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_Q, max_edits=1, prefix_length=1, k=10),
         "terms_topk": osql.terms_topk_sql(TERMS_Q, k=10),
+        "ids_topk": f"""
+SELECT CAST(doc_id AS BIGINT) AS docID, 1.0 AS score
+FROM documents
+WHERE doc_id IN ({', '.join(str(v) for v in IDS_Q)})
+ORDER BY docID
+LIMIT 10
+""",
         "match_all_filtered": """
 SELECT CAST(doc_id AS BIGINT) AS docID, 1.0 AS score
 FROM documents

@@ -384,6 +384,18 @@ def match_all_scores(engine: "BM25Engine") -> DataFrame:
     )
 
 
+def ids_query_scores(engine: "BM25Engine", values: list[int]) -> DataFrame:
+    """Lucene ``ids`` query: membership in an explicit docID list,
+    constant score 1.0. The literal list folds into the scan predicate
+    (partition/row-group prunable)."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("ids_query_requests")
+    return engine.corpus.where(
+        F.col(engine.id_col).isin([int(v) for v in values])
+    ).select(F.col(engine.id_col).alias("docID"), F.lit(1.0).alias("score"))
+
+
 def wildcard_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
     """Lucene ``wildcard`` query (constant-score rewrite): ``*`` matches
     any run, ``?`` one char. The expansion walks the distinct-term

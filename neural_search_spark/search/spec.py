@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame
 from neural_search_spark.search.hybrid import MAX_SUB_QUERIES, hybrid_search
 
 LEXICAL_TYPES = ("match", "term", "match_phrase")
-CONSTANT_SCORE_TYPES = ("prefix", "fuzzy", "terms", "wildcard", "range", "match_all")
+CONSTANT_SCORE_TYPES = (
+    "prefix", "fuzzy", "terms", "wildcard", "range", "match_all", "ids",
+)
 CLAUSE_TYPES = LEXICAL_TYPES + CONSTANT_SCORE_TYPES + (
     "neural_sparse", "neural", "bool", "multi_match", "span_near",
     "dis_max", "boosting", "constant_score",
@@ -152,6 +154,13 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
         values = body if isinstance(body, list) else body.get("values") or body["query"]
         scored = terms_query_scores(engine, list(values))
         return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "ids":
+        from neural_search_spark.search.bm25 import ids_query_scores
+
+        values = body if isinstance(body, list) else body["values"]
+        return _apply_members(
+            ids_query_scores(engine, values), _members(engine, filter_expr)
+        )
     if ctype == "match_all":
         from neural_search_spark.search.bm25 import match_all_scores
 
