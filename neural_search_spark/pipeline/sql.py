@@ -628,9 +628,12 @@ WITH dl AS (
 ),
 c AS (
     SELECT docID, dl,
-           COALESCE(SUM(dl) OVER (
+           -- DuckDB's windowed SUM(BIGINT) returns HUGEINT, which pandas
+           -- fetches as float64 and hash-mismatches Spark's BIGINT; CAST
+           -- keeps start_offset integral on the oracle side.
+           CAST(COALESCE(SUM(dl) OVER (
                ORDER BY docID ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) AS start_offset
+           ), 0) AS BIGINT) AS start_offset
     FROM dl
 )
 SELECT docID, dl, start_offset,
