@@ -104,15 +104,18 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POS_INDEXES: dict = {}
 
 
-def _pos_index(spark: SparkSession, sf_dir: str):
-    """Positional postings table per (session, corpus), built once under
-    /tmp — the index-backed phrase path (term-hash bucket pruning)."""
+def _pos_index(spark: SparkSession, sf_dir: str, field: str = "content"):
+    """Positional postings table per (session, corpus, field), built once
+    under /tmp — the index-backed phrase path (term-hash bucket pruning).
+    Per-field instances use that field's doclens/stats (Lucene keeps
+    positions per field inside the postings format, so every text field
+    is phrase-queryable without re-reading stored text)."""
     import hashlib
     import os
 
     from neural_search_spark.index.positions import PositionalIndex, build_positions
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, field)
     if key not in _POS_INDEXES:
         eng = _engine(spark, sf_dir)
         # Tag includes a corpus fingerprint (per-file size+mtime of the source
@@ -124,15 +127,17 @@ def _pos_index(spark: SparkSession, sf_dir: str):
         if os.path.isdir(src):
             for name in sorted(os.listdir(src)):
                 st = os.stat(os.path.join(src, name))
-                fp.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+                fp.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
         elif os.path.exists(src):
             st = os.stat(src)
-            fp.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+            fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
         tag = fp.hexdigest()[:10]
-        d = os.path.join("/tmp", f"nss_positions_{tag}")
+        suffix = "" if field == "content" else f"_{field}"
+        d = os.path.join("/tmp", f"nss_positions_{tag}{suffix}")
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            build_positions(spark, eng.corpus, d)
-        _POS_INDEXES[key] = PositionalIndex(spark, d, eng.doclens, eng.stats)
+            build_positions(spark, eng.corpus, d, text_col=field)
+        _, doclens, stats = eng.field_artifacts(field)
+        _POS_INDEXES[key] = PositionalIndex(spark, d, doclens, stats)
     return _POS_INDEXES[key]
 
 
@@ -308,13 +313,18 @@ def q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match type=phrase: match_phrase per field against per-field
-    statistics, DisMax combine (MultiMatchQueryBuilder.Type.PHRASE)."""
+    statistics, DisMax combine (MultiMatchQueryBuilder.Type.PHRASE).
+    Each field routes through its own positional index (Lucene keeps
+    per-field positions in the postings format) — the scan path that
+    re-tokenized every candidate's field text per query is gone."""
     from neural_search_spark.search.bm25 import multi_match_scores
 
     eng = _engine(spark, sf_dir)
+    pos = {fld: _pos_index(spark, sf_dir, field=fld) for fld in MULTI_MATCH_FIELDS}
     out = multi_match_scores(
         eng, MULTI_MATCH_FIELDS, Q_PHRASE,
         match_type="phrase", tie_breaker=MULTI_MATCH_TIE,
+        pos_indexes=pos,
     )
     return _round_score(topk(out, 10))
 

@@ -250,6 +250,7 @@ def connected_components(
     a_col: str = "docA",
     b_col: str = "docB",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(docID, cluster_id) for every doc in a near-dup pair: connected
     components over the verified pair edges, cluster_id = MIN docID in the
@@ -267,36 +268,49 @@ def connected_components(
     general-graph large-star/small-star dance isn't warranted. Scale
     shape: the edge list is the (tiny) LSH-verify output, never the
     corpus; each round is one groupBy(docID) shuffle over edges + labels,
-    and the convergence check is a 1-row aggregate. Labels persist per
-    round with the previous round explicitly unpersisted.
+    and the convergence check is a 1-row aggregate. Each round's label
+    blocks are released (``unpersist``) once the next round is
+    checkpointed, so executor-local storage stays O(1 round), not
+    O(rounds).
+
+    ``checkpoint_dir`` — when set, each round cuts lineage with *reliable*
+    ``checkpoint()`` into that directory (HDFS/S3 on a real cluster)
+    instead of ``localCheckpoint()``. localCheckpoint stores blocks on
+    executor-local disk and LOSES them if an executor is evicted — fine
+    for local[] runs, fatal mid-iteration on a 100 TB cluster job; pass a
+    reliable dir there.
     """
-    # localCheckpoint (eager) rather than cache: iterative algorithms grow
-    # an exponential lineage if each round's plan still references the
-    # previous rounds — truncating per round keeps every round O(edges).
-    # On a cluster the same call spills RDD blocks to executor-local disk;
-    # for multi-day jobs use checkpoint() with a reliable dir instead.
-    edges = (
+    # Lineage must be cut each round: iterative algorithms grow an
+    # exponential plan if each round still references the previous rounds —
+    # truncating per round keeps every round O(edges).
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _cut(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("docID"))
         .distinct()
         .withColumn("label", F.col("docID"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges["src"] == labels["docID"])
             .select(F.col("dst").alias("docID"), "label")
         )
-        new_labels = (
+        new_labels = _cut(
             neighbor.unionByName(labels.select("docID", "label"))
             .groupBy("docID")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         n_changed = (
             new_labels.alias("n")
@@ -304,6 +318,10 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # new_labels is checkpointed (no lineage back to the old labels),
+        # and the convergence count above already consumed both — safe to
+        # release the previous round's blocks now.
+        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             break

@@ -138,7 +138,10 @@ def bm25_clause_scores(
     if operator == "and":
         need = len(terms)
     elif minimum_should_match:
-        need = min(int(minimum_should_match), len(terms))
+        # no clamp: Lucene's BooleanQuery matches NOTHING when
+        # minimum_should_match exceeds the optional clause count, so
+        # msm=5 on a 3-term query must yield an empty result
+        need = int(minimum_should_match)
     agg = matched.groupBy("docID").agg(
         F.sum(term_score).alias("score"), F.count("*").alias("_nt")
     )
@@ -253,6 +256,7 @@ def multi_match_scores(
     tie_breaker: float = 0.0,
     k1: float = K1,
     b: float = B,
+    pos_indexes: dict | None = None,
 ) -> DataFrame:
     """``multi_match`` query over several text fields → (docID, score).
 
@@ -272,19 +276,33 @@ def multi_match_scores(
     reused across queries (at 100 TB these are per-field persisted
     indexes); the combine is a single groupBy over the per-field
     candidate rows only (never the corpus).
+
+    ``pos_indexes`` — optional map of field name →
+    :class:`neural_search_spark.index.positions.PositionalIndex` built on
+    THAT field's text with that field's doclens/stats. When a phrase-mode
+    field has one, the phrase runs through the positional postings
+    (partition-pruned bucket read + codegen position-chain intersect) —
+    Lucene stores positions per field inside the postings format, so
+    ``MultiMatchQueryBuilder.Type.PHRASE`` never re-reads stored text;
+    the scan path (re-tokenizing every candidate's full field text) stays
+    only as the index-less fallback and dies first at 100× scale.
     """
     if match_type not in ("best_fields", "most_fields", "phrase"):
         raise ValueError(f"unknown multi_match type {match_type}")
     terms = tokenize_text(query_text)
     per_field = []
     for fld, boost in sorted(fields.items()):
-        postings, doclens, stats = engine.field_artifacts(fld)
-        if match_type == "phrase":
+        pidx = (pos_indexes or {}).get(fld)
+        if match_type == "phrase" and pidx is not None:
+            sc = pidx.match_phrase(query_text, k1=k1, b=b)
+        elif match_type == "phrase":
+            postings, doclens, stats = engine.field_artifacts(fld)
             sc = match_phrase_scores(
                 engine.spark, engine.corpus, postings, doclens, stats,
                 query_text, k1=k1, b=b, text_col=fld, id_col=engine.id_col,
             )
         else:
+            postings, doclens, stats = engine.field_artifacts(fld)
             sc = bm25_clause_scores(
                 engine.spark, postings, doclens, stats, terms, k1=k1, b=b
             )
@@ -304,6 +322,25 @@ def multi_match_scores(
     return agg.select("docID", score.alias("score"))
 
 
+# Lucene bounds multi-term rewrites (BooleanQuery.maxClauseCount = 1024
+# clauses by default before the rewrite switches strategy); the analogous
+# Spark hazard is the broadcast of the expanded term set, so the cap here
+# guards the broadcast rather than erroring.
+MAX_BROADCAST_EXPANSION = 65536
+
+
+def _expansion_semi_join(engine: "BM25Engine", expanded: DataFrame) -> DataFrame:
+    """Semi-join postings against a multi-term expansion (prefix / fuzzy /
+    wildcard). Small expansions broadcast; an oversized one (short prefix,
+    leading-* wildcard — potentially a large fraction of a 100 TB corpus
+    vocabulary) falls back to a shuffle semi-join instead of shipping
+    millions of terms to every executor and risking driver OOM."""
+    probe = expanded.limit(MAX_BROADCAST_EXPANSION + 1).count()
+    if probe <= MAX_BROADCAST_EXPANSION:
+        expanded = F.broadcast(expanded)
+    return engine.postings.join(expanded, "term", "left_semi")
+
+
 def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:
     """Lucene ``prefix`` query under its default CONSTANT_SCORE rewrite:
     every doc containing ANY term with the prefix scores 1.0 (the
@@ -317,7 +354,7 @@ def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:
 
     _stats.record_event("prefix_query_requests")
     expanded = engine.term_dict.where(F.col("term").startswith(prefix.lower()))
-    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
+    matched = _expansion_semi_join(engine, expanded)
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )
@@ -366,7 +403,7 @@ def fuzzy_query_scores(
         & (F.length("term") <= len(t) + max_edits)
         & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
     )
-    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
+    matched = _expansion_semi_join(engine, expanded)
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )
@@ -418,7 +455,7 @@ def wildcard_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
     expanded = engine.term_dict.where(
         F.expr(f"term LIKE '{sql_pat}' ESCAPE '\\\\'")
     )
-    matched = engine.postings.join(F.broadcast(expanded), "term", "left_semi")
+    matched = _expansion_semi_join(engine, expanded)
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )

@@ -251,6 +251,9 @@ def test_match_operator_and_msm(spark):
     or_scores = {r["docID"]: r["score"] for r in eng.match(q).collect()}
     and_scores = {r["docID"]: r["score"] for r in eng.match(q, operator="and").collect()}
     assert and_scores[0] == or_scores[0]
+    # Lucene BooleanQuery semantics: msm above the optional clause count
+    # matches NOTHING (no clamp to the term count)
+    assert eng.match(q, minimum_should_match=5).count() == 0
     with pytest.raises(ValueError, match="operator"):
         eng.match(q, operator="xor")
 

@@ -261,6 +261,45 @@ def test_positional_index_matches_scan_phrase(spark, tiny_corpus, tmp_path):
         assert idx == scan, phrase
 
 
+def test_multi_match_phrase_indexed_equals_scan(spark, tmp_path):
+    """multi_match type=phrase through per-field positional indexes is
+    score-identical to the per-field scan path (per-field df/avgdl stats,
+    DisMax combine)."""
+    from neural_search_spark.index.positions import PositionalIndex, build_positions
+    from neural_search_spark.search.bm25 import BM25Engine, multi_match_scores
+
+    rows = [
+        (0, "quick brown fox", "repo alpha code"),
+        (1, "brown fox jumps", "quick brown repo"),
+        (2, "quick brown everywhere quick brown", "unrelated"),
+        (3, "nothing here", "quick brown"),
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string, title string")
+    eng = BM25Engine(spark, df).cache()
+    fields = {"content": 1.0, "title": 2.0}
+    pos = {}
+    for fld in fields:
+        d = str(tmp_path / f"pos_{fld}")
+        build_positions(spark, df, d, text_col=fld)
+        _, doclens, stats = eng.field_artifacts(fld)
+        pos[fld] = PositionalIndex(spark, d, doclens, stats)
+    scan = {
+        (r["docID"], round(r["score"], 9))
+        for r in multi_match_scores(
+            eng, fields, "quick brown", match_type="phrase", tie_breaker=0.3
+        ).collect()
+    }
+    idx = {
+        (r["docID"], round(r["score"], 9))
+        for r in multi_match_scores(
+            eng, fields, "quick brown", match_type="phrase", tie_breaker=0.3,
+            pos_indexes=pos,
+        ).collect()
+    }
+    assert idx == scan
+    assert {d for d, _ in idx} == {0, 1, 2, 3}
+
+
 def test_positional_index_overlapping_and_duplicate_terms(spark, tmp_path):
     from neural_search_spark.index.positions import PositionalIndex, build_positions
     from neural_search_spark.search.bm25 import BM25Engine

@@ -415,6 +415,28 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 20: 7}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode cuts lineage with reliable checkpoint() —
+    same fixpoint, and checkpoint files actually land in the dir."""
+    from neural_search_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "docA long, docB long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["docID"]: r["cluster_id"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    import os
+
+    found = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert found, "reliable checkpoint wrote no files"
+
+
 def test_split_assign_deterministic(spark):
     from neural_search_spark.pipeline import params as P
     from neural_search_spark.pipeline.training import split_assign
