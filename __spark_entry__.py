@@ -806,6 +806,25 @@ def q_highlight_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return highlight_semantic(cand, eng.corpus, Q_MATCH, fragment_delim=CHUNK_DELIM)
 
 
+HIGHLIGHT_SPEC = {
+    "queries": [{"match": {"query": Q_MATCH}}, {"term": Q_TERM}],
+    "pagination_depth": HYBRID_DEPTH,
+    "highlight": {"field": "content", "fragment_delim": CHUNK_DELIM},
+}
+
+
+def q_highlight_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-level highlight block: the highlight text is EXTRACTED from the
+    parsed query tree (highlight/extractor/QueryTextExtractorRegistry.java
+    semantics — match rewrites to analyzed terms, hybrid sub-texts dedup +
+    space-join), never passed explicitly; candidates come from the same
+    spec's hybrid clauses."""
+    from neural_search_spark.search.spec import parse_spec_with_highlight
+
+    eng = _engine(spark, sf_dir)
+    return parse_spec_with_highlight(eng, HIGHLIGHT_SPEC, k=10)
+
+
 def q_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_embedding processor plumbing with a deterministic stand-in model
     (long form for the oracle compare)."""
@@ -1336,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round): never-oracle-checked keys first, then keys unchecked in r2,
     # then keys new this round, then the long-green staples at the tail.
     return {
+        # -- new in round 4 --
+        "highlight_spec": q_highlight_spec,
         # -- never oracle-checked before round 3 --
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -1618,6 +1639,7 @@ LIMIT 10
         "highlight_semantic": osql.highlight_semantic_sql(
             tt(Q_MATCH), _qv_of(Q_MATCH), CHUNK_DELIM, depth=10
         ),
+        "highlight_spec": osql.highlight_spec_sql(HIGHLIGHT_SPEC, CHUNK_DELIM, k=10),
         "text_embedding": osql.text_embedding_sql(),
         "rerank_by_field": osql.rerank_by_field_sql(tt(Q_MATCH), "n_chars", depth=50, k=10),
         "sort_search_after": osql.sort_search_after_sql(

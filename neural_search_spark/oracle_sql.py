@@ -1340,8 +1340,61 @@ def highlight_semantic_sql(
     BM25 top-``depth`` hits, per-fragment stand-in embedding, best
     fragment by cosine vs the query embedding (6 dp; token-free fragments
     score 0), ties to the earliest fragment."""
+    return _semantic_fragments_sql(
+        bm25_topk_sql(terms, k=depth, k1=k1, b=b), qvec, fragment_delim, n_dims
+    )
+
+
+def highlight_spec_sql(
+    spec: dict,
+    fragment_delim: str,
+    k: int = 10,
+    depth: int = 50,
+    n_dims: int = 8,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.spec.parse_spec_with_highlight`:
+    hybrid top-k candidates from the spec's clauses, highlight text
+    EXTRACTED from the same spec dict (shared
+    :func:`neural_search_spark.search.spec.extract_query_text` — no
+    explicit query-text argument on either side), best fragment by
+    stand-in cosine."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+    from neural_search_spark.search.neural import query_embedding_stub
+    from neural_search_spark.search.spec import extract_query_text
+
+    body = spec["hybrid"] if "hybrid" in spec else spec
+    hl = body["highlight"]
+    clause_terms = []
+    for c in body["queries"]:
+        (ctype, cb), = c.items()
+        text = cb["query"] if isinstance(cb, dict) else cb
+        if ctype == "match":
+            clause_terms.append(tokenize_text(text))
+        elif ctype == "term":
+            clause_terms.append([text])
+        else:
+            raise ValueError(
+                f"highlight_spec oracle supports match/term clauses, got {ctype}"
+            )
+    cand = hybrid_topk_sql(clause_terms, k=k, depth=body.get("pagination_depth", depth))
+    qtext = extract_query_text(
+        {"queries": body["queries"]}, hl.get("field", "content")
+    )
+    return _semantic_fragments_sql(
+        cand, query_embedding_stub(qtext), fragment_delim, n_dims
+    )
+
+
+def _semantic_fragments_sql(
+    inner: str,
+    qvec: list[float],
+    fragment_delim: str,
+    n_dims: int = 8,
+) -> str:
+    """Best fragment per candidate hit by stand-in cosine — the shared
+    tail of the semantic-highlighter oracles (``inner`` yields
+    (docID, score) candidates)."""
     d = fragment_delim.replace("'", "''")
-    inner = bm25_topk_sql(terms, k=depth, k1=k1, b=b)
     dims = ",\n           ".join(
         f"COALESCE(SUM(CASE WHEN c.dim = {j} THEN c.v END), 0.0) / n.nrm AS d{j}"
         for j in range(n_dims)

@@ -292,6 +292,112 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
     return engine.match(text, filter_expr=filter_expr, **kwargs)
 
 
+def extract_query_text(spec: dict, field: str, default_field: str = "content") -> str:
+    """Highlight query-text extraction from a query spec — the spec-level
+    analog of ``highlight/extractor/QueryTextExtractorRegistry.java``:
+    the semantic highlighter walks the (rewritten) query tree to find the
+    text to highlight, so a ``highlight`` block needs no explicit
+    query-text argument.
+
+    Registered kinds (mirroring the registry's extractor set):
+
+    - ``term`` → the term text, only if the clause's field is the
+      highlighted field (``TermQueryTextExtractor.java``).
+    - ``match`` / ``match_phrase`` → Lucene rewrites these to a
+      BooleanQuery/PhraseQuery of per-term TermQuerys on the clause's
+      field, so the contribution is the analyzed terms space-joined,
+      field-gated like ``term``.
+    - ``bool`` → sub-clause texts joined with spaces, **must_not
+      skipped** (``BooleanQueryTextExtractor.java`` skips prohibited
+      clauses).
+    - ``neural`` → the clause's original query text, not field-gated
+      (``NeuralQueryTextExtractor.java``).
+    - ``nested`` → delegates to the inner query
+      (``NestedQueryTextExtractor.java``).
+    - a spec with ``queries`` (hybrid) → de-duplicated sub-query texts
+      space-joined (``HybridQueryTextExtractor.java`` collects into a
+      set; insertion order is kept here for determinism where Java's
+      HashSet leaves it unspecified).
+
+    Unregistered kinds contribute ``""`` — the registry logs a warning
+    and skips them.
+    """
+    if "hybrid" in spec:
+        spec = spec["hybrid"]
+    if "queries" in spec:
+        texts = [
+            extract_query_text(c, field, default_field) for c in spec["queries"]
+        ]
+        return " ".join(dict.fromkeys(t for t in texts if t)).strip()
+    (ctype, body), = spec.items()
+    if ctype == "term":
+        if isinstance(body, dict):
+            cfield = body.get("field", default_field)
+            text = body.get("value") or body.get("query") or ""
+        else:
+            cfield, text = default_field, body
+        return text if cfield == field else ""
+    if ctype in ("match", "match_phrase"):
+        cfield = body.get("field", default_field) if isinstance(body, dict) else default_field
+        text = body["query"] if isinstance(body, dict) else body
+        if cfield != field:
+            return ""
+        from neural_search_spark.analysis.tokenizer import tokenize_text
+
+        return " ".join(tokenize_text(text))
+    if ctype == "bool":
+        parts = [
+            extract_query_text(c, field, default_field)
+            for c in list(body.get("must", [])) + list(body.get("should", []))
+        ]
+        return " ".join(p for p in parts if p)
+    if ctype == "neural":
+        return body["query"] if isinstance(body, dict) else body
+    if ctype == "nested":
+        return extract_query_text(body["query"], field, default_field)
+    return ""
+
+
+def parse_spec_with_highlight(
+    engine,
+    spec: dict,
+    pipeline: dict | None = None,
+    k: int = 10,
+    enricher_defaults: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Hybrid search + spec-level ``highlight`` block: the highlight text
+    is EXTRACTED from the parsed clauses (``extract_query_text``), never
+    passed explicitly — the reference's semantic-highlighter entry point
+    (``highlight/SemanticHighlighterEngine.java:298`` consumes the
+    registry's extraction).
+
+    ``spec["highlight"]``: ``{"field": <text field>, "fragment_delim":
+    <line delimiter>}``; defaults to the engine's text field.
+    Returns the highlighter schema (docID, score, frag_idx, fragment,
+    sim).
+    """
+    body = spec["hybrid"] if "hybrid" in spec else spec
+    hl = body.get("highlight")
+    if not isinstance(hl, dict):
+        raise ValueError("spec has no highlight block")
+    inner = {k2: v for k2, v in body.items() if k2 != "highlight"}
+    results = parse_hybrid_spec(
+        engine, inner, pipeline=pipeline, k=k, enricher_defaults=enricher_defaults
+    )
+    field = hl.get("field", engine.text_col)
+    qtext = extract_query_text(inner, field, default_field=engine.text_col)
+    from neural_search_spark.search.ops import highlight_semantic
+
+    return highlight_semantic(
+        results,
+        engine.corpus,
+        qtext,
+        fragment_delim=hl.get("fragment_delim", "\n"),
+        content_col=field,
+        id_col=engine.id_col,
+    )
+
+
 def parse_hybrid_spec(
     engine,
     spec: dict,

@@ -334,3 +334,69 @@ def test_spec_wildcard_and_range_clauses(spark, engine):
         depth=30,
     )
     assert _ids(got) == _ids(want)
+
+
+def test_extract_query_text_registry_semantics():
+    """Spec-level analog of highlight/extractor/*.java: field gating,
+    must_not skipped, hybrid dedup, neural original text, nested
+    delegation, unregistered kinds skipped."""
+    from neural_search_spark.search.spec import extract_query_text
+
+    # term: field-gated (TermQueryTextExtractor)
+    assert extract_query_text({"term": "spark"}, "content") == "spark"
+    assert extract_query_text(
+        {"term": {"value": "spark", "field": "title"}}, "content"
+    ) == ""
+    # match: analyzed terms, space-joined (BooleanQuery-of-TermQuery rewrite)
+    assert extract_query_text({"match": {"query": "Quick BROWN"}}, "content") == "quick brown"
+    # bool: must + should joined, must_not (prohibited) skipped
+    got = extract_query_text(
+        {"bool": {
+            "must": [{"match": "alpha"}],
+            "should": [{"term": "beta"}],
+            "must_not": [{"term": "gamma"}],
+        }},
+        "content",
+    )
+    assert got == "alpha beta"
+    # neural: original query text, not field-gated
+    assert extract_query_text(
+        {"neural": {"query": "semantic intent", "field": "emb"}}, "content"
+    ) == "semantic intent"
+    # nested delegates to the inner query
+    assert extract_query_text(
+        {"nested": {"query": {"term": "inner"}}}, "content"
+    ) == "inner"
+    # hybrid: dedup of identical sub-texts, insertion order
+    got = extract_query_text(
+        {"queries": [{"term": "spark"}, {"match": "spark"}, {"term": "other"}]},
+        "content",
+    )
+    assert got == "spark other"
+    # unregistered kinds contribute nothing
+    assert extract_query_text({"prefix": {"value": "sp"}}, "content") == ""
+
+
+def test_parse_spec_with_highlight(spark, engine):
+    from neural_search_spark.search.ops import highlight_semantic
+    from neural_search_spark.search.spec import parse_hybrid_spec, parse_spec_with_highlight
+
+    spec = {
+        "queries": [{"match": {"query": "import ident1"}}, {"term": "def"}],
+        "pagination_depth": 20,
+        "highlight": {"field": "content", "fragment_delim": " "},
+    }
+    got = parse_spec_with_highlight(engine, spec, k=5).collect()
+    inner = {k: v for k, v in spec.items() if k != "highlight"}
+    want = highlight_semantic(
+        parse_hybrid_spec(engine, inner, k=5),
+        engine.corpus,
+        "import ident1 def",
+        fragment_delim=" ",
+    ).collect()
+    assert got == want
+    assert len(got) == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="highlight"):
+        parse_spec_with_highlight(engine, inner, k=5)
