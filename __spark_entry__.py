@@ -1017,6 +1017,28 @@ def q_hybrid_collapse_per_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def q_hybrid_collapse_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse combined WITH a field sort (the sorted variant of
+    HybridCollapsingTopDocsCollector; the coordinator re-collapse honors
+    the sort — CollapseDTO.java:24-36): group winner and final order both
+    come from (n_chars desc, docID asc), scores tracked."""
+    from neural_search_spark.search.ops import collapse_sorted
+
+    eng = _engine(spark, sf_dir)
+    clause_dfs = [eng.match(t) for t in HYBRID_CLAUSES]
+    combined = hybrid_search(
+        clause_dfs, "min_max", "arithmetic_mean", k=1000, depth=HYBRID_DEPTH
+    )
+    out = collapse_sorted(
+        _round_score(combined),
+        _documents(spark, sf_dir),
+        "lang",
+        [("n_chars", False)],
+        track_scores=True,
+    )
+    return out.limit(10)
+
+
 def q_hybrid_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid collected by sort field with per-clause track_scores
     (HybridTopFieldDocSortCollector): order by (lang asc, docID asc),
@@ -1357,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 --
         "highlight_spec": q_highlight_spec,
+        "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
         # -- never oracle-checked before round 3 --
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -1647,6 +1670,9 @@ LIMIT 10
         ),
         "hybrid_paginated": osql.hybrid_paginated_sql(h2, 10, 10, depth=HYBRID_DEPTH),
         "hybrid_collapse_lang": osql.hybrid_collapse_sql(h2, "lang", k=10, depth=HYBRID_DEPTH),
+        "hybrid_collapse_sorted": osql.hybrid_collapse_sorted_sql(
+            h2, "lang", "n_chars", sort_asc=False, k=10, depth=HYBRID_DEPTH
+        ),
         "hybrid_max_score": osql.hybrid_max_score_sql(h2, depth=HYBRID_DEPTH),
         "hybrid_spec_full": osql.hybrid_mixed_topk_sql(
             [

@@ -1660,6 +1660,51 @@ LIMIT {k}
 """
 
 
+def hybrid_collapse_sorted_sql(
+    clause_terms: list[list[str]],
+    collapse_field: str,
+    sort_field: str,
+    sort_asc: bool,
+    k: int,
+    depth: int,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+) -> str:
+    """Collapse under a field sort: group winner = first doc in the sort
+    order (docID tie-break), final order = the same sort — twin of
+    :func:`neural_search_spark.search.ops.collapse_sorted` over the
+    combined hybrid scores."""
+    n = len(clause_terms)
+    w = [1.0] * n
+    direction = "ASC" if sort_asc else "DESC"
+    clause_sql = ",".join(_clause_ctes(i, t, 1.2, 0.75, depth, None) for i, t in enumerate(clause_terms))
+    norm_sql = ",".join(_normalize_cte(i, normalization, 60) for i in range(n))
+    union = " UNION ALL ".join(f"SELECT docID, {i} AS c, nscore FROM n{i}" for i in range(n))
+    wide_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN c = {i} THEN nscore END), 0.0) AS s_{i}" for i in range(n)
+    )
+    return f"""{_PRELUDE},{clause_sql},{norm_sql},
+long AS ({union}),
+wide AS (SELECT docID, {wide_cols} FROM long GROUP BY docID),
+comb AS (SELECT docID, {_combine_expr(combination, w)} AS score FROM wide),
+best AS (
+    SELECT comb.docID, c.{collapse_field} AS {collapse_field},
+           CAST(d.{sort_field} AS BIGINT) AS {sort_field}, comb.score,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.{collapse_field}
+               ORDER BY d.{sort_field} {direction}, comb.docID
+           ) AS rn
+    FROM comb
+    JOIN corpus c ON comb.docID = c.docID
+    JOIN documents d ON comb.docID = CAST(d.doc_id AS BIGINT)
+)
+SELECT docID, {collapse_field}, {sort_field}, ROUND(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY {sort_field} {direction}, docID
+LIMIT {k}
+"""
+
+
 def hybrid_explain_sql(
     clause_terms: list[list[str]],
     k: int,

@@ -116,6 +116,39 @@ def collapse_best_per_field(
     )
 
 
+def collapse_sorted(
+    results: DataFrame,
+    docs: DataFrame,
+    collapse_field: str,
+    sort_fields: list[tuple[str, bool]],
+    track_scores: bool = False,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Collapse combined with a field sort — the sorted variant of
+    ``search/collector/HybridCollapsingTopDocsCollector.java`` (group
+    winners picked by the sort comparator, not by score) with the
+    coordinator re-collapse honoring the same sort
+    (``processor/collapse/CollapseDTO.java:24-36``): within each collapse
+    group the winner is the FIRST doc in the sort order (docID as last
+    tie-break), and the final result keeps that sort. ``track_scores``
+    keeps the relevance score column like the field-sort collector."""
+    extra = [f for f, _ in sort_fields if f != collapse_field]
+    joined = results.join(
+        docs.select(F.col(id_col).alias("docID"), collapse_field, *extra), "docID"
+    )
+    order = [F.asc(f) if asc else F.desc(f) for f, asc in sort_fields] + [
+        F.asc("docID")
+    ]
+    w = Window.partitionBy(collapse_field).orderBy(*order)
+    cols = ["docID", collapse_field] + extra + (["score"] if track_scores else [])
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*cols)
+        .orderBy(*order)
+    )
+
+
 def with_max_score(results: DataFrame) -> DataFrame:
     """Response-level max-score tracking
     (``HybridTopScoreDocCollector.java:45,157`` per-shard max;

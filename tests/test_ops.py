@@ -79,6 +79,25 @@ def test_collapse(results, docs):
     assert {(r["docID"], r["repo"]) for r in got} == {(1, "r1"), (3, "r2"), (5, "r3")}
 
 
+def test_collapse_sorted_winner_by_sort_not_score(results, docs):
+    """Sorted collapse: group winner = first in the SORT order (rating
+    desc), not the best score; final order = the same sort."""
+    from neural_search_spark.search.ops import collapse_sorted
+
+    got = collapse_sorted(
+        results, docs, "repo", [("rating", False)], track_scores=True
+    ).collect()
+    # r1: doc 2 (rating 9.0) beats doc 1 (score 0.9 but rating 3.0);
+    # r2: doc 4 (rating 7.0) beats doc 3; r3: doc 5
+    assert [(r["docID"], r["repo"], r["rating"]) for r in got] == [
+        (2, "r1", 9.0), (4, "r2", 7.0), (5, "r3", 5.0),
+    ]
+    assert [r["score"] for r in got] == [0.8, 0.5, 0.1]
+    # without track_scores the score column is dropped
+    cols = collapse_sorted(results, docs, "repo", [("rating", False)]).columns
+    assert cols == ["docID", "repo", "rating"]
+
+
 def test_nested_inner_hits(spark):
     from neural_search_spark.search.ops import nested_inner_hits
 
