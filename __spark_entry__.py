@@ -1377,63 +1377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round): never-oracle-checked keys first, then keys unchecked in r2,
     # then keys new this round, then the long-green staples at the tail.
     return {
-        # -- new in round 4 --
+        # -- new in round 4 (never checked) --
         "highlight_spec": q_highlight_spec,
         "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
-        # -- never oracle-checked before round 3 --
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "mm_text_image_embedding": q_mm_text_image_embedding,
-        "hybrid_sort_field": q_hybrid_sort_field,
-        "hybrid_explain_full": q_hybrid_explain_full,
-        # -- unchecked in round 2 (green in round 1) --
-        "hybrid_explain": q_hybrid_explain,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "text_token_counts": q_text_token_counts,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "mm_image_meta": q_mm_image_meta,
-        "mm_frame_sample": q_mm_frame_sample,
-        # -- new in round 3 --
-        "hybrid_spec_full": q_hybrid_spec_full,
-        "neural_max_distance": q_neural_max_distance,
-        "neural_rescored_topk": q_neural_rescored_topk,
-        "neural_nested_topk": q_neural_nested_topk,
-        "neural_nested_expand": q_neural_nested_expand,
-        "highlight_semantic": q_highlight_semantic,
-        "stream_window_stats_batch": q_stream_window_stats_batch,
-        "dedup_clusters": q_dedup_clusters,
-        "train_split_assign": q_train_split_assign,
+        # -- red in round 3 (oracle cast fixed this round) --
         "pack_plan": q_pack_plan,
-        "bm25_match_and_topk": q_bm25_match_and_topk,
-        "bm25_match_msm_topk": q_bm25_match_msm_topk,
-        "hybrid_bool_boosted": q_hybrid_bool_boosted,
-        "hybrid_agg_range": q_hybrid_agg_range,
-        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
-        "match_all_filtered": q_match_all_filtered,
-        "ids_topk": q_ids_topk,
-        "wildcard_topk": q_wildcard_topk,
-        "range_topk": q_range_topk,
-        "dis_max_topk": q_dis_max_topk,
-        "boosting_topk": q_boosting_topk,
-        "constant_score_topk": q_constant_score_topk,
-        # -- long-green staples (round 1 + round 2 both green) --
-        "bm25_match_topk": q_bm25_match_topk,
-        "bm25_term_topk": q_bm25_term_topk,
-        "bm25_phrase_topk": q_bm25_phrase_topk,
-        "bm25_multi_match_topk": q_bm25_multi_match_topk,
-        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
-        "span_near_topk": q_span_near_topk,
-        "prefix_topk": q_prefix_topk,
-        "fuzzy_topk": q_fuzzy_topk,
-        "terms_topk": q_terms_topk,
+        # -- last checked in round 2 --
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_prop": q_events_json_prop,
@@ -1475,6 +1424,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_max_score": q_hybrid_max_score,
         "hybrid_spec_enriched": q_hybrid_spec_enriched,
         "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
+        # -- green in round 3 (freshest) --
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "mm_text_image_embedding": q_mm_text_image_embedding,
+        "hybrid_sort_field": q_hybrid_sort_field,
+        "hybrid_explain_full": q_hybrid_explain_full,
+        "hybrid_explain": q_hybrid_explain,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        "hybrid_spec_full": q_hybrid_spec_full,
+        "neural_max_distance": q_neural_max_distance,
+        "neural_rescored_topk": q_neural_rescored_topk,
+        "neural_nested_topk": q_neural_nested_topk,
+        "neural_nested_expand": q_neural_nested_expand,
+        "highlight_semantic": q_highlight_semantic,
+        "stream_window_stats_batch": q_stream_window_stats_batch,
+        "dedup_clusters": q_dedup_clusters,
+        "train_split_assign": q_train_split_assign,
+        "bm25_match_and_topk": q_bm25_match_and_topk,
+        "bm25_match_msm_topk": q_bm25_match_msm_topk,
+        "hybrid_bool_boosted": q_hybrid_bool_boosted,
+        "hybrid_agg_range": q_hybrid_agg_range,
+        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "match_all_filtered": q_match_all_filtered,
+        "ids_topk": q_ids_topk,
+        "wildcard_topk": q_wildcard_topk,
+        "range_topk": q_range_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "constant_score_topk": q_constant_score_topk,
+        "bm25_match_topk": q_bm25_match_topk,
+        "bm25_term_topk": q_bm25_term_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_multi_match_topk": q_bm25_multi_match_topk,
+        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
+        "span_near_topk": q_span_near_topk,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "terms_topk": q_terms_topk,
     }
 
 

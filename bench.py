@@ -3,9 +3,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric", "value", "unit", "queries", "sf"}.
 
-"value" is the total wall time (sec) across the headline query set; the
-per-query dict carries each query's wall seconds. A "queries_per_sec"
-field reports the BASELINE.json throughput metric over the timed set.
+"value" is the sum over keys of the per-key MEDIAN wall time (sec) across
+N interleaved repetitions (SPARK_GRAFT_BENCH_REPS, default 3 — the host VM
+swings +/-2x on sub-second keys, so single samples are unreadable);
+"queries" carries the per-key medians and "queries_stats" the
+{median, n, min, max} detail. A "queries_per_sec" field reports the
+BASELINE.json throughput metric over the timed set.
 """
 
 from __future__ import annotations
@@ -35,7 +38,8 @@ def main() -> None:
     eng.postings.count()
     _ = eng.stats
     entry_mod._index(spark, sf_dir)  # compressed block-max index (WAND path)
-    entry_mod._pos_index(spark, sf_dir)  # positional postings (phrase path)
+    for fld in entry_mod.MULTI_MATCH_FIELDS:  # positional postings (phrase paths)
+        entry_mod._pos_index(spark, sf_dir, field=fld)
     entry_mod._ivf_artifacts(spark, sf_dir)  # IVF centroids + list assignment
     for fld in entry_mod.MULTI_MATCH_FIELDS:  # per-field indexes (multi_match)
         p, _d, _s = eng.field_artifacts(fld)
@@ -43,16 +47,40 @@ def main() -> None:
     index_build = time.perf_counter() - t_idx0
 
     qmap = entry_mod.queries()
-    timings: dict[str, float] = {}
+    # Median of N repetitions per key: the host VM is hypervisor-
+    # overcommitted and single samples of sub-second keys swing +/-2x, so
+    # a per-key median is the only readable statistic. Repetitions are
+    # interleaved (rep 1 of every key, then rep 2, ...) so one noisy host
+    # window cannot bias all of a key's samples.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qmap}
     t_all0 = time.perf_counter()
-    for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
-    total = time.perf_counter() - t_all0
+    for rep in range(reps):
+        for name, fn in qmap.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(f"# rep{rep} {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+    wall_all_reps = time.perf_counter() - t_all0
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(_median(xs), 4) for name, xs in samples.items()}
+    stats = {
+        name: {
+            "median": round(_median(xs), 4),
+            "n": len(xs),
+            "min": round(min(xs), 4),
+            "max": round(max(xs), 4),
+        }
+        for name, xs in samples.items()
+    }
+    total = sum(_median(xs) for xs in samples.values())
 
     # attach the latest postings-build scaling evidence (tools/scaling_run.py)
     scaling = None
@@ -69,10 +97,13 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline query set wall time (BM25 + hybrid + pipeline ops)",
+        "metric": "headline query set wall time (BM25 + hybrid + pipeline ops); per-key MEDIAN of N interleaved repetitions",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_stats": stats,
+        "bench_reps": reps,
+        "wall_all_reps_sec": round(wall_all_reps, 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries_per_sec": round(len(timings) / total, 4) if total else None,
         "index_build_sec": round(index_build, 4),
