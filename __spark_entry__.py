@@ -1333,6 +1333,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_doc_corpus(spark, sf_dir))
 
 
+DECONTAM_BENCH_MOD = 97  # docID % 97 == 0 -> stand-in benchmark/eval set
+DECONTAM_NGRAM = 3
+SAMPLE_FRACTIONS = {"en": 0.35, "es": 0.8, "de": 1.0, "fr": 0.5}  # zh dropped
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals (Gopher/MassiveText quality filters):
+    duplicate-fragment fraction + top word-2-gram fraction."""
+    from neural_search_spark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(
+        _doc_corpus(spark, sf_dir), line_delim=CHUNK_DELIM
+    ).orderBy("docID")
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): training docs
+    sharing any word n-gram with the stand-in eval set (docID % 97 == 0)
+    are flagged with their contaminated-n-gram count."""
+    from neural_search_spark.pipeline.decontam import ngram_decontaminate
+
+    docs = _doc_corpus(spark, sf_dir)
+    bench = docs.where(F.col("docID") % DECONTAM_BENCH_MOD == 0)
+    rest = docs.where(F.col("docID") % DECONTAM_BENCH_MOD != 0)
+    return ngram_decontaminate(rest, bench, n=DECONTAM_NGRAM).orderBy("docID")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (lang) hash sampling — the domain-mixing
+    primitive; strata absent from the fraction map drop to rate 0."""
+    from neural_search_spark.pipeline.training import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"), "lang"
+    )
+    return stratified_sample(docs, "lang", SAMPLE_FRACTIONS).orderBy("docID")
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.pipeline.multimodal import (
         extract_binary_features,
@@ -1380,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never checked) --
         "highlight_spec": q_highlight_spec,
         "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
+        "sample_stratified": q_sample_stratified,
         # -- red in round 3 (oracle cast fixed this round) --
         "pack_plan": q_pack_plan,
         # -- last checked in round 2 --
@@ -1726,6 +1767,11 @@ LIMIT 10
         "text_lang_id": psql.text_lang_id_sql(),
         "text_quality": psql.text_quality_sql(),
         "text_fingerprint": psql.text_fingerprint_sql(),
+        "text_repetition": psql.text_repetition_sql(CHUNK_DELIM),
+        "text_decontaminate": psql.text_decontaminate_sql(
+            DECONTAM_NGRAM, DECONTAM_BENCH_MOD
+        ),
+        "sample_stratified": psql.stratified_sample_sql("lang", SAMPLE_FRACTIONS),
         "mm_image_meta": psql.mm_image_meta_sql(),
         "mm_frame_sample": psql.mm_frame_sample_sql(FRAME_STRIDE, MAX_FRAMES),
         "mm_text_image_embedding": psql.mm_text_image_embedding_sql(),

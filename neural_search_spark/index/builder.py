@@ -275,6 +275,7 @@ def build_index(
             .mode("overwrite")
             .parquet(raw_dir)
         )
+        t_shuffle = time.perf_counter()
         # docmap: (docID, sha) per shard — the content-identity checkpoint
         # that update_index anti-joins against to skip unchanged docs (the
         # reference's inference-skip filter,
@@ -284,6 +285,7 @@ def build_index(
         ).write.partitionBy("shard").mode("overwrite").parquet(
             os.path.join(out_dir, "docmap")
         )
+        t_docmap = time.perf_counter()
         # doclens: distinct per doc, cheap projection of the same raw rows
         spark.read.parquet(raw_dir).groupBy("docID", "shard").agg(
             F.first("dl").alias("dl"), F.first("dlq").alias("dlq")
@@ -292,6 +294,7 @@ def build_index(
         ).write.partitionBy("shard").mode("overwrite").parquet(
             os.path.join(out_dir, "doclens")
         )
+        t_doclens = time.perf_counter()
         dstats = (
             spark.read.parquet(os.path.join(out_dir, "doclens"))
             .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
@@ -313,6 +316,12 @@ def build_index(
                 "shards": list(range(n_shards)),
                 "rows": nrows,
                 "wall_s": round(time.perf_counter() - t0, 3),
+                # sub-job walls (lineage metrics): the salted tokenize
+                # shuffle, the docmap identity pass, the doclens projection
+                "wall_shuffle_s": round(t_shuffle - t0, 3),
+                "wall_docmap_s": round(t_docmap - t_shuffle, 3),
+                "wall_doclens_s": round(t_doclens - t_docmap, 3),
+                "wall_stats_s": round(time.perf_counter() - t_doclens, 3),
             },
         )
 

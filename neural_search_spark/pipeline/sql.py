@@ -739,3 +739,89 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def text_repetition_sql(line_delim: str) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.repetition_stats`
+    (Gopher-style duplicate-line fraction + top word-2-gram fraction)."""
+    d = line_delim.replace("'", "''")
+    return f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           string_split(text, '{d}') AS lines,
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS ts
+    FROM documents
+),
+linestats AS (
+    SELECT docID, CAST(len(lines) AS BIGINT) AS n_lines,
+           ROUND(CASE WHEN len(lines) > 0
+                 THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                 ELSE 0.0 END, 6) AS dup_line_frac
+    FROM base
+),
+bi AS (
+    SELECT docID,
+           unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+    FROM base
+),
+cnt AS (SELECT docID, bigram, COUNT(*) AS c FROM bi GROUP BY docID, bigram),
+agg AS (
+    SELECT docID, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_c
+    FROM cnt GROUP BY docID
+)
+SELECT l.docID, l.n_lines, l.dup_line_frac,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+             THEN CAST(a.top_c AS DOUBLE) / a.n_bigrams ELSE 0.0 END, 6) AS top_bigram_frac
+FROM linestats l LEFT JOIN agg a USING (docID)
+ORDER BY docID
+"""
+
+
+def text_decontaminate_sql(n: int, bench_mod: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.decontam.ngram_decontaminate`
+    with benchmark = documents where doc_id % bench_mod == 0 (the driver's
+    deterministic stand-in eval set) and corpus = the rest."""
+    grams = (
+        f"unnest(list_distinct(list_transform(range(1, len(ts) - {n - 2}),"
+        f" i -> array_to_string(ts[i:i + {n - 1}], ' ')))) AS ngram"
+    )
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS ts
+    FROM documents
+),
+corpus_grams AS (
+    SELECT docID, {grams} FROM toks WHERE docID % {bench_mod} != 0
+),
+bench_grams AS (
+    SELECT DISTINCT {grams.replace(' AS ngram', '')} AS ngram
+    FROM toks WHERE docID % {bench_mod} = 0
+)
+SELECT docID, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+FROM corpus_grams
+WHERE ngram IN (SELECT ngram FROM bench_grams)
+GROUP BY docID
+ORDER BY docID
+"""
+
+
+def stratified_sample_sql(
+    strata_col: str, fractions: dict[str, float], seed: str = "sample-v1"
+) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.stratified_sample`:
+    keep iff hash32(seed ':' docID) % 1e6 < fraction(stratum) * 1e6;
+    strata absent from the map are dropped."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(doc_id AS VARCHAR)")
+    scale = 1_000_000
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(f * scale))}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docID, {strata_col}
+FROM documents
+WHERE {h} % {scale} < CASE {strata_col} {cases} ELSE 0 END
+ORDER BY docID
+"""

@@ -106,3 +106,72 @@ def fingerprints(df: DataFrame, text_col: str = "content", id_col: str = "docID"
         % F.lit(P.MERSENNE_P),
     )
     return df.select(F.col(id_col).alias("docID"), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """(docID, n_lines, dup_line_frac, n_bigrams, top_bigram_frac):
+    within-document repetition signals (the Gopher/MassiveText quality
+    filters — fraction of duplicate lines, fraction of all word 2-grams
+    taken by the most frequent one). High values flag boilerplate /
+    degenerate generations before training.
+
+    Scale shape: line stats are pure array expressions (codegen); the
+    top-bigram mode needs a per-(doc, bigram) count, which is one
+    hash-partitioned explode + two groupBys keyed by docID — the same
+    irreducible payload as the shingle ops, no all-pairs anywhere.
+    Ratios are rounded to 6 dp (the engine/oracle float contract).
+    """
+    import re
+
+    lines = F.split(F.col(text_col), re.escape(line_delim))
+    n_lines = F.size(lines).cast("long")
+    n_dist = F.size(F.array_distinct(lines)).cast("long")
+    dup_frac = F.when(
+        n_lines > 0, (n_lines - n_dist).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col).alias("docID"),
+        n_lines.alias("n_lines"),
+        P.round6(dup_frac).alias("dup_line_frac"),
+        _tokens(text_col).alias("_toks"),
+    )
+    bigrams = base.select(
+        "docID",
+        F.when(
+            F.size("_toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bi"),
+    )
+    counts = (
+        bigrams.select("docID", F.explode_outer("_bi").alias("bigram"))
+        .groupBy("docID", "bigram")
+        .agg(F.count(F.col("bigram")).alias("c"))
+        .groupBy("docID")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    out = base.join(counts, "docID", "left").select(
+        "docID",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        P.round6(
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("top_c").cast("double") / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0))
+        ).alias("top_bigram_frac"),
+    )
+    return out

@@ -133,3 +133,43 @@ def pack_plan(
         .orderBy("docID")
     )
     return out
+
+
+SAMPLE_SCALE = 1_000_000  # per-million keep threshold resolution
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str = "sample-v1",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash32(seed ':' docID) mod 1e6 < fraction(stratum) * 1e6``.
+
+    The domain-mixing primitive of a pretraining pipeline (down-sample
+    boilerplate-heavy sources, up-weight scarce languages): fractions map
+    stratum value -> keep rate in [0, 1]; strata absent from the map are
+    dropped (rate 0). Like :func:`split_assign`, membership is a pure
+    function of (seed, docID) — independent of partitioning, order, and
+    cluster size, so reruns and backfills agree row-by-row, unlike
+    ``DataFrame.sample`` whose draw depends on the partition layout.
+
+    Scale shape: a single filter projection, zero shuffle.
+    """
+    from neural_search_spark.pipeline import params as P
+
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {v}")
+    h = (
+        F.expr(P.hash32_sql_spark(f"concat('{seed}', ':', CAST({id_col} AS STRING))"))
+        % SAMPLE_SCALE
+    )
+    thresh = F.lit(0)
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * SAMPLE_SCALE)))
+        ).otherwise(thresh)
+    return df.where(h < thresh)

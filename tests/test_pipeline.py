@@ -473,3 +473,59 @@ def test_pack_plan_offsets_and_straddle(spark):
     assert [got[i]["start_offset"] for i in range(4)] == [0, 3, 9, 9]
     assert [got[i]["pack_id"] for i in range(4)] == [0, 0, 1, 1]
     assert [got[i]["n_packs"] for i in range(4)] == [1, 2, 0, 1]
+
+
+def test_repetition_stats_semantics(spark):
+    from neural_search_spark.pipeline.textstats import repetition_stats
+
+    rows = [
+        (0, "a b\na b\nc d"),      # 1 dup line of 3; bigrams: "a b"x2,"b a","b c","c d" -> top 2/5
+        (1, "x"),                   # single token: 0 bigrams
+        (2, "p q p q p q"),         # bigrams: "p q"x3 + "q p"x2 -> top 3/5
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    got = {r["docID"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["n_lines"] == 3 and abs(got[0]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert abs(got[0]["top_bigram_frac"] - 2 / 5) < 1e-6
+    assert got[1]["n_bigrams"] == 0 and got[1]["top_bigram_frac"] == 0.0
+    assert got[2]["n_bigrams"] == 5 and abs(got[2]["top_bigram_frac"] - 3 / 5) < 1e-6
+
+
+def test_ngram_decontaminate(spark):
+    from neural_search_spark.pipeline.decontam import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),   # shares 3-grams with bench doc
+            (1, "alpha beta zeta"),           # 2-token overlap only -> clean at n=3
+            (2, "unrelated words entirely"),
+        ],
+        "docID long, content string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "docID long, content string"
+    )
+    got = {r["docID"]: r["n_hit_ngrams"] for r in ngram_decontaminate(corpus, bench, n=3).collect()}
+    assert got == {0: 1}  # only "alpha beta gamma" overlaps
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from neural_search_spark.pipeline.training import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, "docID long, lang string")
+    out1 = stratified_sample(df, "lang", {"en": 0.5})
+    out2 = stratified_sample(df, "lang", {"en": 0.5})
+    ids1 = sorted(r["docID"] for r in out1.collect())
+    assert ids1 == sorted(r["docID"] for r in out2.collect())  # rerun-stable
+    assert all(i % 2 == 0 for i in ids1)  # zh absent from map -> dropped
+    assert 40 <= len(ids1) <= 160  # ~100 of 200 en docs at rate 0.5
+    # different seed re-rolls membership
+    ids_seed2 = sorted(
+        r["docID"] for r in stratified_sample(df, "lang", {"en": 0.5}, seed="v2").collect()
+    )
+    assert ids_seed2 != ids1
+    import pytest
+
+    with pytest.raises(ValueError, match="fractions"):
+        stratified_sample(df, "lang", {"en": 1.5})

@@ -138,7 +138,15 @@ def run_level(n_exec: int, port: int) -> dict:
             .config("spark.cores.max", str(n_exec))
             .config("spark.driver.memory", "6g")
             .config("spark.driver.host", "127.0.0.1")
-            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+            .config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "134217728"),
+            )
+            .config(
+                "spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "4194304"),
+            )
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.ui.enabled", "false")
@@ -158,11 +166,19 @@ def run_level(n_exec: int, port: int) -> dict:
             stats = build_index(spark, corpus, out_dir, n_shards=N_SHARDS, resume=False)
             wall = time.perf_counter() - t0
             b1, s1 = cpu_sample()
-            rows = sum(e["rows"] for e in read_manifest(out_dir) if e["stage"] == "raw")
+            manifest = read_manifest(out_dir)
+            rows = sum(e["rows"] for e in manifest if e["stage"] == "raw")
+            stage_walls = {e["stage"]: e["wall_s"] for e in manifest}
+            for e in manifest:
+                if e["stage"] == "raw":
+                    for k in ("wall_shuffle_s", "wall_docmap_s", "wall_doclens_s", "wall_stats_s"):
+                        if k in e:
+                            stage_walls[k] = e[k]
             shutil.rmtree(out_dir, ignore_errors=True)
             return {
                 "executors": n_exec,
                 "wall_s": round(wall, 3),
+                "stage_walls": stage_walls,
                 "posting_rows": rows,
                 "rows_per_sec": round(rows / wall, 1),
                 "n_docs": stats["n_docs"],
@@ -236,7 +252,9 @@ def main() -> None:
         "target": 0.8,
         "pass": best_pair["efficiency"] >= 0.8,
     }
-    out = os.path.join(REPO, "BENCH_SCALING_CLUSTER.json")
+    out = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT", os.path.join(REPO, "BENCH_SCALING_CLUSTER.json")
+    )
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
