@@ -259,6 +259,29 @@ def build_index(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
             _tf_dlq_udf(F.col(text_col)).alias("_tf"),
         )
+        # docmap: (docID, sha) per shard — the content-identity checkpoint
+        # that update_index anti-joins against to skip unchanged docs (the
+        # reference's inference-skip filter,
+        # processor/optimization/InferenceFilter.java). Submitted from a
+        # side thread so its tasks FILL the tokenize shuffle's idle slots
+        # (FIFO scheduling backfills trailing waves) instead of paying a
+        # whole extra serial pass over the corpus.
+        import threading
+
+        docmap_err: list[BaseException] = []
+
+        def _write_docmap() -> None:
+            try:
+                _docmap(corpus, n_shards, text_col, id_col).repartition(
+                    n_shards, "shard"
+                ).write.partitionBy("shard").mode("overwrite").parquet(
+                    os.path.join(out_dir, "docmap")
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+                docmap_err.append(e)
+
+        docmap_thread = threading.Thread(target=_write_docmap, daemon=True)
+        docmap_thread.start()
         (
             # 4x partitions so hash collisions between shard keys do not
             # double-load reduce tasks (a key still lands wholly in one task)
@@ -276,15 +299,9 @@ def build_index(
             .parquet(raw_dir)
         )
         t_shuffle = time.perf_counter()
-        # docmap: (docID, sha) per shard — the content-identity checkpoint
-        # that update_index anti-joins against to skip unchanged docs (the
-        # reference's inference-skip filter,
-        # processor/optimization/InferenceFilter.java)
-        _docmap(corpus, n_shards, text_col, id_col).repartition(
-            n_shards, "shard"
-        ).write.partitionBy("shard").mode("overwrite").parquet(
-            os.path.join(out_dir, "docmap")
-        )
+        docmap_thread.join()
+        if docmap_err:
+            raise docmap_err[0]
         t_docmap = time.perf_counter()
         # doclens: distinct per doc, cheap projection of the same raw rows
         spark.read.parquet(raw_dir).groupBy("docID", "shard").agg(

@@ -20,6 +20,13 @@ Shuffles between executors cross real JVM boundaries (netty transfer),
 per-executor overheads replicate with the executor count exactly as on a
 1000-node cluster, and host steal is sampled per run like scaling_run.
 
+Defaults tuned for this sandbox from measured probes (all overridable by
+env): 16 MB scan splits / 1 MB open cost so the 128-file corpus fans out
+to every executor (the stock 128 MB split packed it into ~5 splits and
+capped the scan stage at 5-way); 64 shards so reduce waves stay balanced
+at 8 executors; workers pinned to CPUs 8,11,... because guest CPUs 0-7
+carry host IRQ/virtio load and run ~16% slower.
+
 Usage:
     python tools/scaling_cluster.py            # full report (2 trials x {1,4} executors)
     SPARK_GRAFT_SCALING_TRIALS=3 python tools/scaling_cluster.py
@@ -44,7 +51,7 @@ CORPUS_DIR = "/tmp/nss_scaling_corpus"
 LEVELS = tuple(
     sorted(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(","))
 )
-N_SHARDS = 32
+N_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALING_SHARDS", "64"))
 EXEC_MEM = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "6g")
 
 
@@ -106,7 +113,13 @@ class Cluster:
                 "-c", "1", "-m", EXEC_MEM, "--webui-port", "0",
             ]
             if pin:
-                cmd = ["taskset", "-c", str(i)] + cmd
+                # CPUs 0-7 are measurably slower on this guest (host
+                # IRQ/virtio work lands there): an 8-exec level pinned to
+                # 0-7 ran ~16% slower than the same level pinned to
+                # 8,11,...,29. Spread high by default.
+                base = int(os.environ.get("SPARK_GRAFT_PIN_BASE", "8"))
+                stride = int(os.environ.get("SPARK_GRAFT_PIN_STRIDE", "3"))
+                cmd = ["taskset", "-c", str(base + i * stride)] + cmd
             wenv = {**env, "SPARK_WORKER_DIR": f"/tmp/nss_worker_{self.port}_{i}"}
             self.procs.append(
                 subprocess.Popen(cmd, env=wenv, stdout=devnull, stderr=devnull)
@@ -141,11 +154,11 @@ def run_level(n_exec: int, port: int) -> dict:
             .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
             .config(
                 "spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "134217728"),
+                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "16777216"),
             )
             .config(
                 "spark.sql.files.openCostInBytes",
-                os.environ.get("SPARK_GRAFT_OPEN_COST", "4194304"),
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "1048576"),
             )
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
