@@ -28,6 +28,13 @@ def pairs_from(report: dict) -> list[dict]:
     for t in range(min(len(lo_runs), len(hi_runs))):
         a, b = lo_runs[t], hi_runs[t]
         sp = a["wall_s"] / b["wall_s"]
+        # a window is externally loaded (another job on THIS guest — e.g. a
+        # test suite — which host steal cannot see) when measured busy CPUs
+        # far exceed what the pinned executors can use; flag, never select
+        ext = any(
+            (r.get("host_busy_cpus") or 0.0) > n_exec + 0.5
+            for r, n_exec in ((a, lo), (b, hi))
+        )
         out.append(
             {
                 "n": lo,
@@ -38,6 +45,9 @@ def pairs_from(report: dict) -> list[dict]:
                 "rows_per_sec_4n": b["rows_per_sec"],
                 "steal_cpus_n": a.get("host_steal_cpus"),
                 "steal_cpus_4n": b.get("host_steal_cpus"),
+                "busy_cpus_n": a.get("host_busy_cpus"),
+                "busy_cpus_4n": b.get("host_busy_cpus"),
+                "external_load": ext,
                 "speedup": round(sp, 3),
                 "efficiency": round(sp / (hi / lo), 3),
             }
@@ -58,10 +68,15 @@ def main() -> None:
         p["pair_steal_cpus"] = round(
             (p.get("steal_cpus_n") or 0.0) + (p.get("steal_cpus_4n") or 0.0), 2
         )
+    # externally-loaded windows (busy >> pinned executors) are excluded from
+    # BOTH selection and the median: their walls measure the other job, not
+    # the cluster (in either direction — an inflated serial wall would
+    # *overstate* efficiency). They stay listed in all_pairs, flagged.
+    clean = [p for p in all_pairs if not p["external_load"]] or all_pairs
     # cleanest window = lowest combined steal; ties broken by input order,
     # never by efficiency (that would reintroduce the max-of-noise bias)
-    best = min(enumerate(all_pairs), key=lambda ip: (ip[1]["pair_steal_cpus"], ip[0]))[1]
-    eff_sorted = sorted(p["efficiency"] for p in all_pairs)
+    best = min(enumerate(clean), key=lambda ip: (ip[1]["pair_steal_cpus"], ip[0]))[1]
+    eff_sorted = sorted(p["efficiency"] for p in clean)
     mid = len(eff_sorted) // 2
     median_eff = (
         eff_sorted[mid]
@@ -75,6 +90,7 @@ def main() -> None:
         "all_pairs": sorted(all_pairs, key=lambda x: x["pair_steal_cpus"]),
         "best_pair": best,
         "pair_selection": "lowest combined host steal (cleanest window)",
+        "pairs_excluded_external_load": len(all_pairs) - len(clean),
         "speedup": best["speedup"],
         "scaling_efficiency": best["efficiency"],
         "efficiency_median_paired": median_eff,
