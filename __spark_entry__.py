@@ -1303,6 +1303,21 @@ def q_events_json_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_prop_stats(_events(spark, sf_dir)).orderBy("event_type")
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ClickHouse windowFunnel contract,
+    anchored): view -> click -> purchase within 24 h of the first view.
+    One shuffle on user_id; chained conditional-min windows."""
+    from neural_search_spark.pipeline.events import funnel
+
+    return funnel(_events(spark, sf_dir), FUNNEL_STEPS, FUNNEL_WINDOW_US).orderBy(
+        "step_idx"
+    )
+
+
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("docID"), F.col("text").alias("content")
@@ -1371,6 +1386,55 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", SAMPLE_FRACTIONS).orderBy("docID")
 
 
+MIX_TARGET = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}  # zh excluded
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi/Pile-style domain reweighting: per-stratum keep rates that
+    hit a target char-mass mixture (limiting stratum caps the corpus),
+    then the deterministic per-doc draw."""
+    from neural_search_spark.pipeline.training import domain_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return domain_mixture(docs, "lang", MIX_TARGET, "n_chars").orderBy("docID")
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (CCNet/Dolma hygiene): count + sentinel-mask emails /
+    IPv4s / phones over the contact-line fixture — a pure projection that
+    streams at scan speed (zero shuffle, zero Python)."""
+    from neural_search_spark.pipeline.textstats import pii_scrub, with_contact_lines
+
+    return pii_scrub(with_contact_lines(_doc_corpus(spark, sf_dir))).orderBy("docID")
+
+
+RESCORE_WINDOW = 50
+RESCORE_QW, RESCORE_RQW = 0.7, 1.3
+
+
+def q_bm25_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``rescore`` block over two lexical clauses: cheap match
+    primary -> top-window cut -> phrase-free secondary match priced at
+    O(window), score_mode=total with query/rescore weights."""
+    from neural_search_spark.search.ops import rescore_window
+
+    eng = _engine(spark, sf_dir)
+    return _round_score(
+        rescore_window(
+            eng.match(Q_MATCH),
+            eng.match(Q_FILTERED),
+            window_size=RESCORE_WINDOW,
+            query_weight=RESCORE_QW,
+            rescore_query_weight=RESCORE_RQW,
+            k=10,
+        )
+    )
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.pipeline.multimodal import (
         extract_binary_features,
@@ -1421,6 +1485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "sample_stratified": q_sample_stratified,
+        "bm25_rescored_topk": q_bm25_rescored_topk,
+        "text_pii": q_text_pii,
+        "domain_mixture": q_domain_mixture,
+        "events_funnel": q_events_funnel,
         # -- red in round 3 (oracle cast fixed this round) --
         "pack_plan": q_pack_plan,
         # -- last checked in round 2 --
@@ -1772,6 +1840,13 @@ LIMIT 10
             DECONTAM_NGRAM, DECONTAM_BENCH_MOD
         ),
         "sample_stratified": psql.stratified_sample_sql("lang", SAMPLE_FRACTIONS),
+        "text_pii": psql.text_pii_sql(),
+        "domain_mixture": psql.domain_mixture_sql("lang", MIX_TARGET),
+        "events_funnel": psql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_US),
+        "bm25_rescored_topk": osql.rescore_topk_sql(
+            tt(Q_MATCH), tt(Q_FILTERED), RESCORE_WINDOW,
+            query_weight=RESCORE_QW, rescore_query_weight=RESCORE_RQW, k=10,
+        ),
         "mm_image_meta": psql.mm_image_meta_sql(),
         "mm_frame_sample": psql.mm_frame_sample_sql(FRAME_STRIDE, MAX_FRAMES),
         "mm_text_image_embedding": psql.mm_text_image_embedding_sql(),

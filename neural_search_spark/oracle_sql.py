@@ -1886,3 +1886,50 @@ SELECT docID, score, COALESCE(MAX(score) OVER (), 0.0) AS max_score
 FROM hits
 ORDER BY score DESC, docID
 """
+
+
+def rescore_topk_sql(
+    primary_terms: list[str],
+    secondary_terms: list[str],
+    window_size: int,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of :func:`neural_search_spark.search.ops.rescore_window` over
+    two BM25 ``match`` clauses: window = top ``window_size`` of the
+    primary (score desc, docID tie-break), final score = qw * primary +
+    rqw * COALESCE(secondary, 0) over exactly that window."""
+    dlq = quantize_length_sql("dls.dl")
+
+    def _scored(alias: str, terms: list[str]) -> str:
+        return f"""
+{alias}q AS (SELECT DISTINCT unnest({_term_list(terms)}) AS term),
+{alias}nd AS (SELECT tf.term, COUNT(*) AS ndoc FROM tf JOIN {alias}q USING (term) GROUP BY tf.term),
+{alias}scored AS (
+    SELECT tf.docID,
+           SUM(
+             ln(1 + (s.n_docs - {alias}nd.ndoc + 0.5) / ({alias}nd.ndoc + 0.5))
+             * tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))
+           ) AS score
+    FROM tf
+    JOIN {alias}nd ON tf.term = {alias}nd.term
+    JOIN dls ON tf.docID = dls.docID
+    CROSS JOIN stats s
+    GROUP BY tf.docID
+)"""
+
+    return f"""{_PRELUDE},
+{_scored("p", primary_terms)},
+{_scored("r", secondary_terms)},
+win AS (
+    SELECT docID, score FROM pscored ORDER BY score DESC, docID LIMIT {int(window_size)}
+)
+SELECT w.docID,
+       ROUND({query_weight} * w.score + {rescore_query_weight} * COALESCE(s.score, 0), 4) AS score
+FROM win w LEFT JOIN rscored s USING (docID)
+ORDER BY {query_weight} * w.score + {rescore_query_weight} * COALESCE(s.score, 0) DESC, w.docID
+LIMIT {int(k)}
+"""

@@ -102,3 +102,62 @@ def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_with_prop"), P.round4(F.avg("v")).alias("avg_prop"))
     )
+
+
+def funnel(events: DataFrame, steps: list[str], window_us: int | None = None) -> DataFrame:
+    """(step_idx, step, users): ordered conversion funnel — a user reaches
+    step i when their FIRST occurrence of ``steps[i]`` strictly after
+    their step-(i-1) time exists — strict microsecond-timestamp
+    comparison, the ClickHouse ``windowFunnel(strictly_increasing)``
+    contract: same-microsecond events never chain. ``window_us`` bounds
+    the whole chain to within that many microseconds of the step-0 time
+    (anchored at the user's FIRST step-0 occurrence — a deterministic
+    simplification of windowFunnel's sliding anchor).
+
+    Plan: ONE shuffle. Every per-step "first occurrence after the
+    previous step" is a conditional ``min`` window over the same
+    ``partitionBy(user_id)``, so Catalyst plans a single exchange on
+    user_id followed by chained window passes that reuse its
+    partitioning; the final per-step count is a tiny aggregate over one
+    row per user. No self-joins — an L-step funnel over 100 TB of events
+    still moves the events exactly once.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # integer microsecond key (exact in BIGINT on both engines — a
+    # double epoch*1e9 fold would pass 2^53 and silently drop tie-breaks)
+    key = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    df = events.withColumn("_k", key)
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("_k") > F.col(prev))
+            if window_us is not None:
+                cond = cond & (F.col("_k") <= F.col("_t0") + F.lit(int(window_us)))
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("_k"))).over(w))
+        prev = f"_t{i}"
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    # one posexplode over the single counts row (a union of per-step
+    # selects would embed — and recompute — the aggregate once per step)
+    names = F.array(*[F.lit(s) for s in steps])
+    return counts.select(
+        F.posexplode(F.array(*[F.col(f"_c{i}") for i in range(len(steps))])).alias(
+            "step_idx", "users"
+        )
+    ).select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        F.element_at(names, F.col("step_idx") + 1).alias("step"),
+        "users",
+    )

@@ -210,3 +210,23 @@ def round6(col):
     from pyspark.sql import functions as F
 
     return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (CCNet/Dolma-style pre-training hygiene). The patterns are
+# kept inside the RE2 ∩ java.util.regex common dialect (no backrefs, no
+# lookaround) so Spark and DuckDB match byte-identically; replacements are
+# the Dolma-style sentinel tokens.
+# ---------------------------------------------------------------------------
+
+# Host part: regular domain with alpha TLD OR an IPv4 literal, so
+# user@10.0.0.5 scrubs as one email (never as an IP — emails mask first).
+PII_EMAIL_PATTERN = (
+    "[a-z0-9._%+-]+@([a-z0-9.-]+\\.[a-z]{2,}"
+    "|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
+)
+PII_IPV4_PATTERN = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_PATTERN = "\\+[0-9]{7,15}"
+PII_EMAIL_TOKEN = "|||EMAIL|||"
+PII_IPV4_TOKEN = "|||IP|||"
+PII_PHONE_TOKEN = "|||PHONE|||"

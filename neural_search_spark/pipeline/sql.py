@@ -825,3 +825,108 @@ FROM documents
 WHERE {h} % {scale} < CASE {strata_col} {cases} ELSE 0 END
 ORDER BY docID
 """
+
+
+def text_pii_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.pii_scrub`
+    over the contact-line fixture (``with_contact_lines``): same injected
+    text, same mask chain (emails -> IPv4 on the email-masked text ->
+    phones last), same sentinel tokens."""
+    em, ip, ph = P.PII_EMAIL_PATTERN, P.PII_IPV4_PATTERN, P.PII_PHONE_PATTERN
+    emt, ipt, pht = P.PII_EMAIL_TOKEN, P.PII_IPV4_TOKEN, P.PII_PHONE_TOKEN
+    return f"""
+WITH corpus AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           CASE WHEN doc_id % 5 = 0 THEN
+                text || ' contact user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                     || '@example.com or +1415550' || CAST(CAST(doc_id AS BIGINT) % 1000 AS VARCHAR)
+                     || ' from 10.' || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR) || '.0.13'
+           ELSE text END AS content
+    FROM documents
+),
+masked AS (
+    SELECT docID,
+           CAST(len(regexp_extract_all(content, '{em}')) AS BIGINT) AS n_emails,
+           regexp_replace(content, '{em}', '{emt}', 'g') AS no_email
+    FROM corpus
+),
+masked2 AS (
+    SELECT docID, n_emails,
+           CAST(len(regexp_extract_all(no_email, '{ip}')) AS BIGINT) AS n_ips,
+           regexp_replace(no_email, '{ip}', '{ipt}', 'g') AS no_ip
+    FROM masked
+)
+SELECT docID, n_emails, n_ips,
+       CAST(len(regexp_extract_all(no_ip, '{ph}')) AS BIGINT) AS n_phones,
+       regexp_replace(no_ip, '{ph}', '{pht}', 'g') AS clean
+FROM masked2
+ORDER BY docID
+"""
+
+
+def domain_mixture_sql(
+    strata_col: str, target: dict[str, float], seed: str = "mix-v1"
+) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.domain_mixture`
+    over ``documents`` weighted by ``n_chars``: keep_rate_s =
+    t_s * min_s(w_s / t_s) / w_s (6-dp round), draw via
+    hash32(seed ':' docID) % 1e6. SUM(n_chars) is CAST to DOUBLE before
+    division so the HUGEINT sum never reaches the comparison (the
+    pack_plan lesson)."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(doc_id AS VARCHAR)")
+    scale = 1_000_000
+    cases = " ".join(f"WHEN '{s}' THEN {float(t)}" for s, t in sorted(target.items()))
+    return f"""
+WITH corpus AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, {strata_col} AS stratum,
+           CAST(n_chars AS BIGINT) AS w,
+           {h} % {scale} AS draw
+    FROM documents
+),
+masses AS (
+    SELECT stratum, CAST(SUM(w) AS DOUBLE) AS sw,
+           CASE stratum {cases} ELSE NULL END AS share
+    FROM corpus GROUP BY stratum
+),
+cap AS (SELECT MIN(sw / share) AS c FROM masses WHERE share IS NOT NULL),
+rates AS (
+    SELECT stratum, ROUND(share * cap.c / sw, 6) AS keep_rate
+    FROM masses CROSS JOIN cap WHERE share IS NOT NULL
+)
+SELECT c.docID, c.stratum,
+       COALESCE(r.keep_rate, 0.0) AS keep_rate,
+       CAST(c.draw < CAST(ROUND(COALESCE(r.keep_rate, 0.0) * {scale}) AS BIGINT) AS INT) AS kept
+FROM corpus c LEFT JOIN rates r USING (stratum)
+ORDER BY c.docID
+"""
+
+
+def funnel_sql(steps: list[str], window_us: int | None = None) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.funnel`: chained
+    conditional-min windows per user over the integer microsecond key,
+    strict '>' between consecutive steps (optionally bounded to
+    ``window_us`` past the anchor t0); counts CAST to BIGINT (DuckDB
+    SUM returns HUGEINT)."""
+    ctes = ["ev AS (SELECT user_id, event_type, epoch_us(ts) AS k FROM events)"]
+    src = "ev"
+    for i, s in enumerate(steps):
+        after = f" AND k > t{i - 1}" if i else ""
+        if i and window_us is not None:
+            after += f" AND k <= t0 + {int(window_us)}"
+        ctes.append(
+            f"w{i} AS (SELECT *, MIN(CASE WHEN event_type = '{s}'{after} THEN k END)"
+            f" OVER (PARTITION BY user_id) AS t{i} FROM {src})"
+        )
+        src = f"w{i}"
+    tcols = ", ".join(f"MAX(t{i}) AS t{i}" for i in range(len(steps)))
+    ccols = ", ".join(
+        f"CAST(SUM(CASE WHEN t{i} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(len(steps))
+    )
+    ctes.append(f"pu AS (SELECT user_id, {tcols} FROM {src} GROUP BY user_id)")
+    ctes.append(f"c AS (SELECT {ccols} FROM pu)")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step_idx, '{s}' AS step, c{i} AS users FROM c"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY step_idx"

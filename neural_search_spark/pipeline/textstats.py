@@ -175,3 +175,47 @@ def repetition_stats(
         ).alias("top_bigram_frac"),
     )
     return out
+
+
+def with_contact_lines(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """Deterministically append a synthetic contact line to every 5th doc —
+    the test corpus is word soup with no real PII, so the fixture plants
+    some (the multimodal ops' ``with_binary_payload`` pattern: fake data,
+    real plumbing). Pure column concat, reproduced verbatim by the oracle
+    SQL, so both engines scrub the identical text."""
+    d = F.col(id_col)
+    contact = F.concat(
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or +1415550"), (d % 1000).cast("string"),
+        F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.13"),
+    )
+    text = F.when(d % 5 == 0, F.concat(F.col(text_col), contact)).otherwise(F.col(text_col))
+    return df.withColumn(text_col, text)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, n_emails, n_ips, n_phones, clean): count then mask emails /
+    IPv4s / phone numbers with sentinel tokens (CCNet/Dolma pre-training
+    hygiene). Counts come from ``regexp_count``-style extraction, masking
+    from chained global ``regexp_replace`` — all JVM codegen, zero
+    Python, zero shuffle: the op is a pure projection that streams at
+    scan speed no matter the corpus size.
+
+    Order matters: emails are masked FIRST so the host part of
+    ``user@10.2.3.4``-style addresses is counted as an email, not an IP
+    (the IP count runs on the email-masked text; phone masking runs last
+    on the result). The oracle SQL applies the same chain."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(P.PII_EMAIL_PATTERN), F.lit(0)))
+    no_email = F.regexp_replace(t, P.PII_EMAIL_PATTERN, P.PII_EMAIL_TOKEN)
+    n_ips = F.size(F.regexp_extract_all(no_email, F.lit(P.PII_IPV4_PATTERN), F.lit(0)))
+    no_ip = F.regexp_replace(no_email, P.PII_IPV4_PATTERN, P.PII_IPV4_TOKEN)
+    n_phones = F.size(F.regexp_extract_all(no_ip, F.lit(P.PII_PHONE_PATTERN), F.lit(0)))
+    clean = F.regexp_replace(no_ip, P.PII_PHONE_PATTERN, P.PII_PHONE_TOKEN)
+    return df.select(
+        F.col(id_col).alias("docID"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        clean.alias("clean"),
+    )

@@ -173,3 +173,69 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(round(frac * SAMPLE_SCALE)))
         ).otherwise(thresh)
     return df.where(h < thresh)
+
+
+def domain_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float],
+    weight_col: str,
+    seed: str = "mix-v1",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(docID, stratum, keep_rate, kept): per-stratum keep rates that hit a
+    TARGET mixture, then the deterministic doc-level draw.
+
+    Where :func:`stratified_sample` takes explicit rates, this computes
+    them from a target token distribution (the DoReMi/Pile-style "domain
+    weights" step of a pretraining pipeline): given per-stratum token
+    masses ``w_s`` and target shares ``t_s``, the largest corpus honoring
+    the mixture is ``T = min_s(w_s / t_s)`` (the limiting stratum caps
+    everything; its keep_rate is exactly 1) and ``keep_rate_s =
+    t_s * T / w_s``. Strata absent from ``target`` drop to rate 0.
+
+    Scale shape: one tiny aggregate (|strata| rows), a min over it, and a
+    broadcast join back — the corpus itself is touched by exactly one
+    projection + filter pass, zero corpus-sized shuffles. The draw is the
+    engine-wide hash32(seed ':' docID), so membership is independent of
+    partitioning and cluster size.
+    """
+    from neural_search_spark.pipeline import params as P
+
+    total = sum(target.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    share = None
+    for stratum, t in sorted(target.items()):
+        if not 0.0 < t <= 1.0:
+            raise ValueError(f"target shares must be in (0, 1], got {t}")
+        c = F.when(F.col(strata_col) == stratum, F.lit(float(t)))
+        share = c if share is None else share.when(F.col(strata_col) == stratum, F.lit(float(t)))
+    masses = (
+        df.groupBy(strata_col)
+        .agg(F.sum(weight_col).alias("_w"))
+        .withColumn("_share", share)
+        .where(F.col("_share").isNotNull())
+    )
+    cap = masses.agg(F.min(F.col("_w") / F.col("_share")).alias("_cap"))
+    rates = (
+        masses.crossJoin(F.broadcast(cap))
+        .select(
+            strata_col,
+            F.round(F.col("_share") * F.col("_cap") / F.col("_w"), 6).alias("keep_rate"),
+        )
+    )
+    h = (
+        F.expr(P.hash32_sql_spark(f"concat('{seed}', ':', CAST({id_col} AS STRING))"))
+        % SAMPLE_SCALE
+    )
+    thresh = F.round(F.col("keep_rate") * SAMPLE_SCALE).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col, "left")
+        .select(
+            F.col(id_col).alias("docID"),
+            F.col(strata_col).alias("stratum"),
+            F.coalesce(F.col("keep_rate"), F.lit(0.0)).alias("keep_rate"),
+            (h < F.coalesce(thresh, F.lit(0))).cast("int").alias("kept"),
+        )
+    )

@@ -399,3 +399,60 @@ def highlight_semantic(
         )
         .orderBy(F.desc("score"), F.asc("docID"))
     )
+
+
+def rescore_window(
+    primary: DataFrame,
+    secondary: DataFrame,
+    window_size: int,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """OpenSearch ``rescore`` block (score_mode=total), the second-pass
+    search phase the reference's queries compose with (the k-NN twin is
+    ``search/neural.py``'s quantized rescore): take the top
+    ``window_size`` hits of the primary query, re-run the (more
+    expensive) secondary query on exactly that window, and combine
+
+        new_score = query_weight * primary + rescore_query_weight * secondary
+
+    where a window hit the secondary query does not match keeps
+    ``query_weight * primary`` alone (Lucene ``QueryRescorer.combine``:
+    the second score contributes only ``if (secondHitExists)``). Hits
+    outside the window are untouched and rank below (here: dropped, since
+    k <= window_size covers the reference's response surface).
+
+    Plan: the window cut is a ``TakeOrderedAndProject`` (score desc,
+    docID asc — the reference tie-break), so only ``window_size`` rows
+    ever reach the join; the secondary clause joins that tiny frame on
+    docID (broadcast-able at any corpus size). The expensive secondary
+    scorer therefore prices O(window), not O(corpus) — the whole point
+    of the two-phase contract at 100 TB.
+    """
+    if k > window_size:
+        raise ValueError(f"k={k} must be <= window_size={window_size}")
+    win = (
+        primary.orderBy(F.desc("score"), F.asc("docID"))
+        .limit(window_size)
+        .select("docID", F.col("score").alias("_p"))
+    )
+    # the window is the build side twice: first a broadcast semi-join cuts
+    # the secondary clause down to window rows (a broadcast LEFT side of a
+    # left-outer is not a supported build, so the naive hint is a no-op),
+    # then the pruned — now window-sized — secondary broadcasts back.
+    sec_win = secondary.join(F.broadcast(win.select("docID")), "docID", "left_semi")
+    joined = win.join(
+        F.broadcast(sec_win.select("docID", F.col("score").alias("_s"))),
+        "docID",
+        "left",
+    )
+    combined = (
+        F.lit(float(query_weight)) * F.col("_p")
+        + F.lit(float(rescore_query_weight)) * F.coalesce(F.col("_s"), F.lit(0.0))
+    )
+    return (
+        joined.select("docID", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )

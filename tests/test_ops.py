@@ -226,3 +226,24 @@ def test_with_max_score(spark, results):
     assert all(r["max_score"] == 0.9 for r in got)
     empty = spark.createDataFrame([], "docID long, score double")
     assert with_max_score(empty).collect() == []
+
+
+def test_rescore_window_combines_and_bounds(spark):
+    from neural_search_spark.search.ops import rescore_window
+
+    primary = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0), (4, 7.0)], "docID long, score double"
+    )
+    secondary = spark.createDataFrame(
+        [(3, 100.0), (4, 50.0), (9, 999.0)], "docID long, score double"
+    )
+    # window=3 cuts doc 4 before rescoring; doc 9 is outside the window
+    out = rescore_window(primary, secondary, window_size=3, query_weight=0.5,
+                         rescore_query_weight=2.0, k=3).collect()
+    got = [(r["docID"], r["score"]) for r in out]
+    # doc3: 0.5*8 + 2*100 = 204; doc1: 0.5*10 = 5; doc2: 0.5*9 = 4.5
+    assert got == [(3, 204.0), (1, 5.0), (2, 4.5)]
+    import pytest
+
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_window(primary, secondary, window_size=2, k=5)

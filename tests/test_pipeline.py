@@ -529,3 +529,82 @@ def test_stratified_sample_deterministic_and_stratified(spark):
 
     with pytest.raises(ValueError, match="fractions"):
         stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_domain_mixture_rates_and_limiting_stratum(spark):
+    from neural_search_spark.pipeline.training import domain_mixture
+
+    # en carries 4x the mass of de; target 50/50 -> de limits (rate 1.0)
+    # and en keeps exactly 1/4 of its mass in expectation.
+    rows = [(i, "en" if i % 5 != 0 else "de", 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "docID long, lang string, n_tokens long")
+    out = domain_mixture(df, "lang", {"en": 0.5, "de": 0.5}, "n_tokens")
+    rates = {r["stratum"]: r["keep_rate"] for r in out.select("stratum", "keep_rate").distinct().collect()}
+    assert rates["de"] == 1.0
+    assert abs(rates["en"] - 0.25) < 1e-6
+    kept = out.where("kept = 1 AND stratum = 'en'").count()
+    assert 50 <= kept <= 150  # ~100 of 400 en docs at rate 0.25
+    # absent stratum -> rate 0, kept 0
+    rows2 = rows + [(1000 + i, "zh", 100) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "docID long, lang string, n_tokens long")
+    out2 = domain_mixture(df2, "lang", {"en": 0.5, "de": 0.5}, "n_tokens")
+    zh = out2.where("stratum = 'zh'")
+    assert zh.where("keep_rate != 0.0 OR kept != 0").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        domain_mixture(df, "lang", {"en": 0.5}, "n_tokens")
+
+
+def test_pii_scrub_counts_and_masking(spark):
+    from neural_search_spark.pipeline.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at alice@example.org or bob@x.io today"),
+        (2, "server 192.168.0.1 and backup 10.0.0.2"),
+        (3, "call +14155551234 now"),
+        (4, "user@10.0.0.5 is an email, not an ip"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    out = {r["docID"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert "alice@example.org" not in out[1]["clean"] and "|||EMAIL|||" in out[1]["clean"]
+    assert out[2]["n_ips"] == 2 and "|||IP|||" in out[2]["clean"]
+    assert out[3]["n_phones"] == 1 and "|||PHONE|||" in out[3]["clean"]
+    # email masking runs first: the host part never double-counts as an IP
+    assert out[4]["n_emails"] == 1 and out[4]["n_ips"] == 0
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (0, 0, 0)
+    assert out[5]["clean"] == "nothing sensitive here"
+
+
+def test_funnel_strict_order_and_window(spark):
+    from neural_search_spark.pipeline.events import funnel
+
+    us = 1_000_000
+
+    def ev(eid, uid, sec, typ):
+        import datetime
+
+        return (eid, uid, datetime.datetime(2024, 1, 1, 0, 0, sec), typ)
+
+    rows = [
+        # user 1 converts fully in order
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+        # user 2: click BEFORE view -> stalls at view
+        ev(4, 2, 1, "click"), ev(5, 2, 2, "view"),
+        # user 3: converts but purchase falls outside the 5 s window
+        ev(6, 3, 1, "view"), ev(7, 3, 2, "click"), ev(8, 3, 30, "purchase"),
+        # user 4: never views
+        ev(9, 4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["users"] for r in funnel(df, ["view", "click", "purchase"], 5 * us).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+    # unbounded window lets user 3's late purchase chain
+    out2 = {r["step"]: r["users"] for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out2 == {"view": 3, "click": 2, "purchase": 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel(df, [])
