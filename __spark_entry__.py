@@ -1412,6 +1412,54 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_contact_lines(_doc_corpus(spark, sf_dir))).orderBy("docID")
 
 
+LINE_DEDUP_MIN_DOCS = 2
+VOCAB_K, VOCAB_MIN_COUNT = 256, 2
+
+
+def _textstats_boilerplate() -> tuple:
+    from neural_search_spark.pipeline.textstats import BOILERPLATE_LINES
+
+    return BOILERPLATE_LINES
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (CCNet/RefinedWeb paragraph
+    dedup) over the planted-boilerplate fixture: lines appearing in >= 2
+    distinct docs are dropped everywhere, docs reassembled in order."""
+    from neural_search_spark.pipeline.textstats import line_dedup, with_boilerplate_lines
+
+    return line_dedup(
+        with_boilerplate_lines(_doc_corpus(spark, sf_dir)),
+        min_docs=LINE_DEDUP_MIN_DOCS,
+    ).orderBy("docID")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: top-256 corpus terms by frequency
+    (count desc, term asc), min_count=2 — distributed word count +
+    TakeOrderedAndProject."""
+    from neural_search_spark.pipeline.textstats import vocab_topk
+
+    return vocab_topk(_doc_corpus(spark, sf_dir), k=VOCAB_K, min_count=VOCAB_MIN_COUNT)
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rule set (Rae et al. 2021):
+    seven signals + conjunctive keep, pure column expressions."""
+    from neural_search_spark.pipeline.textstats import gopher_rules
+
+    return gopher_rules(_doc_corpus(spark, sf_dir)).orderBy("docID")
+
+
+def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: dense position in the
+    hash32(seed ':' docID) permutation via the two-stage distributed rank
+    (no single-partition window)."""
+    from neural_search_spark.pipeline.training import shuffle_order
+
+    return shuffle_order(_doc_corpus(spark, sf_dir).select("docID")).orderBy("docID")
+
+
 RESCORE_WINDOW = 50
 RESCORE_QW, RESCORE_RQW = 0.7, 1.3
 
@@ -1480,6 +1528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then keys new this round, then the long-green staples at the tail.
     return {
         # -- new in round 4 (never checked) --
+        "text_line_dedup": q_text_line_dedup,
+        "vocab_topk": q_vocab_topk,
+        "text_gopher_rules": q_text_gopher_rules,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "highlight_spec": q_highlight_spec,
         "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
         "text_repetition": q_text_repetition,
@@ -1841,6 +1893,12 @@ LIMIT 10
         ),
         "sample_stratified": psql.stratified_sample_sql("lang", SAMPLE_FRACTIONS),
         "text_pii": psql.text_pii_sql(),
+        "text_line_dedup": psql.text_line_dedup_sql(
+            LINE_DEDUP_MIN_DOCS, _textstats_boilerplate()
+        ),
+        "vocab_topk": psql.vocab_topk_sql(VOCAB_K, VOCAB_MIN_COUNT),
+        "text_gopher_rules": psql.gopher_rules_sql(),
+        "doc_shuffle_order": psql.doc_shuffle_order_sql(),
         "domain_mixture": psql.domain_mixture_sql("lang", MIX_TARGET),
         "events_funnel": psql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_US),
         "bm25_rescored_topk": osql.rescore_topk_sql(

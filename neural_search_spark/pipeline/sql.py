@@ -864,6 +864,138 @@ ORDER BY docID
 """
 
 
+def text_line_dedup_sql(min_docs: int, boilerplate: tuple) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.line_dedup`
+    over the ``with_boilerplate_lines`` fixture: same injected lines (the
+    chained appends reduce to ordered conditional concats), same
+    normalized key (``lower(trim(line))``), same >= ``min_docs``
+    distinct-document threshold, same in-order reassembly."""
+    inject = " || ".join(
+        f"CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}' ELSE '' END"
+        for mod, line in boilerplate
+    )
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, text || {inject} AS content
+    FROM documents
+),
+lines AS (
+    SELECT docID,
+           generate_subscripts(string_split(content, chr(10)), 1) - 1 AS pos,
+           unnest(string_split(content, chr(10))) AS line
+    FROM docs
+),
+keyed AS (SELECT docID, pos, line, lower(trim(line)) AS key FROM lines),
+counts AS (SELECT key, COUNT(DISTINCT docID) AS nd FROM keyed GROUP BY key),
+flagged AS (
+    SELECT k.docID, k.pos, k.line, c.nd >= {int(min_docs)} AS freq
+    FROM keyed k JOIN counts c USING (key)
+)
+SELECT docID,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN freq THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT freq), '') AS clean
+FROM flagged
+GROUP BY docID
+ORDER BY docID
+"""
+
+
+def vocab_topk_sql(k: int, min_count: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.vocab_topk`:
+    corpus term frequencies over the shared analyzer, min-count floor,
+    top-k by (count desc, term asc)."""
+    from neural_search_spark.analysis.tokenizer import SQL_TOKEN_PATTERN
+
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY term
+HAVING COUNT(*) >= {int(min_count)}
+ORDER BY cnt DESC, term ASC
+LIMIT {int(k)}
+"""
+
+
+def gopher_rules_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.gopher_rules`:
+    the same seven MassiveText rule signals from DuckDB list lambdas (words
+    = non-empty whitespace splits, lines = newline splits), 6-dp rounds,
+    conjunctive keep."""
+    from neural_search_spark.analysis.tokenizer import SQL_TOKEN_PATTERN
+    from neural_search_spark.pipeline import textstats as T
+
+    stop_list = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+    r6 = P.round6_sql
+    return f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS words,
+           string_split(text, chr(10)) AS lines,
+           len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS toks
+    FROM documents
+),
+sig AS (
+    SELECT docID,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(lines) AS DOUBLE) AS n_lines,
+           CAST(COALESCE(list_aggregate(list_transform(words, w -> len(w)), 'sum'), 0) AS DOUBLE) AS word_chars,
+           CAST(symbols AS DOUBLE) AS symbols,
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) AS bullet,
+           CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE) AS ellipsis,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS alpha_words,
+           CAST(len(list_filter([{stop_list}], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+    FROM base
+),
+ratio AS (
+    SELECT docID, n_words, stop_hits,
+           CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_words > 0 THEN symbols / n_words ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN n_lines > 0 THEN bullet / n_lines ELSE 0.0 END AS bullet_frac,
+           CASE WHEN n_lines > 0 THEN ellipsis / n_lines ELSE 0.0 END AS ellipsis_frac,
+           CASE WHEN n_words > 0 THEN alpha_words / n_words ELSE 0.0 END AS alpha_word_frac
+    FROM sig
+)
+SELECT docID, n_words,
+       {r6('mean_word_len')} AS mean_word_len,
+       {r6('symbol_ratio')} AS symbol_ratio,
+       {r6('bullet_frac')} AS bullet_frac,
+       {r6('ellipsis_frac')} AS ellipsis_frac,
+       {r6('alpha_word_frac')} AS alpha_word_frac,
+       stop_hits,
+       CAST(
+         n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}
+         AND mean_word_len >= {T.GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {T.GOPHER_MAX_MEAN_LEN}
+         AND symbol_ratio <= {T.GOPHER_MAX_SYMBOL_RATIO}
+         AND bullet_frac < {T.GOPHER_MAX_BULLET_FRAC}
+         AND ellipsis_frac <= {T.GOPHER_MAX_ELLIPSIS_FRAC}
+         AND alpha_word_frac >= {T.GOPHER_MIN_ALPHA_FRAC}
+         AND stop_hits >= {T.GOPHER_MIN_STOP_HITS}
+       AS INT) AS keep
+FROM ratio
+ORDER BY docID
+"""
+
+
+def doc_shuffle_order_sql(seed: str = "shuffle-v1") -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.shuffle_order`:
+    dense 0-based rank in the hash32(seed ':' docID) permutation, docID
+    tie-break."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH keyed AS (SELECT CAST(doc_id AS BIGINT) AS docID, {h} AS skey FROM documents)
+SELECT docID, skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY skey, docID) - 1 AS BIGINT) AS pos
+FROM keyed
+ORDER BY docID
+"""
+
+
 def domain_mixture_sql(
     strata_col: str, target: dict[str, float], seed: str = "mix-v1"
 ) -> str:

@@ -193,6 +193,182 @@ def with_contact_lines(df: DataFrame, text_col: str = "content", id_col: str = "
     return df.withColumn(text_col, text)
 
 
+BOILERPLATE_LINES = (
+    (3, "subscribe to our newsletter today"),
+    (4, "all rights reserved"),
+    (7, "click here to accept cookies"),
+)
+
+
+def with_boilerplate_lines(
+    df: DataFrame, text_col: str = "content", id_col: str = "docID"
+) -> DataFrame:
+    """Deterministically append boilerplate lines to subsets of docs — the
+    synthetic corpus is word soup with no cross-document repeated lines, so
+    the fixture plants some (every 3rd doc gets a newsletter plug, every
+    4th a copyright footer, every 7th a cookie banner). Pure column
+    concat, reproduced verbatim by the oracle SQL."""
+    d = F.col(id_col)
+    text = F.col(text_col)
+    for mod, line in BOILERPLATE_LINES:
+        text = F.when(d % mod == 0, F.concat(text, F.lit("\n" + line))).otherwise(text)
+    return df.withColumn(text_col, text)
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(docID, n_lines, n_removed, clean): corpus-level boilerplate-line
+    removal (the CCNet/RefinedWeb paragraph-dedup pass): a line whose
+    normalized form (``lower(trim(line))``) appears in >= ``min_docs``
+    DISTINCT documents is dropped from every document; survivors are
+    re-joined in original order. Empty lines participate like any other
+    (a blank line common to ``min_docs`` docs is removed everywhere).
+
+    Scale shape: three key-partitioned shuffles and nothing else —
+    (1) count distinct docs per normalized line (partial-agg combine on
+    the line key), (2) shuffle hash join of lines against the per-line
+    counts on the same key (the frequent set is unbounded at corpus
+    scale, so no broadcast), (3) re-group by docID to reassemble. Order
+    is restored from the carried ``pos`` (posexplode), never a global
+    sort; no driver-side state of any size.
+    """
+    lines = df.select(
+        F.col(id_col).alias("docID"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.lower(F.trim(F.col("line"))))
+    counts = lines.groupBy("key").agg(F.countDistinct("docID").alias("nd"))
+    flagged = lines.join(counts, "key").withColumn(
+        "freq", F.col("nd") >= F.lit(int(min_docs))
+    )
+    kept_struct = F.when(~F.col("freq"), F.struct("pos", "line"))
+    return flagged.groupBy("docID").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("freq").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 512,
+    min_count: int = 2,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(term, cnt): tokenizer-vocabulary construction — the top-``k``
+    analyzed tokens by corpus frequency, ties broken lexicographically,
+    tokens below ``min_count`` excluded (the WordLevel/BPE-seed vocab
+    step of a pretraining pipeline).
+
+    Scale shape: the classic distributed word count — explode + one
+    hash-partitioned groupBy with map-side partial aggregation, then
+    ``TakeOrderedAndProject`` for the global top-k (per-partition heaps,
+    driver merges k rows per partition; never a global sort).
+    """
+    toks = df.select(F.explode(_tokens(text_col)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(int(k))
+    )
+
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(docID, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, stop_hits, keep): the Gopher /
+    MassiveText document-quality rule set (Rae et al. 2021, table A1),
+    each signal exposed plus the conjunctive keep decision:
+
+    - 50 <= word count <= 100,000 (whitespace words)
+    - 3 <= mean word length <= 10
+    - hash-or-ellipsis symbols per word <= 0.1
+    - < 90% of lines start with a bullet ('-', '*', '•')
+    - <= 30% of lines end with an ellipsis ('...' or '…')
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct hits among 8 required English stopwords
+
+    Pure column expressions over array functions — zero Python, zero
+    shuffle: streams at scan speed like :func:`quality_scores`. Ratios
+    round to 6 dp (the engine/oracle float contract).
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    ).cast("double")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    bullet_frac = F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("double")
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    toks = _tokens(text_col)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac < GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return df.select(
+        F.col(id_col).alias("docID"),
+        n_words.alias("n_words"),
+        P.round6(mean_len).alias("mean_word_len"),
+        P.round6(symbol_ratio).alias("symbol_ratio"),
+        P.round6(bullet_frac).alias("bullet_frac"),
+        P.round6(ellipsis_frac).alias("ellipsis_frac"),
+        P.round6(alpha_frac).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
     """(docID, n_emails, n_ips, n_phones, clean): count then mask emails /
     IPv4s / phone numbers with sentinel tokens (CCNet/Dolma pre-training

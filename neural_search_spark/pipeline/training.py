@@ -135,6 +135,63 @@ def pack_plan(
     return out
 
 
+def shuffle_order(
+    df: DataFrame,
+    seed: str = "shuffle-v1",
+    id_col: str = "docID",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """(docID, skey, pos): deterministic global training-shuffle order —
+    every document gets a dense position in the permutation induced by
+    ``hash32(seed ':' docID)`` (docID breaks hash ties). The example-order
+    randomization step of a pretraining pipeline: unlike
+    ``DataFrame.orderBy(rand())`` the permutation is a pure function of
+    (seed, docID), so reruns, backfills, and resumed jobs agree
+    position-by-position, and changing ``seed`` re-deals every epoch.
+
+    Scale shape: a global dense rank WITHOUT a single-partition window —
+    the same two-stage distributed scan as :func:`pack_plan`: range-
+    partition by (skey, docID), per-partition ``row_number``, then an
+    O(``n_ranges``) per-partition-counts collect is prefix-summed
+    driver-side and broadcast back as base offsets. The only wide
+    exchange is the range partition.
+    """
+    from pyspark.sql import Window
+
+    from neural_search_spark.pipeline import params as P
+
+    skey = F.expr(
+        P.hash32_sql_spark(f"concat('{seed}', ':', CAST({id_col} AS STRING))")
+    )
+    keyed = df.select(F.col(id_col).alias("docID")).withColumn("skey", skey)
+    parts = keyed.repartitionByRange(n_ranges, "skey", "docID").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("skey", "docID")
+    local = parts.withColumn("_local_pos", F.row_number().over(w) - 1).persist()
+    totals = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).orderBy("_pid").collect()
+    )
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = base
+        base += int(r["_n"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    return (
+        local.join(off_df, "_pid")
+        .select(
+            "docID",
+            "skey",
+            (F.col("_local_pos") + F.col("_off")).cast("long").alias("pos"),
+        )
+    )
+
+
 SAMPLE_SCALE = 1_000_000  # per-million keep threshold resolution
 
 

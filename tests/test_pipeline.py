@@ -608,3 +608,81 @@ def test_funnel_strict_order_and_window(spark):
 
     with pytest.raises(ValueError, match="at least one step"):
         funnel(df, [])
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    from neural_search_spark.pipeline.textstats import line_dedup
+
+    rows = [
+        (0, "unique alpha\nall rights reserved\nunique beta"),
+        (1, "All Rights Reserved \nonly here"),  # case/trailing-space variant
+        (2, "solo document with no shared lines"),
+        (3, "repeated inside\nrepeated inside"),  # within-doc dup, 1 distinct doc
+    ]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    out = {r["docID"]: r for r in line_dedup(df, min_docs=2).collect()}
+    # 'all rights reserved' appears in docs 0 and 1 (normalized) -> dropped
+    assert out[0]["clean"] == "unique alpha\nunique beta"
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (3, 1)
+    assert out[1]["clean"] == "only here"
+    # untouched doc reassembles verbatim
+    assert out[2]["clean"] == rows[2][1] and out[2]["n_removed"] == 0
+    # within-doc repetition alone never crosses the distinct-doc threshold
+    assert out[3]["clean"] == rows[3][1] and out[3]["n_removed"] == 0
+
+
+def test_line_dedup_can_empty_a_doc(spark):
+    from neural_search_spark.pipeline.textstats import line_dedup
+
+    rows = [(0, "shared line"), (1, "shared line"), (2, "shared line\nkept")]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    out = {r["docID"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert out[0]["clean"] == "" and out[0]["n_removed"] == 1
+    assert out[2]["clean"] == "kept"
+
+
+def test_vocab_topk_order_floor_and_ties(spark):
+    from neural_search_spark.pipeline.textstats import vocab_topk
+
+    rows = [(0, "b b b a a c z"), (1, "a b d d")]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    got = [(r["term"], r["cnt"]) for r in vocab_topk(df, k=3, min_count=2).collect()]
+    # b=4, a=3, d=2; ties broken term-asc; c/z fall under min_count
+    assert got == [("b", 4), ("a", 3), ("d", 2)]
+    got2 = [(r["term"], r["cnt"]) for r in vocab_topk(df, k=2, min_count=1).collect()]
+    assert got2 == [("b", 4), ("a", 3)]
+
+
+def test_gopher_rules_signals_and_keep(spark):
+    from neural_search_spark.pipeline import textstats as T
+
+    long_good = "the good text is made of many plain words " * 6  # 54 words, has stopwords
+    bullets = "- one\n- two\n- three"
+    dots = "first line...\nsecond line...\nthird line"
+    short = "tiny doc"
+    rows = [(0, long_good), (1, bullets), (2, dots), (3, short)]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    out = {r["docID"]: r for r in T.gopher_rules(df).collect()}
+    assert out[0]["n_words"] == 54 and out[0]["stop_hits"] >= 2
+    assert out[0]["keep"] == 1
+    assert out[1]["bullet_frac"] == 1.0 and out[1]["keep"] == 0
+    assert abs(out[2]["ellipsis_frac"] - 2 / 3) < 1e-6 and out[2]["keep"] == 0
+    # short doc fails the 50-word floor even with clean signals
+    assert out[3]["n_words"] == 2 and out[3]["keep"] == 0
+
+
+def test_shuffle_order_dense_deterministic_and_seeded(spark):
+    from neural_search_spark.pipeline.training import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "docID long")
+    a = {r["docID"]: r["pos"] for r in shuffle_order(df, n_ranges=7).collect()}
+    b = {r["docID"]: r["pos"] for r in shuffle_order(df, n_ranges=3).collect()}
+    # dense 0..n-1, independent of partitioning
+    assert sorted(a.values()) == list(range(97))
+    assert a == b
+    # matches the definition: rank in (hash32, docID) order
+    exp = sorted(range(97), key=lambda d: (P.hash32_py(f"shuffle-v1:{d}"), d))
+    assert [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])] == exp
+    # a different seed re-deals
+    c = {r["docID"]: r["pos"] for r in shuffle_order(df, seed="shuffle-v2").collect()}
+    assert c != a and sorted(c.values()) == list(range(97))
