@@ -651,6 +651,54 @@ def q_hybrid_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_hybrid_agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats under hybrid (§2.7): per-lang buckets carrying the
+    full OpenSearch extended_stats payload over the hybrid score
+    (count/min/max/avg/sum/sum_of_squares + POPULATION variance/std —
+    the extended_stats defaults)."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    docs = _documents(spark, sf_dir)
+    return (
+        scored.join(docs.select("docID", "lang"), "docID")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.sum("score"), 4).alias("sum_score"),
+            F.round(F.sum(F.col("score") * F.col("score")), 4).alias("sum_of_squares"),
+            F.round(F.var_pop("score"), 4).alias("variance"),
+            F.round(F.stddev_pop("score"), 4).alias("std_deviation"),
+        )
+        .orderBy("lang")
+    )
+
+
+TERMS_SUBAGG_SIZE = 3
+
+
+def q_hybrid_agg_terms_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms agg ordered by a sub-aggregation under hybrid (§2.7): top-3
+    repo buckets by avg hybrid score (``"order": {"avg_score": "desc"}``);
+    the order key is the 4-dp-rounded avg with repo tie-break so the
+    bucket cut is engine-independent."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    return (
+        scored.join(eng.corpus.select("docID", "repo"), "docID")
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+        )
+        .orderBy(F.col("avg_score").desc(), F.col("repo").asc())
+        .limit(TERMS_SUBAGG_SIZE)
+    )
+
+
 def q_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested chunks + inner hits (HybridQueryInnerHitsIT analog)."""
     from neural_search_spark.analysis.chunking import chunk_table
@@ -1528,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then keys new this round, then the long-green staples at the tail.
     return {
         # -- new in round 4 (never checked) --
+        "hybrid_agg_extended_stats": q_hybrid_agg_extended_stats,
+        "hybrid_agg_terms_subagg": q_hybrid_agg_terms_subagg,
         "text_line_dedup": q_text_line_dedup,
         "vocab_topk": q_vocab_topk,
         "text_gopher_rules": q_text_gopher_rules,
@@ -1789,6 +1839,10 @@ LIMIT 10
         ),
         "rerank_ml": osql.rerank_ml_sql(tt(Q_MATCH), _qv_of(Q_MATCH), window=50, k=10),
         "hybrid_agg_by_repo": osql.hybrid_agg_sql(h2, group_col="repo"),
+        "hybrid_agg_extended_stats": osql.hybrid_agg_extended_stats_sql(h2),
+        "hybrid_agg_terms_subagg": osql.hybrid_agg_terms_subagg_sql(
+            h2, size=TERMS_SUBAGG_SIZE
+        ),
         "hybrid_agg_range": osql.hybrid_agg_range_sql(h2, *RANGE_BOUNDS),
         "hybrid_bool_boosted": osql.hybrid_mixed_topk_sql(
             [

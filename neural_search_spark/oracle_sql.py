@@ -1255,6 +1255,64 @@ ORDER BY lang
 """
 
 
+def hybrid_agg_extended_stats_sql(
+    clause_terms: list[list[str]], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """extended_stats under a hybrid query (§2.7): per-lang buckets with
+    the full OpenSearch extended_stats payload over the hybrid score —
+    count/min/max/avg/sum/sum_of_squares plus POPULATION variance and
+    std deviation (Elastic/OpenSearch extended_stats defaults), 4-dp
+    rounds on both sides."""
+    n = len(clause_terms)
+    clause_sql = ",".join(_clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID)
+SELECT c.lang AS lang,
+       COUNT(*) AS doc_count,
+       ROUND(MIN(s.score), 4) AS min_score,
+       ROUND(MAX(s.score), 4) AS max_score,
+       ROUND(AVG(s.score), 4) AS avg_score,
+       ROUND(SUM(s.score), 4) AS sum_score,
+       ROUND(SUM(s.score * s.score), 4) AS sum_of_squares,
+       ROUND(VAR_POP(s.score), 4) AS variance,
+       ROUND(STDDEV_POP(s.score), 4) AS std_deviation
+FROM docsum s JOIN corpus c ON s.docID = c.docID
+GROUP BY c.lang
+ORDER BY lang
+"""
+
+
+def hybrid_agg_terms_subagg_sql(
+    clause_terms: list[list[str]],
+    size: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """terms aggregation ordered by a sub-aggregation under a hybrid query
+    (§2.7): repo buckets ordered by their avg hybrid score (the OpenSearch
+    ``"order": {"avg_score": "desc"}`` form), top ``size`` buckets kept;
+    order key is the 4-dp-rounded avg with bucket-key tie-break so the cut
+    is engine-independent."""
+    n = len(clause_terms)
+    clause_sql = ",".join(_clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{_PRELUDE},{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID),
+buckets AS (
+    SELECT c.repo AS repo, COUNT(*) AS doc_count,
+           ROUND(AVG(s.score), 4) AS avg_score,
+           ROUND(MAX(s.score), 4) AS max_score
+    FROM docsum s JOIN corpus c ON s.docID = c.docID
+    GROUP BY c.repo
+)
+SELECT repo, doc_count, avg_score, max_score
+FROM buckets
+ORDER BY avg_score DESC, repo ASC
+LIMIT {int(size)}
+"""
+
+
 def nested_inner_hits_sql(delimiter: str, terms: list[str], k: int = 10) -> str:
     """Nested-docs analog: chunks as nested children; chunk score = number
     of query-term occurrences, parent score = MAX over its chunks
