@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from neural_search_spark import oracle_sql as osql
 from neural_search_spark.pipeline import sql as psql
 from neural_search_spark.corpus import corpus_from_documents
+from neural_search_spark.pipeline.dedup import SUBSTRING_N as _SUBSTRING_N
+from neural_search_spark.pipeline.textstats import (
+    OOV_VOCAB_K as _OOV_K,
+    OOV_VOCAB_MIN_COUNT as _OOV_MIN_COUNT,
+)
 from neural_search_spark.search.bm25 import BM25Engine, topk
 from neural_search_spark.search import hybrid as _hybrid_mod
 from neural_search_spark.search.hybrid import hybrid_raw_sum, hybrid_search
@@ -1564,6 +1569,205 @@ def q_mm_text_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_image_embedding_stub(joined).orderBy("docID", "dim")
 
 
+SIG_TERMS_SIZE = 5
+HIST_INTERVAL = 0.5
+TOP_HITS_PER_BUCKET = 2
+PCT_PROBS = (0.25, 0.5, 0.75, 0.95)
+MLT_SEED_DOC = 42
+MLT_MAX_TERMS, MLT_MIN_TF, MLT_MIN_DF = 10, 2, 2
+SQS_QUERY = 'table value -slow "part filter"'
+REGEXP_Q = "^(sort|stream)(s|ing|ed)?$"
+
+
+def _hybrid_hits_with(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Shared §2.7 aggregation input: per-doc raw hybrid score (sum of
+    sub-query scores, HybridQueryScorer.java:104-120) joined to the
+    requested corpus columns — one docID equi-join, clause artifacts
+    cached on the engine."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    return scored.join(eng.corpus.select("docID", *cols), "docID")
+
+
+def q_hybrid_agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms under hybrid (§2.7): repo buckets over-represented
+    in the hit set vs the whole index, JLH score
+    (fgPct − bgPct)·(fgPct/bgPct), top-5 by (rounded score, repo).
+    Background stats are index-wide (one bucket-sized groupBy per side;
+    the bucket tables are |repos|-sized, so the join is trivial)."""
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    hits = _hybrid_hits_with(spark, sf_dir, "repo")
+    fg = (
+        hits.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn("_fgt", F.sum("doc_count").over(Window.partitionBy()))
+    )
+    bg = eng.corpus.groupBy("repo").agg(F.count(F.lit(1)).alias("bg_count"))
+    fgp = F.col("doc_count").cast("double") / F.col("_fgt")
+    bgp = F.col("bg_count").cast("double") / F.lit(float(eng.stats.n_docs))
+    return (
+        fg.join(bg, "repo")
+        .where(fgp > bgp)
+        .select(
+            "repo",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fgp - bgp) * (fgp / bgp), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("repo").asc())
+        .limit(SIG_TERMS_SIZE)
+    )
+
+
+def q_hybrid_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits sub-aggregation under hybrid (§2.7): each lang bucket keeps
+    its top-2 docs by hybrid score (docID tie-break) — a per-bucket
+    window, partitioned on the bucket key, no global sort."""
+    from pyspark.sql import Window
+
+    hits = _hybrid_hits_with(spark, sf_dir, "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("docID").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_HITS_PER_BUCKET)
+        .select("lang", "rank", "docID", F.round("score", 4).alias("score"))
+        .orderBy("lang", "rank")
+    )
+
+
+def q_hybrid_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram aggregation under hybrid (§2.7): fixed 0.5-wide buckets
+    over the hybrid score; bucket key computed on the 4-dp-rounded score
+    so the bucketing is engine-independent."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    bucket = F.floor(F.round("score", 4) / HIST_INTERVAL) * HIST_INTERVAL
+    return (
+        scored.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def q_hybrid_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles aggregation under hybrid (§2.7): linear-interpolated
+    quantiles of the hybrid score (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``); at 100 TB the plan swaps to approx_percentile
+    (t-digest) — same single-agg shape, rows-only checkable."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")] + [
+        F.round(F.percentile("score", p), 4).alias(f"p{int(p * 100)}") for p in PCT_PROBS
+    ]
+    return scored.agg(*aggs)
+
+
+def q_hybrid_agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cardinality aggregation under hybrid (§2.7): exact distinct counts
+    of repo/lang over the hit set (OpenSearch's HLL++ approx path is the
+    same plan with approx_count_distinct — pinned exact for the oracle)."""
+    hits = _hybrid_hits_with(spark, sf_dir, "repo", "lang")
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.countDistinct("repo").cast("long").alias("distinct_repos"),
+        F.countDistinct("lang").cast("long").alias("distinct_langs"),
+    )
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: seed doc 42's interesting terms (tf/df floors,
+    integer-exact interest ranking) re-queried as a BM25 OR clause."""
+    from neural_search_spark.search.bm25 import more_like_this_scores
+
+    eng = _engine(spark, sf_dir)
+    return _round_score(
+        topk(
+            more_like_this_scores(
+                eng, MLT_SEED_DOC, MLT_MAX_TERMS, MLT_MIN_TF, MLT_MIN_DF
+            ),
+            10,
+        )
+    )
+
+
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string: parsed atoms → should match/phrase clauses
+    summed (default_operator=OR, msm=1) with ``-`` atoms anti-joined out;
+    the phrase clause runs through the positional index and is rounded to
+    6 dp at the clause boundary like every composed phrase clause."""
+    from neural_search_spark.pipeline import params as P
+    from neural_search_spark.search.spec import parse_simple_query_string
+
+    eng = _engine(spark, sf_dir)
+    parsed = parse_simple_query_string(SQS_QUERY)
+    clauses = []
+    for c in parsed["should"]:
+        if c["kind"] == "phrase":
+            ph = _pos_index(spark, sf_dir).match_phrase(" ".join(c["terms"]))
+            clauses.append(ph.select("docID", P.round6(F.col("score")).alias("score")))
+        else:
+            clauses.append(eng.match(" ".join(c["terms"])))
+    scored = hybrid_raw_sum(clauses)
+    for mn in parsed["must_not"]:
+        scored = scored.join(eng.match(" ".join(mn)).select("docID"), "docID", "anti")
+    return _round_score(topk(scored, 10))
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp query (constant-score rewrite over the term dictionary,
+    RE2∩Java-safe anchored pattern)."""
+    from neural_search_spark.search.bm25 import regexp_query_scores
+
+    eng = _engine(spark, sf_dir)
+    return regexp_query_scores(eng, REGEXP_Q).orderBy("docID").limit(10)
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-entropy quality gate (model-free perplexity proxy): entropy,
+    type-token ratio, conjunctive keep — one tokenize + two same-key aggs."""
+    from neural_search_spark.pipeline.textstats import entropy_stats
+
+    return entropy_stats(_doc_corpus(spark, sf_dir)).orderBy("docID")
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the built top-256 vocabulary
+    (tokenizer-coverage check): broadcast vocab probe + one docID groupBy."""
+    from neural_search_spark.pipeline.textstats import (
+        OOV_VOCAB_K,
+        OOV_VOCAB_MIN_COUNT,
+        oov_rates,
+        vocab_topk,
+    )
+
+    docs = _doc_corpus(spark, sf_dir)
+    vocab = vocab_topk(docs, k=OOV_VOCAB_K, min_count=OOV_VOCAB_MIN_COUNT)
+    return oov_rates(docs, vocab).orderBy("docID")
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup span stats (RefinedWeb / Lee et al. 2022) over
+    the injected-duplicates table: per-doc fraction of word 8-gram
+    positions shared with another document."""
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import SUBSTRING_N, substring_dup_stats
+
+    return substring_dup_stats(
+        inject_duplicates(spark, sf_dir), n=SUBSTRING_N
+    ).orderBy("docID")
+
+
+def _sqs_oracle() -> str:
+    """simple_query_string oracle: the SAME parser output feeds both
+    engines, so the SQL is rendered from the parsed clause structure."""
+    from neural_search_spark.search.spec import parse_simple_query_string
+
+    p = parse_simple_query_string(SQS_QUERY)
+    return osql.simple_query_string_sql(p["should"], p["must_not"], k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid BM25 two-clause
     min_max + arithmetic_mean (the reference's default pipeline)."""
@@ -1576,6 +1780,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then keys new this round, then the long-green staples at the tail.
     return {
         # -- new in round 4 (never checked) --
+        "text_entropy_quality": q_text_entropy,
+        "vocab_oov_rate": q_vocab_oov,
+        "dedup_substring": q_dedup_substring,
+        "mlt_topk": q_mlt_topk,
+        "simple_query_string": q_simple_query_string,
+        "regexp_topk": q_regexp_topk,
+        "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
+        "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
+        "hybrid_agg_histogram": q_hybrid_agg_histogram,
+        "hybrid_agg_percentiles": q_hybrid_agg_percentiles,
+        "hybrid_agg_cardinality": q_hybrid_agg_cardinality,
         "hybrid_agg_extended_stats": q_hybrid_agg_extended_stats,
         "hybrid_agg_terms_subagg": q_hybrid_agg_terms_subagg,
         "text_line_dedup": q_text_line_dedup,
@@ -1952,6 +2167,23 @@ LIMIT 10
         ),
         "vocab_topk": psql.vocab_topk_sql(VOCAB_K, VOCAB_MIN_COUNT),
         "text_gopher_rules": psql.gopher_rules_sql(),
+        "text_entropy_quality": psql.text_entropy_sql(),
+        "vocab_oov_rate": psql.vocab_oov_sql(_OOV_K, _OOV_MIN_COUNT),
+        "dedup_substring": psql.dedup_substring_sql(_SUBSTRING_N),
+        "mlt_topk": osql.mlt_topk_sql(
+            MLT_SEED_DOC, MLT_MAX_TERMS, MLT_MIN_TF, MLT_MIN_DF, k=10
+        ),
+        "simple_query_string": _sqs_oracle(),
+        "regexp_topk": osql.regexp_topk_sql(REGEXP_Q, k=10),
+        "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
+            h2, size=SIG_TERMS_SIZE
+        ),
+        "hybrid_agg_top_hits": osql.hybrid_agg_top_hits_sql(
+            h2, per_bucket=TOP_HITS_PER_BUCKET
+        ),
+        "hybrid_agg_histogram": osql.hybrid_agg_histogram_sql(h2, interval=HIST_INTERVAL),
+        "hybrid_agg_percentiles": osql.hybrid_agg_percentiles_sql(h2, probs=PCT_PROBS),
+        "hybrid_agg_cardinality": osql.hybrid_agg_cardinality_sql(h2),
         "doc_shuffle_order": psql.doc_shuffle_order_sql(),
         "domain_mixture": psql.domain_mixture_sql("lang", MIX_TARGET),
         "events_funnel": psql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_US),

@@ -1991,3 +1991,211 @@ FROM win w LEFT JOIN rscored s USING (docID)
 ORDER BY {query_weight} * w.score + {rescore_query_weight} * COALESCE(s.score, 0) DESC, w.docID
 LIMIT {int(k)}
 """
+
+
+def _hybrid_docsum(clause_terms: list[list[str]], k1: float, b: float) -> str:
+    """Shared aggregation-path CTE block: clause scores (no depth cut) →
+    per-doc raw SUM (HybridQueryScorer.java:104-120), used by every
+    §2.7 aggregation oracle."""
+    n = len(clause_terms)
+    clause_sql = ",".join(
+        _clause_ctes(i, t, k1, b, None, None) for i, t in enumerate(clause_terms)
+    )
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(n))
+    return f"""{clause_sql},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID)"""
+
+
+def hybrid_agg_significant_terms_sql(
+    clause_terms: list[list[str]], size: int = 5, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """significant_terms under hybrid: repo buckets whose share of the hit
+    set exceeds their share of the corpus, scored with Elastic/OpenSearch
+    JLH — (fgPct − bgPct) · (fgPct / bgPct) — top ``size`` by (rounded
+    score desc, repo asc). Background stats are index-wide like Lucene's."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+hits AS (SELECT s.docID, c.repo FROM docsum s JOIN corpus c USING (docID)),
+fg AS (SELECT repo, COUNT(*) AS doc_count FROM hits GROUP BY repo),
+fgt AS (SELECT SUM(doc_count) AS t FROM fg),
+bg AS (SELECT repo, COUNT(*) AS bg_count FROM corpus GROUP BY repo),
+sig AS (
+    SELECT f.repo, f.doc_count, g.bg_count,
+           CAST(f.doc_count AS DOUBLE) / t.t AS fgp,
+           CAST(g.bg_count AS DOUBLE) / s.n_docs AS bgp
+    FROM fg f JOIN bg g USING (repo) CROSS JOIN fgt t CROSS JOIN stats s
+)
+SELECT repo,
+       CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(bg_count AS BIGINT) AS bg_count,
+       ROUND((fgp - bgp) * (fgp / bgp), 4) AS score
+FROM sig
+WHERE fgp > bgp
+ORDER BY score DESC, repo ASC
+LIMIT {int(size)}
+"""
+
+
+def hybrid_agg_top_hits_sql(
+    clause_terms: list[list[str]], per_bucket: int = 2, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """top_hits sub-aggregation under hybrid: per-lang buckets each carrying
+    their top ``per_bucket`` docs by hybrid score (docID tie-break)."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+hits AS (
+    SELECT c.lang, s.docID, s.score,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.lang ORDER BY s.score DESC, s.docID ASC
+           ) AS rank
+    FROM docsum s JOIN corpus c USING (docID)
+)
+SELECT lang, CAST(rank AS INT) AS rank, docID, ROUND(score, 4) AS score
+FROM hits
+WHERE rank <= {int(per_bucket)}
+ORDER BY lang, rank
+"""
+
+
+def hybrid_agg_histogram_sql(
+    clause_terms: list[list[str]], interval: float = 0.5, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """histogram aggregation under hybrid: fixed-interval buckets over the
+    hybrid score (bucket key = floor(score/interval)·interval on the
+    4-dp-rounded score so the bucketing is engine-independent)."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)}
+SELECT FLOOR(ROUND(score, 4) / {float(interval)!r}) * {float(interval)!r} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM docsum
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def hybrid_agg_percentiles_sql(
+    clause_terms: list[list[str]],
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """percentiles aggregation under hybrid: linear-interpolated quantiles
+    of the hybrid score (DuckDB quantile_cont ≡ Spark percentile)."""
+    cols = ", ".join(
+        f"ROUND(quantile_cont(score, {float(p)!r}), 4) AS p{int(p * 100)}" for p in probs
+    )
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)}
+SELECT CAST(COUNT(*) AS BIGINT) AS doc_count, {cols}
+FROM docsum
+"""
+
+
+def hybrid_agg_cardinality_sql(
+    clause_terms: list[list[str]], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """cardinality aggregation under hybrid (exact distinct counts; the
+    HLL++ approx path is the same plan with approx_count_distinct —
+    rows-only checkable, so the oracle key pins the exact variant)."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)}
+SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(COUNT(DISTINCT c.repo) AS BIGINT) AS distinct_repos,
+       CAST(COUNT(DISTINCT c.lang) AS BIGINT) AS distinct_langs
+FROM docsum s JOIN corpus c USING (docID)
+"""
+
+
+def mlt_topk_sql(
+    seed_doc: int,
+    max_query_terms: int = 10,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """more_like_this twin: query terms = the seed doc's terms with
+    tf ≥ min_term_freq and df ≥ min_doc_freq, ranked by the integer-exact
+    proxy (tf desc, df asc, term asc) for Lucene MLT's tf·idf interest
+    ranking (integer sort ⇒ the term cut is reproducible across engines),
+    top max_query_terms; those terms then score BM25 over everything but
+    the seed doc."""
+    dlq = quantize_length_sql("dls.dl")
+    return f"""{_PRELUDE},
+seedtf AS (
+    SELECT term, tf FROM tf WHERE docID = {int(seed_doc)} AND tf >= {int(min_term_freq)}
+),
+mnd AS (
+    SELECT tf.term, COUNT(*) AS ndoc FROM tf JOIN seedtf USING (term) GROUP BY tf.term
+),
+mq AS (
+    SELECT s.term, n.ndoc
+    FROM seedtf s JOIN mnd n USING (term)
+    WHERE n.ndoc >= {int(min_doc_freq)}
+    ORDER BY s.tf DESC, n.ndoc ASC, s.term ASC
+    LIMIT {int(max_query_terms)}
+),
+scored AS (
+    SELECT tf.docID,
+           SUM(
+             ln(1 + (s.n_docs - mq.ndoc + 0.5) / (mq.ndoc + 0.5))
+             * tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))
+           ) AS score
+    FROM tf
+    JOIN mq ON tf.term = mq.term
+    JOIN dls ON tf.docID = dls.docID
+    CROSS JOIN stats s
+    WHERE tf.docID != {int(seed_doc)}
+    GROUP BY tf.docID
+)
+SELECT docID, ROUND(score, 4) AS score
+FROM scored
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
+def simple_query_string_sql(
+    should_clauses: list[dict],
+    must_not_terms: list[list[str]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """simple_query_string twin (default_operator=OR, msm=1): score = sum of
+    matching should-clause scores (bare term → match clause, quoted text →
+    phrase clause), ``-`` atoms exclude. Clause dicts:
+    ``{"kind": "match"|"phrase", "terms": [...]}``."""
+    must_not_terms = must_not_terms or []
+    ns = len(should_clauses)
+    parts = []
+    for i, c in enumerate(should_clauses):
+        if c["kind"] == "phrase":
+            parts.append(_phrase_clause_ctes(i, c["terms"], k1, b, None, None))
+        else:
+            parts.append(_clause_ctes(i, c["terms"], k1, b, None, None))
+    for j, t in enumerate(must_not_terms):
+        parts.append(_clause_ctes(ns + j, t, k1, b, None, None))
+    union = " UNION ALL ".join(f"SELECT docID, score FROM cut{i}" for i in range(ns))
+    not_in = " AND ".join(
+        f"docID NOT IN (SELECT docID FROM cut{ns + j})" for j in range(len(must_not_terms))
+    )
+    where_not = f"WHERE {not_in}" if not_in else ""
+    return f"""{_PRELUDE},{",".join(parts)},
+docsum AS (SELECT docID, SUM(score) AS score FROM ({union}) GROUP BY docID)
+SELECT docID, ROUND(score, 4) AS score
+FROM docsum
+{where_not}
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
+def regexp_topk_sql(pattern: str, k: int = 10) -> str:
+    """Constant-score ``regexp`` query twin: the pattern (written in the
+    RE2∩Java common dialect, explicitly anchored like Lucene's implicit
+    whole-term anchoring) filters the distinct term dictionary."""
+    pat = pattern.replace("'", "''")
+    return f"""{_PRELUDE}
+SELECT DISTINCT docID, 1.0 AS score
+FROM tf
+WHERE regexp_matches(term, '{pat}')
+ORDER BY docID
+LIMIT {k}
+"""

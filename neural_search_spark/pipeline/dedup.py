@@ -543,3 +543,77 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# -- exact-substring dedup (RefinedWeb/GPT-style duplicated-span stats) ------
+SUBSTRING_N = 8  # word n-gram width for span matching
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    n: int = SUBSTRING_N,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(docID, n_grams, n_dup_grams, dup_fraction): per-document fraction of
+    word ``n``-gram positions whose n-gram also occurs in at least one
+    OTHER document — the span-level signal behind exact-substring dedup
+    (RefinedWeb / Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better": duplicated spans are removed even when the
+    documents are not near-duplicates as wholes). This operator reports
+    the per-doc duplicated-span mass; the scrub step drops or cuts docs
+    above a threshold.
+
+    Scale shape: tokenize + sliding n-grams are pure codegen array
+    expressions; the corpus-wide duplicated-gram set is one
+    (gram → distinct-doc-count) aggregation (hash-partitioned on the gram,
+    map-side combine; boilerplate hot grams are bounded by AQE skew
+    handling), then one semi-join back keyed on the same gram hash — the
+    suffix array of the published approach is replaced by two gram-keyed
+    exchanges, which is the shape that survives 100 TB. Docs shorter than
+    ``n`` tokens report 0 grams and fraction 0.0.
+    """
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    base = df.select(F.col(id_col).alias("docID"), toks.alias("_toks"))
+    grams_arr = F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("docID", F.explode(grams_arr).alias("gram"))
+    dup_grams = (
+        grams.select("gram", "docID")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    n_grams = grams.groupBy("docID").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    n_dup = (
+        grams.join(dup_grams, "gram", "semi")
+        .groupBy("docID")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_grams"))
+    )
+    ids = df.select(F.col(id_col).alias("docID"))
+    return (
+        ids.join(n_grams, "docID", "left")
+        .join(n_dup, "docID", "left")
+        .select(
+            "docID",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_dup_grams", F.lit(0).cast("long")).cast("double")
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )

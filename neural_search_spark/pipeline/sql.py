@@ -1062,3 +1062,99 @@ def funnel_sql(steps: list[str], window_us: int | None = None) -> str:
         for i, s in enumerate(steps)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY step_idx"
+
+
+def text_entropy_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.entropy_stats`:
+    unigram entropy per doc via log2(dl) - sum(tf*log2 tf)/dl, type-token
+    ratio, conjunctive keep (entropy >= 2 bits AND >= 10 tokens)."""
+    from neural_search_spark.pipeline import textstats as T
+
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT docID, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk GROUP BY docID, term
+),
+per AS (
+    SELECT docID,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_terms,
+           SUM(tf * log2(tf)) AS tlog
+    FROM tf GROUP BY docID
+)
+SELECT docID, n_tokens, distinct_terms,
+       ROUND(log2(CAST(n_tokens AS DOUBLE)) - tlog / n_tokens, 4) AS entropy,
+       ROUND(CAST(distinct_terms AS DOUBLE) / n_tokens, 4) AS ttr,
+       (log2(CAST(n_tokens AS DOUBLE)) - tlog / n_tokens) >= {T.ENTROPY_MIN_BITS!r}
+           AND n_tokens >= {T.ENTROPY_MIN_TOKENS} AS keep
+FROM per
+ORDER BY docID
+"""
+
+
+def vocab_oov_sql(k: int, min_count: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.oov_rates`
+    against the :func:`vocab_topk` vocabulary (same cut: count desc, term
+    asc, min-count floor)."""
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM tk GROUP BY term
+        HAVING COUNT(*) >= {int(min_count)}
+        ORDER BY cnt DESC, term ASC LIMIT {int(k)}
+    )
+)
+SELECT t.docID,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS oov_rate
+FROM tk t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.docID
+ORDER BY t.docID
+"""
+
+
+def dedup_substring_sql(n: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.dedup.substring_dup_stats`
+    over the injected-duplicates table: per-doc count and fraction of word
+    ``n``-gram positions whose gram occurs in >= 2 distinct docs."""
+    grams = (
+        f"unnest(list_transform(range(1, len(ts) - {n - 2}),"
+        f" i -> array_to_string(ts[i:i + {n - 1}], ' '))) AS gram"
+    )
+    return f"""
+WITH {DUPDOCS_CTE.strip()},
+tk AS (
+    SELECT docID, regexp_extract_all(lower(content), '{SQL_TOKEN_PATTERN}') AS ts
+    FROM dupdocs
+),
+grams AS (SELECT docID, {grams} FROM tk),
+dupg AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT docID) AS nd FROM grams GROUP BY gram
+    ) WHERE nd >= 2
+),
+ng AS (SELECT docID, COUNT(*) AS n FROM grams GROUP BY docID),
+ndp AS (
+    SELECT docID, COUNT(*) AS n FROM grams
+    WHERE gram IN (SELECT gram FROM dupg) GROUP BY docID
+)
+SELECT t.docID,
+       CAST(COALESCE(ng.n, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(ndp.n, 0) AS BIGINT) AS n_dup_grams,
+       ROUND(CASE WHEN COALESCE(ng.n, 0) > 0
+                  THEN CAST(COALESCE(ndp.n, 0) AS DOUBLE) / ng.n
+                  ELSE 0.0 END, 4) AS dup_fraction
+FROM tk t LEFT JOIN ng USING (docID) LEFT JOIN ndp USING (docID)
+ORDER BY t.docID
+"""

@@ -395,3 +395,88 @@ def pii_scrub(df: DataFrame, text_col: str = "content", id_col: str = "docID") -
         n_phones.cast("long").alias("n_phones"),
         clean.alias("clean"),
     )
+
+
+# -- token-distribution quality (perplexity proxy) --------------------------
+ENTROPY_MIN_BITS = 2.0  # floor on unigram entropy (bits/token) for keep
+ENTROPY_MIN_TOKENS = 10  # too-short docs are dropped regardless
+
+
+def entropy_stats(
+    df: DataFrame, text_col: str = "content", id_col: str = "docID"
+) -> DataFrame:
+    """(docID, n_tokens, distinct_terms, entropy, ttr, keep) — unigram
+    token-distribution signals used as a model-free perplexity proxy in
+    pretraining filters (low-entropy docs are keyboard-mash / template /
+    single-token spam; CCNet uses an LM, this is the cheap first gate).
+
+    entropy = −Σ p·log2 p over the doc's unigram distribution, computed as
+    ``log2(dl) − Σ tf·log2(tf) / dl`` so one aggregation pass suffices;
+    ttr = distinct/total (type-token ratio). keep = entropy ≥ 2 bits AND
+    ≥ 10 tokens. Docs with zero analyzed tokens are absent (same contract
+    as :func:`token_counts`).
+
+    Scale shape: explode + one hash-partitioned (docID, term) groupBy with
+    map-side combine, then a docID groupBy that re-uses the same
+    partitioning — no second exchange at 100 TB if
+    ``spark.sql.shuffle.partitions`` keys on docID first.
+    """
+    toks = df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy("docID", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    per = tf.groupBy("docID").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_terms"),
+        F.sum(F.col("tf") * F.log2("tf")).alias("_tlog"),
+    )
+    dl = F.col("n_tokens").cast("double")
+    ent = F.log2(dl) - F.col("_tlog") / dl
+    return per.select(
+        "docID",
+        "n_tokens",
+        "distinct_terms",
+        F.round(ent, 4).alias("entropy"),
+        F.round(F.col("distinct_terms").cast("double") / dl, 4).alias("ttr"),
+        (
+            (ent >= F.lit(ENTROPY_MIN_BITS))
+            & (F.col("n_tokens") >= F.lit(ENTROPY_MIN_TOKENS))
+        ).alias("keep"),
+    )
+
+
+# -- OOV rate against a built vocabulary ------------------------------------
+OOV_VOCAB_K = 256  # vocabulary size used by the driver key
+OOV_VOCAB_MIN_COUNT = 2
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(docID, n_tokens, n_oov, oov_rate): per-document out-of-vocabulary
+    token fraction against a built vocabulary (one ``term`` column, e.g.
+    :func:`vocab_topk` output) — the coverage check run after building a
+    tokenizer vocab, and a standard quality signal (high OOV ⇒ noise or
+    wrong language for the target tokenizer).
+
+    Scale shape: the vocabulary is top-k-sized so it BROADCASTS; the corpus
+    side is one tokenize + map-side hash probe + one docID groupBy — the
+    token stream itself is never shuffled by term. Docs with zero analyzed
+    tokens are absent (same contract as :func:`token_counts`)."""
+    toks = df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
+    v = F.broadcast(vocab.select("term").distinct().withColumn("_in_v", F.lit(1)))
+    return (
+        toks.join(v, "term", "left")
+        .groupBy("docID")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "docID",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

@@ -707,3 +707,66 @@ class BM25Engine:
 
     def match_topk(self, query_text: str, k: int = 10) -> DataFrame:
         return topk(self.match(query_text), k)
+
+
+def more_like_this_scores(
+    engine: "BM25Engine",
+    seed_doc: int,
+    max_query_terms: int = 10,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 2,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """``more_like_this`` query (Lucene MoreLikeThis over one seed doc):
+    select the seed's "interesting" terms — tf ≥ min_term_freq and
+    df ≥ min_doc_freq — ranked by the integer-exact proxy
+    (tf desc, df asc, term asc) for MLT's tf·idf interest score (integer
+    sort keys make the term cut reproducible across engines), keep the
+    top ``max_query_terms``, then run them as a BM25 OR-clause excluding
+    the seed doc itself.
+
+    Scale shape: the seed side is ONE document's postings (pushed-down
+    docID filter on the postings scan), its df lookup a broadcast
+    semi-join pruned to those terms; the collect fetches
+    ≤ max_query_terms rows. Scoring reuses the standard clause path."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("mlt_query_requests")
+    seed = engine.postings.where(
+        (F.col("docID") == int(seed_doc)) & (F.col("tf") >= int(min_term_freq))
+    ).select("term", "tf")
+    dfc = (
+        engine.postings.join(F.broadcast(seed.select("term")), "term", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ndoc"))
+    )
+    cand = (
+        seed.join(dfc, "term")
+        .where(F.col("ndoc") >= int(min_doc_freq))
+        .orderBy(F.col("tf").desc(), F.col("ndoc").asc(), F.col("term").asc())
+        .limit(int(max_query_terms))
+    )
+    terms = [r["term"] for r in cand.collect()]  # O(max_query_terms) rows
+    if not terms:
+        return engine.spark.createDataFrame([], "docID long, score double")
+    scored = bm25_clause_scores(
+        engine.spark, engine.postings, engine.doclens, engine.stats, terms, k1=k1, b=b
+    )
+    return scored.where(F.col("docID") != int(seed_doc))
+
+
+def regexp_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
+    """Lucene ``regexp`` query (constant-score rewrite): the pattern —
+    written in the RE2∩Java common dialect and explicitly anchored, since
+    Lucene anchors regexp terms implicitly while rlike/regexp_matches do
+    not — filters the distinct-term dictionary; the expansion
+    broadcast-semi-joins postings like prefix/fuzzy/wildcard."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("regexp_query_requests")
+    expanded = engine.term_dict.where(F.col("term").rlike(pattern))
+    matched = _expansion_semi_join(engine, expanded)
+    return matched.select("docID").distinct().select(
+        "docID", F.lit(1.0).alias("score")
+    )

@@ -452,3 +452,41 @@ def parse_hybrid_spec(
 
         out = paginate(out, frm, k, pagination_depth=depth)
     return out
+
+
+_SQS_ATOM = None  # compiled lazily so `re` stays a local concern
+
+
+def parse_simple_query_string(query: str) -> dict:
+    """``simple_query_string`` mini-parser (the never-throws query parser,
+    ``SimpleQueryStringQueryParser`` semantics for the subset the engine
+    scores): whitespace-separated atoms where ``"..."`` is a phrase
+    clause, a ``-`` prefix negates the atom, and bare tokens are OR'd
+    should clauses (default_operator=OR, minimum_should_match=1 — score =
+    sum of matching should-clause scores, must_not excludes membership).
+
+    Returns ``{"should": [{"kind": "match"|"phrase", "terms": [...]}, ...],
+    "must_not": [[terms], ...]}``; atoms that analyze to nothing are
+    dropped silently (the parser never errors — its defining property).
+    """
+    import re
+
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    global _SQS_ATOM
+    if _SQS_ATOM is None:
+        _SQS_ATOM = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+    shoulds: list[dict] = []
+    must_not: list[list[str]] = []
+    for m in _SQS_ATOM.finditer(query):
+        if m.group(2) is not None:
+            neg, terms, kind = m.group(1) == "-", tokenize_text(m.group(2)), "phrase"
+        else:
+            neg, terms, kind = m.group(3) == "-", tokenize_text(m.group(4)), "match"
+        if not terms:
+            continue
+        if neg:
+            must_not.append(terms)
+        else:
+            shoulds.append({"kind": kind, "terms": terms})
+    return {"should": shoulds, "must_not": must_not}
