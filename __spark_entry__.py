@@ -1759,6 +1759,90 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("docID")
 
 
+RF_PIVOT, RF_BOOST = 2000.0, 2.0
+FSF_FACTOR = 0.001
+KEYWORDS_PER_DOC = 3
+SUGGEST_TEXT = "tabel"  # misspelling of 'table'
+SUGGEST_EDITS, SUGGEST_SIZE = 2, 5
+RETENTION_HORIZON_DAYS = 3
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term suggester: Levenshtein ≤ 2 corrections for 'tabel' from the
+    term dictionary, (distance, -freq, term) ranked."""
+    from neural_search_spark.search.bm25 import term_suggest
+
+    eng = _engine(spark, sf_dir)
+    return term_suggest(eng, SUGGEST_TEXT, SUGGEST_EDITS, SUGGEST_SIZE)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event log: cohort = first-event day,
+    users active exactly d days later (0 ≤ d ≤ 3)."""
+    from neural_search_spark.pipeline.events import retention
+
+    return retention(_events(spark, sf_dir), RETENTION_HORIZON_DAYS)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 token-length buckets with padding-waste mass — the
+    length-bucketed-batching planning table."""
+    from neural_search_spark.pipeline.training import length_buckets
+
+    return length_buckets(_doc_corpus(spark, sf_dir))
+
+
+def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool must=[match] should=[rank_feature(n_chars, saturation)]:
+    BM25 candidates get boost·v/(v+pivot) added — the Lucene FeatureQuery
+    shape (static quality signal beside the text score)."""
+    from neural_search_spark.search.bm25 import rank_feature_saturation
+
+    eng = _engine(spark, sf_dir)
+    m = eng.match(Q_MATCH)
+    rf = rank_feature_saturation(
+        _documents(spark, sf_dir).select("docID", "n_chars"), "n_chars", RF_PIVOT, RF_BOOST
+    ).withColumnRenamed("score", "_rf")
+    return (
+        m.join(rf, "docID", "left")
+        .select(
+            "docID",
+            F.round(F.col("score") + F.coalesce(F.col("_rf"), F.lit(0.0)), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docID").asc())
+        .limit(10)
+    )
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score(field_value_factor modifier=log1p,
+    boost_mode=multiply) over a match clause: score = bm25 · ln(1 +
+    factor · n_chars)."""
+    from neural_search_spark.search.bm25 import function_score_field_value
+
+    eng = _engine(spark, sf_dir)
+    out = function_score_field_value(
+        eng.match(Q_MATCH),
+        _documents(spark, sf_dir).select("docID", "n_chars"),
+        "n_chars",
+        FSF_FACTOR,
+    )
+    return (
+        _round_score(out)
+        .orderBy(F.col("score").desc(), F.col("docID").asc())
+        .limit(10)
+    )
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keyword extraction by tf·idf (integer-exact rank)."""
+    from neural_search_spark.pipeline.textstats import doc_keywords
+
+    return doc_keywords(_doc_corpus(spark, sf_dir), k=KEYWORDS_PER_DOC).orderBy(
+        "docID", "rank"
+    )
+
+
 def _sqs_oracle() -> str:
     """simple_query_string oracle: the SAME parser output feeds both
     engines, so the SQL is rendered from the parsed clause structure."""
@@ -1786,6 +1870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "simple_query_string": q_simple_query_string,
         "regexp_topk": q_regexp_topk,
+        "rank_feature_topk": q_rank_feature_topk,
+        "function_score_topk": q_function_score_topk,
+        "doc_keywords": q_doc_keywords,
+        "term_suggest": q_term_suggest,
+        "events_retention": q_events_retention,
+        "length_buckets": q_length_buckets,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
         "hybrid_agg_histogram": q_hybrid_agg_histogram,
@@ -2175,6 +2265,16 @@ LIMIT 10
         ),
         "simple_query_string": _sqs_oracle(),
         "regexp_topk": osql.regexp_topk_sql(REGEXP_Q, k=10),
+        "rank_feature_topk": osql.rank_feature_topk_sql(
+            tt(Q_MATCH), RF_PIVOT, RF_BOOST, k=10
+        ),
+        "function_score_topk": osql.function_score_topk_sql(
+            tt(Q_MATCH), FSF_FACTOR, k=10
+        ),
+        "doc_keywords": psql.doc_keywords_sql(KEYWORDS_PER_DOC),
+        "term_suggest": osql.term_suggest_sql(SUGGEST_TEXT, SUGGEST_EDITS, SUGGEST_SIZE),
+        "events_retention": psql.events_retention_sql(RETENTION_HORIZON_DAYS),
+        "length_buckets": psql.length_buckets_sql(),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

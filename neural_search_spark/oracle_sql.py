@@ -2199,3 +2199,60 @@ WHERE regexp_matches(term, '{pat}')
 ORDER BY docID
 LIMIT {k}
 """
+
+
+def rank_feature_topk_sql(
+    terms: list[str], pivot: float, boost: float = 1.0, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """rank_feature (saturation) as a bool should beside a BM25 must
+    clause: score = bm25 + boost · v/(v + pivot) over ``n_chars``
+    (feature must be positive to contribute, like the field type)."""
+    return f"""{_PRELUDE},{_clause_ctes(0, terms, k1, b, None, None)},
+feat AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, CAST(n_chars AS DOUBLE) AS v
+    FROM documents WHERE n_chars > 0
+)
+SELECT c.docID,
+       ROUND(c.score + COALESCE({float(boost)!r} * f.v / (f.v + {float(pivot)!r}), 0.0), 4) AS score
+FROM cut0 c LEFT JOIN feat f USING (docID)
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
+def function_score_topk_sql(
+    terms: list[str], factor: float = 1.0, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """function_score(field_value_factor, modifier=log1p,
+    boost_mode=multiply) twin: score = bm25 · ln(1 + factor · n_chars)."""
+    return f"""{_PRELUDE},{_clause_ctes(0, terms, k1, b, None, None)},
+feat AS (SELECT CAST(doc_id AS BIGINT) AS docID, CAST(n_chars AS DOUBLE) AS v FROM documents)
+SELECT c.docID,
+       ROUND(c.score * ln(1 + {float(factor)!r} * COALESCE(f.v, 0.0)), 4) AS score
+FROM cut0 c LEFT JOIN feat f USING (docID)
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
+def term_suggest_sql(text: str, max_edits: int = 2, size: int = 5) -> str:
+    """term-suggester twin: Levenshtein candidates over the distinct term
+    dictionary, integer-exact (distance, -freq, term) ranking."""
+    q = text.lower().replace("'", "''")
+    return f"""{_PRELUDE},
+cand AS (
+    SELECT DISTINCT term FROM tf
+    WHERE levenshtein(term, '{q}') <= {int(max_edits)} AND term != '{q}'
+),
+freqs AS (
+    SELECT tf.term, COUNT(*) AS freq FROM tf JOIN cand USING (term) GROUP BY tf.term
+)
+SELECT term,
+       CAST(levenshtein(term, '{q}') AS INT) AS distance,
+       CAST(freq AS BIGINT) AS freq
+FROM freqs
+ORDER BY distance ASC, freq DESC, term ASC
+LIMIT {int(size)}
+"""

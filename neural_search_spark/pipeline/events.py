@@ -161,3 +161,25 @@ def funnel(events: DataFrame, steps: list[str], window_us: int | None = None) ->
         F.element_at(names, F.col("step_idx") + 1).alias("step"),
         "users",
     )
+
+
+def retention(events: DataFrame, horizon_days: int = 3) -> DataFrame:
+    """(cohort, d, users): classic cohort retention (the ClickHouse
+    ``retention``/cohort-analysis shape) — cohort = a user's first event
+    day; ``users`` = distinct users with any event exactly ``d`` days
+    after their cohort day, 0 ≤ d ≤ horizon. d=0 is the cohort size.
+
+    Scale shape: one user-keyed min-aggregation (cohort assignment), one
+    distinct-(user, day) projection, a user-keyed equi-join (both sides
+    hash-partition on user_id — a single co-located exchange pair), then a
+    tiny (cohort, d) groupBy. No windows, no self-joins over raw events."""
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("d", F.datediff("day", "cohort"))
+        .where((F.col("d") >= 0) & (F.col("d") <= int(horizon_days)))
+        .groupBy("cohort", "d")
+        .agg(F.countDistinct("user_id").cast("long").alias("users"))
+        .orderBy("cohort", "d")
+    )

@@ -1158,3 +1158,73 @@ SELECT t.docID,
 FROM tk t LEFT JOIN ng USING (docID) LEFT JOIN ndp USING (docID)
 ORDER BY t.docID
 """
+
+
+def doc_keywords_sql(k: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.doc_keywords`:
+    per-doc top-k terms by the integer-exact (tf desc, df asc, term asc)
+    salience rank, tfidf reported with the BM25 idf."""
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (SELECT docID, term, COUNT(*) AS tf FROM tk GROUP BY docID, term),
+nd AS (SELECT term, COUNT(*) AS ndoc FROM tf GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+kw AS (
+    SELECT tf.docID, tf.term, tf.tf, nd.ndoc,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.docID
+               ORDER BY tf.tf DESC, nd.ndoc ASC, tf.term ASC
+           ) AS rank
+    FROM tf JOIN nd USING (term)
+)
+SELECT docID, CAST(rank AS INT) AS rank, term,
+       ROUND(CAST(tf AS DOUBLE)
+             * ln(1 + (t.n - ndoc + 0.5) / (ndoc + 0.5)), 4) AS tfidf
+FROM kw CROSS JOIN tot t
+WHERE rank <= {int(k)}
+ORDER BY docID, rank
+"""
+
+
+def events_retention_sql(horizon_days: int) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.retention`."""
+    return f"""
+WITH first AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.day) AS INT) AS d,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+FROM active a JOIN first f USING (user_id)
+WHERE date_diff('day', f.cohort, a.day) BETWEEN 0 AND {int(horizon_days)}
+GROUP BY f.cohort, d
+ORDER BY f.cohort, d
+"""
+
+
+def length_buckets_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.length_buckets`:
+    power-of-2 token-length buckets with padding-waste mass."""
+    return f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n
+    FROM documents
+),
+bk AS (
+    SELECT n, CAST(POWER(2, CEIL(log2(n))) AS BIGINT) AS bucket
+    FROM b WHERE n >= 1
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket - n) AS BIGINT) AS pad_waste
+FROM bk
+GROUP BY bucket
+ORDER BY bucket
+"""

@@ -480,3 +480,46 @@ def oov_rates(
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def doc_keywords(
+    df: DataFrame, k: int = 3, text_col: str = "content", id_col: str = "docID"
+) -> DataFrame:
+    """(docID, rank, term, tfidf): per-document top-``k`` keyword
+    extraction by tf·idf — the classic salience signal used for
+    weak-supervision labels, dataset cards, and MLT-style related-doc
+    seeds. Ranking uses the integer-exact proxy (tf desc, df asc, term
+    asc) — the same monotone stand-in for tf·idf the MLT term selector
+    uses — so the per-doc cut is reproducible across engines; the
+    reported ``tfidf`` value is tf · ln(1 + (N − df + 0.5)/(df + 0.5))
+    (the BM25 idf).
+
+    Scale shape: one (docID, term) groupBy, one vocabulary-sized term
+    groupBy for df, a broadcast-able 1-row total, and a window
+    partitioned on docID — no global sort; the window's sort is per-doc
+    vocabulary-sized."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy("docID", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.groupBy("term").agg(F.count(F.lit(1)).alias("ndoc"))
+    tot = df.select(F.countDistinct(id_col).cast("double").alias("_n"))
+    w = Window.partitionBy("docID").orderBy(
+        F.col("tf").desc(), F.col("ndoc").asc(), F.col("term").asc()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("ndoc") + F.lit(0.5)) / (F.col("ndoc") + F.lit(0.5))
+    )
+    return (
+        tf.join(nd, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "docID",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.round(F.col("tf").cast("double") * idf, 4).alias("tfidf"),
+        )
+    )

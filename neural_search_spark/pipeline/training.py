@@ -296,3 +296,34 @@ def domain_mixture(
             (h < F.coalesce(thresh, F.lit(0))).cast("int").alias("kept"),
         )
     )
+
+
+def length_buckets(
+    df: "DataFrame", text_col: str = "content", id_col: str = "docID"
+) -> "DataFrame":
+    """(bucket, n_docs, total_tokens, pad_waste): token-length histogram in
+    power-of-2 buckets — the planning table for length-bucketed batching
+    (docs padded to their bucket's length; ``pad_waste`` = padding tokens
+    spent if every doc pads to its bucket boundary). Zero-token docs are
+    excluded (they are dropped upstream by the quality gates).
+
+    Scale shape: the length is a pure array expression, the bucket a
+    closed-form column (2^ceil(log2 n) — exact for IEEE doubles at every
+    relevant n), one tiny groupBy."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    n = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"))
+    base = df.select(F.col(id_col).alias("docID"), n.alias("n")).where(F.col("n") >= 1)
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2("n"))).cast("long")
+    return (
+        base.select("docID", "n", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).cast("long").alias("pad_waste"),
+        )
+        .orderBy("bucket")
+    )

@@ -770,3 +770,83 @@ def regexp_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")
     )
+
+
+def rank_feature_saturation(
+    features: DataFrame,
+    value_col: str,
+    pivot: float,
+    boost: float = 1.0,
+    id_col: str = "docID",
+) -> DataFrame:
+    """``rank_feature`` query with the ``saturation`` function:
+    score = boost · v / (v + pivot) (Lucene FeatureQuery; OpenSearch
+    rank_feature default when pivot is set). Matches only docs where the
+    feature exists and is positive, like the field type. Pure projection —
+    composes as a bool should-clause beside BM25 clauses."""
+    v = F.col(value_col).cast("double")
+    return features.where(v > 0).select(
+        F.col(id_col).alias("docID"),
+        (F.lit(float(boost)) * v / (v + F.lit(float(pivot)))).alias("score"),
+    )
+
+
+def function_score_field_value(
+    scored: DataFrame,
+    features: DataFrame,
+    value_col: str,
+    factor: float = 1.0,
+    id_col: str = "docID",
+) -> DataFrame:
+    """``function_score`` wrapping a scored clause with
+    ``field_value_factor`` (modifier=log1p, boost_mode=multiply):
+    score = clause_score · ln(1 + factor · v). One docID equi-join against
+    the feature column (a doc-values fetch in Lucene terms); missing
+    features score as v = 0 → multiplier ln(1) = 0, like missing=0."""
+    v = F.col(value_col).cast("double")
+    feats = features.select(F.col(id_col).alias("docID"), v.alias("_fv"))
+    return (
+        scored.join(feats, "docID", "left")
+        .select(
+            "docID",
+            (
+                F.col("score")
+                * F.log1p(F.lit(float(factor)) * F.coalesce(F.col("_fv"), F.lit(0.0)))
+            ).alias("score"),
+        )
+    )
+
+
+def term_suggest(
+    engine: "BM25Engine", text: str, max_edits: int = 2, size: int = 5
+) -> DataFrame:
+    """Lucene/OpenSearch ``term`` suggester analog: correction candidates
+    from the distinct-term dictionary within Levenshtein ≤ ``max_edits``
+    of the input (the input itself excluded), ranked by the suggester's
+    sort — distance asc, then document frequency desc, then term asc (an
+    integer-exact ordering, so the cut reproduces across engines).
+
+    Scale shape: the dictionary scan is vocabulary-sized (Lucene bounds it
+    with an FST automaton; the term-dict filter is the Spark analog), the
+    frequency lookup a broadcast-pruned postings semi-join over only the
+    surviving candidates."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("term_suggest_requests")
+    q = F.lit(text.lower())
+    cand = (
+        engine.term_dict.where(F.levenshtein(F.col("term"), q) <= int(max_edits))
+        .where(F.col("term") != q)
+        .select("term", F.levenshtein(F.col("term"), q).cast("int").alias("distance"))
+    )
+    freqs = (
+        engine.postings.join(F.broadcast(cand.select("term")), "term", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        cand.join(freqs, "term")
+        .orderBy(F.col("distance").asc(), F.col("freq").desc(), F.col("term").asc())
+        .limit(int(size))
+        .select("term", "distance", "freq")
+    )

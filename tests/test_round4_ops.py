@@ -176,3 +176,94 @@ def test_significant_terms_jlh_positive_only(spark, tiny_corpus):
         "lang", ((fgp - bgp) * (fgp / bgp)).alias("score")
     )
     assert all(r["score"] > 0 for r in sig.collect())
+
+
+# -- rank_feature / function_score / keywords ---------------------------------
+
+
+def test_rank_feature_saturation_bounds(spark):
+    from neural_search_spark.search.bm25 import rank_feature_saturation
+
+    feats = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 10_000_000)], "docID long, v long"
+    )
+    rows = {r["docID"]: r["score"] for r in rank_feature_saturation(feats, "v", pivot=100.0).collect()}
+    assert 2 not in rows  # non-positive feature never matches
+    assert abs(rows[1] - 0.5) < 1e-12  # v == pivot → S = 0.5
+    assert 0.99 < rows[3] < 1.0  # saturates below boost
+
+
+def test_function_score_multiplies_log1p(spark):
+    from neural_search_spark.search.bm25 import function_score_field_value
+
+    scored = spark.createDataFrame([(1, 2.0), (2, 2.0)], "docID long, score double")
+    feats = spark.createDataFrame([(1, 1000)], "docID long, v long")
+    rows = {r["docID"]: r["score"] for r in function_score_field_value(scored, feats, "v", factor=0.001).collect()}
+    assert abs(rows[1] - 2.0 * math.log1p(1.0)) < 1e-12
+    assert rows[2] == 0.0  # missing feature → multiplier ln(1) = 0
+
+
+def test_doc_keywords_rank_and_cut(spark):
+    from neural_search_spark.pipeline.textstats import doc_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare rare common shared shared"),
+            (2, "common common other other other words"),
+        ],
+        "docID long, content string",
+    )
+    out = doc_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["docID"], []).append((r["rank"], r["term"]))
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    # doc 1: 'rare' tf=3 beats 'shared' tf=2; 'common' (df=2) loses to both
+    assert by_doc[1][0] == (1, "rare") and by_doc[1][1] == (2, "shared")
+    assert by_doc[2][0] == (1, "other")
+
+
+# -- term suggester / retention / length buckets ------------------------------
+
+
+def test_term_suggest_orders_and_excludes_input(spark, tiny_corpus):
+    from neural_search_spark.search.bm25 import term_suggest
+
+    eng = _engine(spark, tiny_corpus)
+    rows = term_suggest(eng, "clas", max_edits=2, size=5).collect()
+    assert rows, "corpus contains 'class' within 2 edits of 'clas'"
+    assert all(r["term"] != "clas" for r in rows)
+    assert [r["distance"] for r in rows] == sorted(r["distance"] for r in rows)
+    assert "class" in {r["term"] for r in rows}
+
+
+def test_retention_cohort_counts(spark):
+    import datetime as dt
+
+    from neural_search_spark.pipeline.events import retention
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows_in = [
+        (1, t0, "a"), (1, t0 + dt.timedelta(days=1), "b"),
+        (2, t0, "a"),
+        (3, t0 + dt.timedelta(days=1), "a"), (3, t0 + dt.timedelta(days=3), "b"),
+    ]
+    ev = spark.createDataFrame(rows_in, "user_id long, ts timestamp, event_type string")
+    out = {(str(r["cohort"]), r["d"]): r["users"] for r in retention(ev, 3).collect()}
+    assert out[("2024-01-01", 0)] == 2  # users 1,2 in day-0 cohort
+    assert out[("2024-01-01", 1)] == 1  # only user 1 came back next day
+    assert out[("2024-01-02", 0)] == 1 and out[("2024-01-02", 2)] == 1  # user 3
+
+
+def test_length_buckets_power_of_two(spark):
+    from neural_search_spark.pipeline.training import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "x"), (4, "")],
+        "docID long, content string",
+    )
+    rows = {r["bucket"]: r for r in length_buckets(df).collect()}
+    assert set(rows) == {1, 4}  # 3→4, 4→4, 1→1; empty doc excluded
+    assert rows[4]["n_docs"] == 2 and rows[4]["total_tokens"] == 7
+    assert rows[4]["pad_waste"] == 1  # the 3-token doc pads by 1
+    assert rows[1]["pad_waste"] == 0
