@@ -1784,6 +1784,19 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_events(spark, sf_dir), RETENTION_HORIZON_DAYS)
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining over the injected-duplicates table:
+    positives = the cached verified MinHash near-dup pairs, negatives =
+    shuffle-order-adjacent docs (deterministic), positives anti-joined
+    out of the negatives."""
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.training import contrastive_pairs
+
+    return contrastive_pairs(
+        inject_duplicates(spark, sf_dir), _minhash_pairs(spark, sf_dir)
+    ).orderBy("idA", "idB", "label")
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-2 token-length buckets with padding-waste mass — the
     length-bucketed-batching planning table."""
@@ -1876,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "events_retention": q_events_retention,
         "length_buckets": q_length_buckets,
+        "contrastive_pairs": q_contrastive_pairs,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
         "hybrid_agg_histogram": q_hybrid_agg_histogram,
@@ -2275,6 +2289,7 @@ LIMIT 10
         "term_suggest": osql.term_suggest_sql(SUGGEST_TEXT, SUGGEST_EDITS, SUGGEST_SIZE),
         "events_retention": psql.events_retention_sql(RETENTION_HORIZON_DAYS),
         "length_buckets": psql.length_buckets_sql(),
+        "contrastive_pairs": psql.contrastive_pairs_sql(),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

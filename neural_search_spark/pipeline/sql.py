@@ -1228,3 +1228,28 @@ FROM bk
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def contrastive_pairs_sql(seed: str = "pairs-v1") -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.contrastive_pairs`
+    over the injected-duplicates table: positives = verified MinHash
+    pairs, negatives = shuffle-order-adjacent doc pairs minus positives."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(docID AS VARCHAR)")
+    return f"""
+WITH {_minhash_pairs_block()},
+keyed AS (SELECT docID, {h} AS skey FROM dupdocs),
+ordered AS (
+    SELECT docID, ROW_NUMBER() OVER (ORDER BY skey, docID) - 1 AS pos FROM keyed
+),
+adj AS (
+    SELECT LEAST(a.docID, b.docID) AS idA, GREATEST(a.docID, b.docID) AS idB
+    FROM ordered a JOIN ordered b ON b.pos = a.pos + 1
+),
+posset AS (SELECT docA AS idA, docB AS idB FROM pairs)
+SELECT idA, idB, 1 AS label FROM posset
+UNION ALL
+SELECT a.idA, a.idB, 0 AS label FROM adj a
+WHERE NOT EXISTS (
+    SELECT 1 FROM posset p WHERE p.idA = a.idA AND p.idB = a.idB
+)
+"""

@@ -327,3 +327,38 @@ def length_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def contrastive_pairs(
+    df: "DataFrame",
+    positives: "DataFrame",
+    seed: str = "pairs-v1",
+    id_col: str = "docID",
+) -> "DataFrame":
+    """(idA, idB, label): contrastive training-pair mining for embedding /
+    reranker models — positives (label 1) are the verified near-dup pairs
+    (docA, docB); negatives (label 0) are documents ADJACENT IN THE
+    DETERMINISTIC SHUFFLE ORDER, the standard in-batch-negative stand-in:
+    a pure function of (seed, docID) — so reruns and backfills mine the
+    same pairs — and uniform over the corpus because the order is a hash
+    permutation. Any adjacent pair that is also a true positive is
+    anti-joined out of the negative set.
+
+    Scale shape: :func:`shuffle_order`'s two-stage distributed rank (no
+    single-partition window), one pos-keyed equi-join for adjacency, one
+    anti-join against the (near-dup-sized) positive set."""
+    from pyspark.sql import functions as F
+
+    order = shuffle_order(df, seed=seed, id_col=id_col).select("docID", "pos")
+    nxt = order.select(
+        F.col("docID").alias("_nbr"), (F.col("pos") - F.lit(1)).alias("pos")
+    )
+    adj = order.join(nxt, "pos").select(
+        F.least("docID", "_nbr").alias("idA"),
+        F.greatest("docID", "_nbr").alias("idB"),
+    )
+    pos = positives.select(F.col("docA").alias("idA"), F.col("docB").alias("idB"))
+    neg = adj.join(pos, ["idA", "idB"], "anti")
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )

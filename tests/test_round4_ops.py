@@ -267,3 +267,20 @@ def test_length_buckets_power_of_two(spark):
     assert rows[4]["n_docs"] == 2 and rows[4]["total_tokens"] == 7
     assert rows[4]["pad_waste"] == 1  # the 3-token doc pads by 1
     assert rows[1]["pad_waste"] == 0
+
+
+def test_contrastive_pairs_labels_and_exclusion(spark):
+    from neural_search_spark.pipeline.training import contrastive_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "docID long")
+    positives = spark.createDataFrame([(0, 1), (3, 7)], "docA long, docB long")
+    out = contrastive_pairs(docs, positives).collect()
+    pos = {(r["idA"], r["idB"]) for r in out if r["label"] == 1}
+    neg = {(r["idA"], r["idB"]) for r in out if r["label"] == 0}
+    assert pos == {(0, 1), (3, 7)}
+    assert len(neg) == 9  # N-1 adjacent pairs before exclusion overlap
+    assert not pos & neg  # positives never appear as negatives
+    assert all(a < b for a, b in neg)
+    # deterministic across invocations
+    again = contrastive_pairs(docs, positives).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
