@@ -48,6 +48,8 @@ CONSTANT_SCORE_TYPES = (
 CLAUSE_TYPES = LEXICAL_TYPES + CONSTANT_SCORE_TYPES + (
     "neural_sparse", "neural", "bool", "multi_match", "span_near",
     "dis_max", "boosting", "constant_score",
+    "regexp", "simple_query_string", "more_like_this",
+    "rank_feature", "function_score",
 )
 
 
@@ -199,6 +201,79 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
 
         inner = _score_clause(engine, body["filter"], filter_expr)
         return constant_score_query(inner, boost=float(body.get("boost", 1.0)))
+    if ctype == "regexp":
+        from neural_search_spark.search.bm25 import regexp_query_scores
+
+        value = body["value"] if isinstance(body, dict) else body
+        return _apply_members(
+            regexp_query_scores(engine, value), _members(engine, filter_expr)
+        )
+    if ctype == "simple_query_string":
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.pipeline import params as P
+        from neural_search_spark.search.hybrid import hybrid_raw_sum
+
+        q = body["query"] if isinstance(body, dict) else body
+        parsed = parse_simple_query_string(q)
+        clauses = []
+        for c in parsed["should"]:
+            if c["kind"] == "phrase":
+                # positional artifact optional (same convention as span_near);
+                # falls back to the scan-path phrase — score-identical
+                pidx = body.get("positions") if isinstance(body, dict) else None
+                ph = (
+                    pidx.match_phrase(" ".join(c["terms"]))
+                    if pidx is not None
+                    else engine.match_phrase(" ".join(c["terms"]))
+                )
+                ph = ph.select("docID", P.round6(F.col("score")).alias("score"))
+                clauses.append(_apply_members(ph, _members(engine, filter_expr)))
+            else:
+                clauses.append(
+                    engine.match(" ".join(c["terms"]), filter_expr=filter_expr)
+                )
+        if not clauses:
+            return engine.spark.createDataFrame([], "docID long, score double")
+        scored = hybrid_raw_sum(clauses)
+        for mn in parsed["must_not"]:
+            scored = scored.join(
+                engine.match(" ".join(mn)).select("docID"), "docID", "anti"
+            )
+        return scored
+    if ctype == "more_like_this":
+        from neural_search_spark.search.bm25 import more_like_this_scores
+
+        scored = more_like_this_scores(
+            engine,
+            body["like_doc"],
+            max_query_terms=int(body.get("max_query_terms", 25)),
+            min_term_freq=int(body.get("min_term_freq", 2)),
+            min_doc_freq=int(body.get("min_doc_freq", 5)),
+        )
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "rank_feature":
+        # ``features`` is the caller-supplied (docID, <field>) table —
+        # same artifact-handle convention as neural's ``embeddings``
+        from neural_search_spark.search.bm25 import rank_feature_saturation
+
+        scored = rank_feature_saturation(
+            body["features"],
+            body["field"],
+            pivot=float(body["pivot"]),
+            boost=float(body.get("boost", 1.0)),
+        )
+        return _apply_members(scored, _members(engine, filter_expr))
+    if ctype == "function_score":
+        from neural_search_spark.search.bm25 import function_score_field_value
+
+        inner = _score_clause(engine, body["query"], filter_expr)
+        return function_score_field_value(
+            inner,
+            body["features"],
+            body["field"],
+            factor=float(body.get("factor", 1.0)),
+        )
     if ctype == "span_near":
         # positional-index clause; ``positions`` is the caller-supplied
         # PositionalIndex (same convention as neural's ``embeddings`` /

@@ -284,3 +284,59 @@ def test_contrastive_pairs_labels_and_exclusion(spark):
     # deterministic across invocations
     again = contrastive_pairs(docs, positives).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+# -- spec-parser dispatch for the round-4 clause kinds -------------------------
+
+
+def test_spec_new_clause_kinds(spark, tiny_corpus):
+    from neural_search_spark.search.spec import _score_clause
+
+    eng = _engine(spark, tiny_corpus)
+    feats = tiny_corpus.select("docID", F.length("content").alias("nch"))
+
+    out = _score_clause(eng, {"regexp": {"value": "^def$"}}, None)
+    assert out.count() > 0 and out.columns == ["docID", "score"]
+
+    out = _score_clause(
+        eng, {"simple_query_string": {"query": 'def class -zzzz "def main"'}}, None
+    )
+    assert out.columns == ["docID", "score"] and out.count() > 0
+
+    out = _score_clause(
+        eng,
+        {"more_like_this": {"like_doc": 0, "min_term_freq": 1, "min_doc_freq": 2}},
+        None,
+    )
+    assert out.count() > 0 and all(r["docID"] != 0 for r in out.collect())
+
+    out = _score_clause(
+        eng, {"rank_feature": {"features": feats, "field": "nch", "pivot": 50.0}}, None
+    )
+    assert out.count() > 0
+
+    out = _score_clause(
+        eng,
+        {
+            "function_score": {
+                "query": {"match": {"query": "def class"}},
+                "features": feats,
+                "field": "nch",
+                "factor": 0.01,
+            }
+        },
+        None,
+    )
+    assert out.count() > 0
+
+
+def test_spec_simple_query_string_filter_pushdown(spark, tiny_corpus):
+    from neural_search_spark.search.spec import _score_clause
+
+    eng = _engine(spark, tiny_corpus)
+    lang = tiny_corpus.select("lang").first()["lang"]
+    out = _score_clause(
+        eng, {"simple_query_string": {"query": "def class"}}, f"lang = '{lang}'"
+    )
+    allowed = {r["docID"] for r in tiny_corpus.where(F.col("lang") == lang).select("docID").collect()}
+    assert {r["docID"] for r in out.collect()} <= allowed
