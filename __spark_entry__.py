@@ -1784,6 +1784,18 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_events(spark, sf_dir), RETENTION_HORIZON_DAYS)
 
 
+def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids materialization against the built top-k vocabulary
+    (ids = vocab rank, OOV → -1) — the transform that feeds sequence
+    packing; broadcast vocab probe, token stream never shuffled."""
+    from neural_search_spark.pipeline.textstats import vocab_topk
+    from neural_search_spark.pipeline.training import token_ids
+
+    docs = _doc_corpus(spark, sf_dir)
+    vocab = vocab_topk(docs, k=VOCAB_K, min_count=VOCAB_MIN_COUNT)
+    return token_ids(docs, vocab).orderBy("docID", "pos")
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive pair mining over the injected-duplicates table:
     positives = the cached verified MinHash near-dup pairs, negatives =
@@ -1890,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "length_buckets": q_length_buckets,
         "contrastive_pairs": q_contrastive_pairs,
+        "doc_token_ids": q_doc_token_ids,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
         "hybrid_agg_histogram": q_hybrid_agg_histogram,
@@ -2290,6 +2303,7 @@ LIMIT 10
         "events_retention": psql.events_retention_sql(RETENTION_HORIZON_DAYS),
         "length_buckets": psql.length_buckets_sql(),
         "contrastive_pairs": psql.contrastive_pairs_sql(),
+        "doc_token_ids": psql.token_ids_sql(VOCAB_K, VOCAB_MIN_COUNT),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

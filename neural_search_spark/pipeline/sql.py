@@ -1253,3 +1253,34 @@ WHERE NOT EXISTS (
     SELECT 1 FROM posset p WHERE p.idA = a.idA AND p.idB = a.idB
 )
 """
+
+
+def token_ids_sql(k: int, min_count: int, unk_id: int = -1) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.token_ids`
+    against the :func:`vocab_topk` vocabulary."""
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS ts
+    FROM documents
+),
+vc AS (
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest(ts) AS term FROM tk)
+    GROUP BY term HAVING COUNT(*) >= {int(min_count)}
+    ORDER BY cnt DESC, term ASC LIMIT {int(k)}
+),
+vids AS (
+    SELECT term,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS INT) AS token_id
+    FROM vc
+),
+posx AS (
+    SELECT docID, CAST(unnest(generate_series(1, len(ts))) AS INT) AS pos, ts FROM tk
+),
+longf AS (SELECT docID, pos, ts[pos] AS term FROM posx)
+SELECT l.docID, l.pos,
+       CAST(COALESCE(v.token_id, {int(unk_id)}) AS INT) AS token_id
+FROM longf l LEFT JOIN vids v USING (term)
+ORDER BY docID, pos
+"""

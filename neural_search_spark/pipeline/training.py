@@ -362,3 +362,44 @@ def contrastive_pairs(
     return pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
+
+
+def token_ids(
+    df: "DataFrame",
+    vocab: "DataFrame",
+    text_col: str = "content",
+    id_col: str = "docID",
+    unk_id: int = -1,
+) -> "DataFrame":
+    """(docID, pos, token_id): the tokenize-to-ids materialization — the
+    last transform before sequence packing writes training shards:
+    analyzed tokens mapped to their vocabulary id, OOV → ``unk_id``.
+    Vocabulary ids are the ranks of the (count desc, term asc) vocab
+    order (0-based), so the id assignment is itself deterministic and
+    rebuild-stable.
+
+    Scale shape: the vocabulary is top-k-sized, so the id-assignment
+    window runs over |V| rows (bounded by construction, one tiny
+    partition) and the resulting (term → id) map BROADCASTS; the corpus
+    side is one ``posexplode`` projection + a map-side hash probe — the
+    token stream is never shuffled. Output arrives partitioned exactly
+    as the corpus was read, ready for :func:`pack_plan`-style packing."""
+    from pyspark.sql import Window, functions as F
+
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    vids = vocab.withColumn("token_id", (F.row_number().over(w) - 1).cast("int")).select(
+        "term", "token_id"
+    )
+    toks = df.select(
+        F.col(id_col).alias("docID"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+        ).alias("pos0", "term"),
+    )
+    return toks.join(F.broadcast(vids), "term", "left").select(
+        "docID",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(int(unk_id))).cast("int").alias("token_id"),
+    )

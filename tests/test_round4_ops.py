@@ -340,3 +340,20 @@ def test_spec_simple_query_string_filter_pushdown(spark, tiny_corpus):
     )
     allowed = {r["docID"] for r in tiny_corpus.where(F.col("lang") == lang).select("docID").collect()}
     assert {r["docID"] for r in out.collect()} <= allowed
+
+
+def test_token_ids_vocab_ranks_and_unk(spark):
+    from neural_search_spark.pipeline.textstats import vocab_topk
+    from neural_search_spark.pipeline.training import token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb zz"), (2, "aa bb cc")],
+        "docID long, content string",
+    )
+    vocab = vocab_topk(docs, k=2, min_count=1)  # {aa: id 0, bb: id 1}
+    rows = token_ids(docs, vocab).collect()
+    by_pos = {(r["docID"], r["pos"]): r["token_id"] for r in rows}
+    assert by_pos[(1, 1)] == 0 and by_pos[(1, 4)] == 1
+    assert by_pos[(1, 6)] == -1  # zz OOV
+    assert by_pos[(2, 3)] == -1  # cc cut from the top-2 vocab
+    assert len(rows) == 9
