@@ -1676,6 +1676,42 @@ def q_hybrid_agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIG_TEXT_SIZE = 10
+
+
+def q_hybrid_agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text under hybrid (§2.7): TERMS over-represented in the
+    hit set vs the whole index (JLH, like significant_terms but over the
+    analyzed text) — fg counts from the cached postings semi-joined to
+    the hit set, bg counts one vocabulary-sized agg over the same cached
+    postings, 1-row fg-total broadcast."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    hits = scored.select("docID")
+    fg = (
+        eng.postings.join(hits, "docID", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    fgt = hits.agg(F.count(F.lit(1)).cast("double").alias("_fgt"))
+    bg = eng.postings.groupBy("term").agg(F.count(F.lit(1)).alias("bg_count"))
+    fgp = F.col("doc_count").cast("double") / F.col("_fgt")
+    bgp = F.col("bg_count").cast("double") / F.lit(float(eng.stats.n_docs))
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fgt))
+        .where(fgp > bgp)
+        .select(
+            "term",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fgp - bgp) * (fgp / bgp), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(SIG_TEXT_SIZE)
+    )
+
+
 def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """more_like_this: seed doc 42's interesting terms (tf/df floors,
     integer-exact interest ranking) re-queried as a BM25 OR clause."""
@@ -1782,6 +1818,39 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.pipeline.events import retention
 
     return retention(_events(spark, sf_dir), RETENTION_HORIZON_DAYS)
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-prep DAG as ONE plan: Gopher word-count
+    rule ∧ token-entropy gate ∧ deterministic train split → sequence
+    packing of the survivors. (The full conjunctive Gopher keep is its own
+    key; its required-stopwords rule zeroes this code-shaped corpus, so
+    the composition uses the word-count rule — the gates are pluggable.)
+    Three semi-joins on docID (each gate its own codegen-friendly
+    sub-plan) feeding pack_plan's two-stage prefix sum — the shape a real
+    100 TB run submits as a single job."""
+    from neural_search_spark.pipeline.textstats import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        entropy_stats,
+        gopher_rules,
+    )
+    from neural_search_spark.pipeline.training import pack_plan, split_assign
+
+    docs = _doc_corpus(spark, sf_dir)
+    keep_g = (
+        gopher_rules(docs)
+        .where(f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}")
+        .select("docID")
+    )
+    keep_e = entropy_stats(docs).where("keep").select("docID")
+    train = split_assign(docs).where(F.col("split") == "train").select("docID")
+    kept = (
+        docs.join(keep_g, "docID", "semi")
+        .join(keep_e, "docID", "semi")
+        .join(train, "docID", "semi")
+    )
+    return pack_plan(kept, PACK_BUDGET)
 
 
 def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1903,7 +1972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "contrastive_pairs": q_contrastive_pairs,
         "doc_token_ids": q_doc_token_ids,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
+        "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
         "hybrid_agg_histogram": q_hybrid_agg_histogram,
         "hybrid_agg_percentiles": q_hybrid_agg_percentiles,
@@ -2304,8 +2375,12 @@ LIMIT 10
         "length_buckets": psql.length_buckets_sql(),
         "contrastive_pairs": psql.contrastive_pairs_sql(),
         "doc_token_ids": psql.token_ids_sql(VOCAB_K, VOCAB_MIN_COUNT),
+        "pipeline_end_to_end": psql.pipeline_end_to_end_sql(PACK_BUDGET),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
+        ),
+        "hybrid_agg_significant_text": osql.hybrid_agg_significant_text_sql(
+            h2, size=SIG_TEXT_SIZE
         ),
         "hybrid_agg_top_hits": osql.hybrid_agg_top_hits_sql(
             h2, per_bucket=TOP_HITS_PER_BUCKET

@@ -2256,3 +2256,33 @@ FROM freqs
 ORDER BY distance ASC, freq DESC, term ASC
 LIMIT {int(size)}
 """
+
+
+def hybrid_agg_significant_text_sql(
+    clause_terms: list[list[str]], size: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """significant_text under hybrid: JLH over analyzed terms (fg = hit
+    docs containing the term, bg = index-wide doc freq)."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+fg AS (
+    SELECT tf.term, COUNT(*) AS doc_count FROM tf
+    WHERE tf.docID IN (SELECT docID FROM docsum)
+    GROUP BY tf.term
+),
+fgt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM docsum),
+bg AS (SELECT term, COUNT(*) AS bg_count FROM tf GROUP BY term),
+sig AS (
+    SELECT f.term, f.doc_count, g.bg_count,
+           CAST(f.doc_count AS DOUBLE) / t.t AS fgp,
+           CAST(g.bg_count AS DOUBLE) / s.n_docs AS bgp
+    FROM fg f JOIN bg g USING (term) CROSS JOIN fgt t CROSS JOIN stats s
+)
+SELECT term,
+       CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(bg_count AS BIGINT) AS bg_count,
+       ROUND((fgp - bgp) * (fgp / bgp), 4) AS score
+FROM sig
+WHERE fgp > bgp
+ORDER BY score DESC, term ASC
+LIMIT {int(size)}
+"""

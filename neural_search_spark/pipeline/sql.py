@@ -1284,3 +1284,41 @@ SELECT l.docID, l.pos,
 FROM longf l LEFT JOIN vids v USING (term)
 ORDER BY docID, pos
 """
+
+
+def pipeline_end_to_end_sql(budget: int, seed: str = "split-v1") -> str:
+    """Composition twin of the full pretraining prep DAG: Gopher
+    word-count rule ∧ entropy gate ∧ train split → sequence packing over
+    the survivors (offsets are positions on the FILTERED tape)."""
+    from neural_search_spark.pipeline import textstats as T
+
+    return f"""
+WITH gk AS (
+    SELECT docID FROM ({gopher_rules_sql()})
+    WHERE n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}
+),
+ek AS (SELECT docID FROM ({text_entropy_sql()}) WHERE keep),
+tr AS (SELECT docID FROM ({train_split_assign_sql(seed)}) WHERE split = 'train'),
+dl AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           CAST(len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS BIGINT) AS dl
+    FROM documents
+    WHERE CAST(doc_id AS BIGINT) IN (SELECT docID FROM gk)
+      AND CAST(doc_id AS BIGINT) IN (SELECT docID FROM ek)
+      AND CAST(doc_id AS BIGINT) IN (SELECT docID FROM tr)
+),
+c AS (
+    SELECT docID, dl,
+           CAST(COALESCE(SUM(dl) OVER (
+               ORDER BY docID ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM dl
+)
+SELECT docID, dl, start_offset,
+       CAST(floor(start_offset / {budget}) AS BIGINT) AS pack_id,
+       CAST(CASE WHEN dl = 0 THEN 0
+            ELSE floor((start_offset + dl - 1) / {budget}) - floor(start_offset / {budget}) + 1
+       END AS BIGINT) AS n_packs
+FROM c
+ORDER BY docID
+"""
