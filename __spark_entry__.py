@@ -1677,6 +1677,26 @@ def q_hybrid_agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIG_TEXT_SIZE = 10
+MPP_QUERY = "part fil"  # fixed term + prefix slot (search-as-you-type)
+
+
+def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix: exact fixed positions + prefix final slot."""
+    from neural_search_spark.search.bm25 import match_phrase_prefix_scores
+
+    eng = _engine(spark, sf_dir)
+    scored = match_phrase_prefix_scores(
+        spark, eng.corpus, eng.postings, eng.doclens, eng.stats, MPP_QUERY
+    )
+    return _round_score(topk(scored, 10))
+
+
+def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality signal (CCNet analog, corpus unigram
+    model as the stand-in LM)."""
+    from neural_search_spark.pipeline.textstats import unigram_ppl
+
+    return unigram_ppl(_doc_corpus(spark, sf_dir)).orderBy("docID")
 
 
 def q_hybrid_agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "doc_token_ids": q_doc_token_ids,
         "pipeline_end_to_end": q_pipeline_end_to_end,
+        "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
+        "text_unigram_ppl": q_text_unigram_ppl,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
@@ -2376,6 +2398,10 @@ LIMIT 10
         "contrastive_pairs": psql.contrastive_pairs_sql(),
         "doc_token_ids": psql.token_ids_sql(VOCAB_K, VOCAB_MIN_COUNT),
         "pipeline_end_to_end": psql.pipeline_end_to_end_sql(PACK_BUDGET),
+        "match_phrase_prefix_topk": osql.match_phrase_prefix_topk_sql(
+            tt(MPP_QUERY)[:-1], tt(MPP_QUERY)[-1], k=10
+        ),
+        "text_unigram_ppl": psql.unigram_ppl_sql(),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

@@ -2286,3 +2286,53 @@ WHERE fgp > bgp
 ORDER BY score DESC, term ASC
 LIMIT {int(size)}
 """
+
+
+def match_phrase_prefix_topk_sql(
+    fixed_terms: list[str],
+    prefix: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """match_phrase_prefix twin: fixed positions match exactly, the final
+    slot by prefix; query weight = Σ idf over the FIXED positions only."""
+    m = len(fixed_terms) + 1
+    dlq = quantize_length_sql("dls.dl")
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t.replace(chr(39), chr(39) * 2)}'"
+        for j, t in enumerate(fixed_terms)
+    )
+    pre = prefix.replace("'", "''")
+    conds = f"{conds} AND starts_with(toks[i+{m - 1}], '{pre}')"
+    pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in fixed_terms)
+    return f"""{_PRELUDE},
+toksa AS (
+    SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM corpus
+),
+pq AS (SELECT unnest([{pos_terms}]) AS term),
+nd AS (
+    SELECT tf.term, COUNT(*) AS ndoc
+    FROM tf JOIN (SELECT DISTINCT term FROM pq) d USING (term)
+    GROUP BY tf.term
+),
+qidf AS (
+    SELECT SUM(ln(1 + (s.n_docs - nd.ndoc + 0.5) / (nd.ndoc + 0.5))) AS w
+    FROM pq JOIN nd USING (term) CROSS JOIN stats s
+),
+ph AS (
+    SELECT docID, COUNT(*) AS ptf
+    FROM (SELECT docID, toks, unnest(generate_series(1, len(toks) - {m - 1})) AS i
+          FROM toksa WHERE len(toks) >= {m})
+    WHERE {conds}
+    GROUP BY docID
+)
+SELECT ph.docID AS docID,
+       ROUND(q.w * ph.ptf / (ph.ptf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs))), 4) AS score
+FROM ph
+JOIN dls ON ph.docID = dls.docID
+CROSS JOIN qidf q
+CROSS JOIN stats s
+ORDER BY score DESC, docID
+LIMIT {k}
+"""

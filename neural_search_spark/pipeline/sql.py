@@ -1322,3 +1322,31 @@ SELECT docID, dl, start_offset,
 FROM c
 ORDER BY docID
 """
+
+
+def unigram_ppl_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.unigram_ppl`."""
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT docID, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk GROUP BY docID, term
+),
+cnt AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM cnt),
+per AS (
+    SELECT f.docID,
+           CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+           SUM(f.tf * -log2(c.cnt / t.t)) AS mass
+    FROM tf f JOIN cnt c USING (term) CROSS JOIN tot t
+    GROUP BY f.docID
+)
+SELECT docID, n_tokens,
+       ROUND(mass / n_tokens, 4) AS avg_nll,
+       ROUND(POWER(2.0, mass / n_tokens), 4) AS ppl
+FROM per
+ORDER BY docID
+"""

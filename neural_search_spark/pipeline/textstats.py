@@ -523,3 +523,37 @@ def doc_keywords(
             F.round(F.col("tf").cast("double") * idf, 4).alias("tfidf"),
         )
     )
+
+
+def unigram_ppl(
+    df: DataFrame, text_col: str = "content", id_col: str = "docID"
+) -> DataFrame:
+    """(docID, n_tokens, avg_nll, ppl): the CCNet-style LM quality signal
+    with the corpus's OWN unigram model as the stand-in LM (CCNet uses a
+    KenLM 5-gram; the unigram corpus model is the deterministic,
+    dependency-free analog): P(t) = corpus_count(t)/total_tokens,
+    avg_nll = Σ tf·(−log2 P) / dl bits/token, ppl = 2^avg_nll.
+    High-perplexity docs are rare-token-heavy (noise, wrong language,
+    mangled encodings); CCNet buckets the corpus by ppl percentile.
+
+    Scale shape: the unigram model is the classic distributed word count
+    (at 100 TB it is computed once per corpus release and reused); scoring
+    joins the per-doc tf table — already (docID, term)-reduced, far
+    smaller than the raw token stream — to the model on the term key, one
+    hash exchange, then one docID groupBy."""
+    toks = df.select(F.col(id_col).alias("docID"), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy("docID", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("_tot"))
+    j = tf.join(cnt, "term").crossJoin(F.broadcast(tot))
+    per = j.groupBy("docID").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * -F.log2(F.col("cnt") / F.col("_tot"))).alias("_mass"),
+    )
+    nll = F.col("_mass") / F.col("n_tokens").cast("double")
+    return per.select(
+        "docID",
+        "n_tokens",
+        F.round(nll, 4).alias("avg_nll"),
+        F.round(F.pow(F.lit(2.0), nll), 4).alias("ppl"),
+    )

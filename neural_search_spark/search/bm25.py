@@ -850,3 +850,82 @@ def term_suggest(
         .limit(int(size))
         .select("term", "distance", "freq")
     )
+
+
+def match_phrase_prefix_scores(
+    spark,
+    corpus: DataFrame,
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: CorpusStats,
+    phrase: str,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """``match_phrase_prefix`` (Lucene ``MultiPhraseQuery`` from the
+    phrase-prefix rewrite): the last analyzed term matches as a PREFIX at
+    its position, the others exactly — the search-as-you-type query.
+    ptf counts positions where the fixed terms align and the final slot
+    starts with the prefix; the query weight is Σ idf over the FIXED
+    positions (the open prefix slot contributes no idf — its expansion is
+    unbounded, Lucene rewrites it to a multi-term position).
+
+    Plan mirrors :func:`match_phrase_scores`: postings intersection on
+    the fixed terms prunes candidates (the prefix slot adds a term-dict
+    LIKE expansion semi-join, bounded like prefix_query_scores); the
+    positional verify re-analyzes candidates only."""
+    terms = tokenize_text(phrase)
+    if len(terms) < 2:
+        raise ValueError("match_phrase_prefix needs >= 2 analyzed terms")
+    fixed, prefix = terms[:-1], terms[-1]
+    m = len(terms)
+    distinct_fixed = sorted(set(fixed))
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in distinct_fixed], "term string")
+    )
+    matched = postings.join(qt, "term")
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("ndoc"))
+    pos_df = F.broadcast(
+        spark.createDataFrame(list(enumerate(fixed)), "pos int, term string")
+    )
+    qidf = pos_df.join(F.broadcast(dfreq), "term").agg(
+        F.sum(idf_col(stats.n_docs, F.col("ndoc"))).alias("qidf")
+    )
+    cand_fixed = (
+        matched.groupBy("docID")
+        .agg(F.count("*").alias("nt"))
+        .where(F.col("nt") == len(distinct_fixed))
+        .select("docID")
+    )
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    positions = F.sequence(F.lit(1), F.size("_toks") - (m - 1))
+
+    def _match_at(i):
+        cond = F.element_at(F.col("_toks"), i) == F.lit(fixed[0])
+        for j, t in enumerate(fixed[1:], start=1):
+            cond = cond & (F.element_at(F.col("_toks"), i + j) == F.lit(t))
+        return cond & F.element_at(F.col("_toks"), i + (m - 1)).startswith(prefix)
+
+    verified = (
+        corpus.join(cand_fixed, corpus[id_col] == cand_fixed["docID"], "left_semi")
+        .select(F.col(id_col).alias("docID"), toks.alias("_toks"))
+        .select(
+            "docID",
+            F.when(
+                F.size("_toks") >= m, F.size(F.filter(positions, _match_at))
+            )
+            .otherwise(F.lit(0))
+            .alias("ptf"),
+        )
+        .where(F.col("ptf") > 0)
+    )
+    avgdl = F.lit(stats.avgdl)
+    ptf = F.col("ptf").cast("double")
+    tf_norm = ptf / (ptf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl))
+    return (
+        verified.join(doclens, "docID")
+        .crossJoin(F.broadcast(qidf))
+        .select("docID", (F.col("qidf") * tf_norm).alias("score"))
+    )

@@ -357,3 +357,41 @@ def test_token_ids_vocab_ranks_and_unk(spark):
     assert by_pos[(1, 6)] == -1  # zz OOV
     assert by_pos[(2, 3)] == -1  # cc cut from the top-2 vocab
     assert len(rows) == 9
+
+
+def test_match_phrase_prefix_matches_expansion(spark, tiny_corpus):
+    from neural_search_spark.search.bm25 import (
+        match_phrase_prefix_scores,
+        match_phrase_scores,
+    )
+
+    eng = _engine(spark, tiny_corpus)
+    out = match_phrase_prefix_scores(
+        spark, eng.corpus, eng.postings, eng.doclens, eng.stats, "ident0 pub"
+    )
+    got = {r["docID"] for r in out.collect()}
+    # membership must equal the union of full-phrase matches over the
+    # prefix's actual expansions in the dictionary
+    expansions = [
+        r["term"] for r in eng.term_dict.where("term LIKE 'pub%'").collect()
+    ]
+    want = set()
+    for t in expansions:
+        full = match_phrase_scores(
+            spark, eng.corpus, eng.postings, eng.doclens, eng.stats, f"ident0 {t}"
+        )
+        want |= {r["docID"] for r in full.collect()}
+    assert got == want and got, "phrase-prefix membership = union over expansions"
+
+
+def test_unigram_ppl_values(spark):
+    from neural_search_spark.pipeline.textstats import unigram_ppl
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "bb")], "docID long, content string"
+    )
+    rows = {r["docID"]: r for r in unigram_ppl(df).collect()}
+    # corpus: aa x3, bb x1 → P(aa)=3/4, P(bb)=1/4
+    assert rows[1]["avg_nll"] == round(-math.log2(3 / 4), 4)
+    assert rows[2]["avg_nll"] == 2.0 and rows[2]["ppl"] == 4.0
+    assert rows[1]["n_tokens"] == 3
