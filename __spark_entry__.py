@@ -1681,14 +1681,26 @@ MPP_QUERY = "part fil"  # fixed term + prefix slot (search-as-you-type)
 
 
 def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """match_phrase_prefix: exact fixed positions + prefix final slot."""
-    from neural_search_spark.search.bm25 import match_phrase_prefix_scores
-
+    """match_phrase_prefix: exact fixed positions + prefix final slot,
+    THROUGH THE POSITIONAL INDEX (Lucene's terms-dict walk + postings
+    lookups; score-identical by contract to the scan path
+    ``match_phrase_prefix_scores``, which stays as the index-less
+    fallback and shares this key's oracle — expansion uncapped here so
+    the contract is exact)."""
     eng = _engine(spark, sf_dir)
-    scored = match_phrase_prefix_scores(
-        spark, eng.corpus, eng.postings, eng.doclens, eng.stats, MPP_QUERY
+    pidx = _pos_index(spark, sf_dir)
+    scored = pidx.match_phrase_prefix(
+        MPP_QUERY, eng.term_dict, max_expansions=None
     )
     return _round_score(topk(scored, 10))
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix accounting: docs + token mass per (lang × split) with
+    token fractions — the mixture sanity table."""
+    from neural_search_spark.pipeline.training import mix_report
+
+    return mix_report(corpus_from_documents(spark, sf_dir))
 
 
 def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
         "text_unigram_ppl": q_text_unigram_ppl,
+        "mix_report": q_mix_report,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
@@ -2402,6 +2415,7 @@ LIMIT 10
             tt(MPP_QUERY)[:-1], tt(MPP_QUERY)[-1], k=10
         ),
         "text_unigram_ppl": psql.unigram_ppl_sql(),
+        "mix_report": psql.mix_report_sql(),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

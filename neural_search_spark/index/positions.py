@@ -152,6 +152,88 @@ class PositionalIndex:
             .select("docID", (F.col("qidf") * tf_norm).alias("score"))
         )
 
+    def match_phrase_prefix(
+        self,
+        phrase: str,
+        term_dict: DataFrame,
+        k1: float = K1,
+        b: float = B,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """(docID, score) for ``match_phrase_prefix`` through the positional
+        index — score-identical by contract to the scan path
+        (:func:`neural_search_spark.search.bm25.match_phrase_prefix_scores`)
+        when the expansion is uncapped; ``max_expansions`` mirrors Lucene's
+        default 50 (first-in-dictionary-order wins, term asc).
+
+        Plan = Lucene's strategy verbatim: walk the terms dictionary for
+        the prefix (vocabulary-sized filter, O(max_expansions) driver
+        rows), then bucket-PRUNED positional lookups for fixed + expansion
+        terms only, per-doc position-chain intersect with the expansion
+        slots unioned. Nothing re-reads stored text."""
+        terms = tokenize_text(phrase)
+        if len(terms) < 2:
+            raise ValueError("match_phrase_prefix needs >= 2 analyzed terms")
+        fixed, prefix = terms[:-1], terms[-1]
+        exp_df = term_dict.where(F.col("term").startswith(prefix)).orderBy("term")
+        if max_expansions is not None:
+            exp_df = exp_df.limit(int(max_expansions))
+        exp = [r["term"] for r in exp_df.collect()]  # O(max_expansions) rows
+        if not exp:
+            return self.spark.range(0).select(
+                F.col("id").alias("docID"), F.lit(0.0).alias("score")
+            )
+        distinct_fixed = sorted(set(fixed))
+        rows = self._term_rows(sorted(set(distinct_fixed) | set(exp)))
+        rows_f = rows.where(F.col("term").isin(distinct_fixed))
+        dfreq = rows_f.groupBy("term").agg(F.count("*").alias("ndoc"))
+        pos_df = F.broadcast(
+            self.spark.createDataFrame(list(enumerate(fixed)), "pos int, term string")
+        )
+        qidf = pos_df.join(F.broadcast(dfreq), "term").agg(
+            F.sum(idf_col(self.stats.n_docs, F.col("ndoc"))).alias("qidf")
+        )
+        per_term_cols = [
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")), ignorenulls=True
+            ).alias(f"p{i}")
+            for i, t in enumerate(distinct_fixed)
+        ]
+        wide = rows_f.groupBy("docID").agg(*per_term_cols)
+        for i in range(len(distinct_fixed)):
+            wide = wide.where(F.col(f"p{i}").isNotNull())
+        # expansion slot: the union of every expansion term's positions
+        # (positions are disjoint across terms — one term per position)
+        pe = (
+            rows.where(F.col("term").isin(exp))
+            .groupBy("docID")
+            .agg(F.flatten(F.collect_list("positions")).alias("pe"))
+        )
+        col_of = {t: f"p{i}" for i, t in enumerate(distinct_fixed)}
+        chain = F.col(col_of[fixed[0]])
+        for t in fixed[1:]:
+            chain = F.array_intersect(
+                F.transform(chain, lambda x: x + 1), F.col(col_of[t])
+            )
+        chain = F.array_intersect(
+            F.transform(chain, lambda x: x + 1), F.col("pe")
+        )
+        verified = (
+            wide.join(pe, "docID")
+            .select("docID", F.size(chain).alias("ptf"))
+            .where(F.col("ptf") > 0)
+        )
+        avgdl = F.lit(self.stats.avgdl)
+        ptf = F.col("ptf").cast("double")
+        tf_norm = ptf / (
+            ptf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl)
+        )
+        return (
+            verified.join(self.doclens, "docID")
+            .crossJoin(F.broadcast(qidf))
+            .select("docID", (F.col("qidf") * tf_norm).alias("score"))
+        )
+
     def match_phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
         return topk(self.match_phrase(phrase), k)
 

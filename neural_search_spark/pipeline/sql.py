@@ -1350,3 +1350,28 @@ SELECT docID, n_tokens,
 FROM per
 ORDER BY docID
 """
+
+
+def mix_report_sql(strata_col: str = "lang", seed: str = "split-v1") -> str:
+    """Twin of :func:`neural_search_spark.pipeline.training.mix_report`."""
+    h = P.hash32_sql_duckdb(f"'{seed}' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+    SELECT {strata_col} AS stratum,
+           CASE WHEN {h} % 10000 < 9000 THEN 'train'
+                WHEN {h} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n
+    FROM documents
+),
+cells AS (
+    SELECT stratum, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM base GROUP BY stratum, split
+)
+SELECT stratum, split, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 4) AS token_frac
+FROM cells
+ORDER BY stratum, split
+"""

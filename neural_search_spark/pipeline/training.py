@@ -403,3 +403,52 @@ def token_ids(
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.coalesce(F.col("token_id"), F.lit(int(unk_id))).cast("int").alias("token_id"),
     )
+
+
+def mix_report(
+    df: "DataFrame",
+    strata_col: str = "lang",
+    seed: str = "split-v1",
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> "DataFrame":
+    """(stratum, split, n_docs, n_tokens, token_frac): the data-mix
+    accounting table every pretraining run publishes — documents and
+    token mass per (stratum × train/val/test split), with each cell's
+    fraction of the total token budget. The sanity check that the mixture
+    weights and split hashing actually delivered the intended mix.
+
+    Scale shape: token length is a pure array expression, the split a
+    pure hash column (zero shuffle — same contract as
+    :func:`split_assign`), then ONE tiny (stratum, split) groupBy and a
+    window over the |strata|·3-row result."""
+    from pyspark.sql import Window, functions as F
+
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+    from neural_search_spark.pipeline import params as P
+
+    n = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"))
+    bucket = (
+        F.expr(P.hash32_sql_spark(f"concat('{seed}', ':', CAST({id_col} AS STRING))"))
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    base = df.select(
+        F.col(strata_col).alias("stratum"), split.alias("split"), n.alias("n")
+    )
+    cells = base.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "stratum",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 4
+        ).alias("token_frac"),
+    ).orderBy("stratum", "split")

@@ -395,3 +395,16 @@ def test_unigram_ppl_values(spark):
     assert rows[1]["avg_nll"] == round(-math.log2(3 / 4), 4)
     assert rows[2]["avg_nll"] == 2.0 and rows[2]["ppl"] == 4.0
     assert rows[1]["n_tokens"] == 3
+
+
+def test_mix_report_fractions_sum_to_one(spark):
+    from neural_search_spark.pipeline.training import mix_report
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), "python" if i % 2 else "java") for i in range(40)],
+        "docID long, content string, lang string",
+    )
+    rows = mix_report(df).collect()
+    assert abs(sum(r["token_frac"] for r in rows) - 1.0) < 1e-6
+    assert sum(r["n_docs"] for r in rows) == 40
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
