@@ -1695,6 +1695,43 @@ def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(scored, 10))
 
 
+COMPOSITE_SIZE = 5
+COMPOSITE_AFTER = ("src3", "java")  # after-key from the previous page
+
+
+def q_hybrid_fields_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search response's ``fields`` / docvalue_fields fetch phase:
+    scores-only top-k FIRST, then ONE docID equi-join fetches the
+    requested columns for k rows only — Lucene's query-then-fetch split,
+    which at 100 TB means the wide stored columns are read for k docs,
+    not the corpus (broadcast the k-row cut into the column scan)."""
+    eng = _engine(spark, sf_dir)
+    cut = _hybrid(spark, sf_dir, "min_max", "arithmetic_mean")
+    fields = eng.corpus.select("docID", "repo", "lang", "path")
+    return (
+        fields.join(F.broadcast(cut), "docID")
+        .select("docID", "score", "repo", "lang", "path")
+        .orderBy(F.col("score").desc(), F.col("docID").asc())
+    )
+
+
+def q_hybrid_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite aggregation under hybrid with after-key paging (§2.7):
+    (repo, lang) buckets in key order, resuming strictly after the
+    previous page's last key — the agg designed for distributed paging
+    (no deep bucket queues; each page is an independent keyset cut)."""
+    a_repo, a_lang = COMPOSITE_AFTER
+    hits = _hybrid_hits_with(spark, sf_dir, "repo", "lang")
+    buckets = hits.groupBy("repo", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+    )
+    after = (F.col("repo") > a_repo) | (
+        (F.col("repo") == a_repo) & (F.col("lang") > a_lang)
+    )
+    return buckets.where(after).orderBy("repo", "lang").limit(COMPOSITE_SIZE)
+
+
 def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mix accounting: docs + token mass per (lang × split) with
     token fractions — the mixture sanity table."""
@@ -2008,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
         "text_unigram_ppl": q_text_unigram_ppl,
         "mix_report": q_mix_report,
+        "hybrid_fields_fetch": q_hybrid_fields_fetch,
+        "hybrid_agg_composite": q_hybrid_agg_composite,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
@@ -2416,6 +2455,10 @@ LIMIT 10
         ),
         "text_unigram_ppl": psql.unigram_ppl_sql(),
         "mix_report": psql.mix_report_sql(),
+        "hybrid_fields_fetch": osql.hybrid_fields_fetch_sql(h2, k=10, depth=HYBRID_DEPTH),
+        "hybrid_agg_composite": osql.hybrid_agg_composite_sql(
+            h2, COMPOSITE_AFTER, size=COMPOSITE_SIZE
+        ),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

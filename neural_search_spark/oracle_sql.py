@@ -2336,3 +2336,47 @@ CROSS JOIN stats s
 ORDER BY score DESC, docID
 LIMIT {k}
 """
+
+
+def hybrid_fields_fetch_sql(
+    clause_terms: list[list[str]],
+    k: int = 10,
+    depth: int | None = 50,
+) -> str:
+    """fields/docvalue_fields fetch-phase twin: the hybrid top-k cut
+    joined to the requested stored columns (query-then-fetch)."""
+    inner = hybrid_topk_sql(clause_terms, "min_max", "arithmetic_mean", k=k, depth=depth)
+    return f"""
+SELECT h.docID AS docID, h.score AS score,
+       d.source AS repo, d.lang AS lang,
+       'src/' || CAST(d.doc_id AS VARCHAR) || '.txt' AS path
+FROM ({inner}) h JOIN documents d ON h.docID = CAST(d.doc_id AS BIGINT)
+ORDER BY h.score DESC, h.docID
+"""
+
+
+def hybrid_agg_composite_sql(
+    clause_terms: list[list[str]],
+    after: tuple,
+    size: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """composite aggregation twin: (repo, lang) buckets in key order with
+    after-key paging."""
+    a_repo = after[0].replace("'", "''")
+    a_lang = after[1].replace("'", "''")
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+buckets AS (
+    SELECT c.repo, c.lang,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           ROUND(SUM(s.score), 4) AS sum_score
+    FROM docsum s JOIN corpus c USING (docID)
+    GROUP BY c.repo, c.lang
+)
+SELECT repo, lang, doc_count, sum_score
+FROM buckets
+WHERE repo > '{a_repo}' OR (repo = '{a_repo}' AND lang > '{a_lang}')
+ORDER BY repo, lang
+LIMIT {int(size)}
+"""
