@@ -1732,6 +1732,59 @@ def q_hybrid_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.where(after).orderBy("repo", "lang").limit(COMPOSITE_SIZE)
 
 
+#: named predicate buckets for the filters aggregation (over corpus columns)
+FILTERS_AGG = (
+    ("java_docs", "lang = 'java'"),
+    ("long_docs", "length(content) > 1500"),
+    ("src7_repo", "repo = 'src7'"),
+)
+
+
+def q_hybrid_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``filters`` aggregation under hybrid (§2.7): named buckets, each
+    counting the hits that satisfy its predicate (buckets overlap —
+    unlike terms) with the bucket's summed hybrid score. One pass: each
+    named filter is a conditional aggregate column, no per-bucket scan."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    hits = scored.join(
+        eng.corpus.select("docID", "repo", "lang", "content"), "docID"
+    )
+    rows = []
+    for name, pred in FILTERS_AGG:
+        c = F.expr(pred)
+        rows.append(
+            hits.agg(
+                F.lit(name).alias("bucket"),
+                F.sum(F.when(c, 1).otherwise(0)).cast("long").alias("doc_count"),
+                F.round(F.sum(F.when(c, F.col("score")).otherwise(0.0)), 4).alias(
+                    "sum_score"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("bucket")
+
+
+def q_hybrid_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``global`` aggregation (§2.7): corpus-wide stats computed BESIDE the
+    query's hit-set stats in one response (the agg that escapes the query
+    scope) — hit count/avg-length vs index-wide count/avg-length."""
+    eng = _engine(spark, sf_dir)
+    scored = hybrid_raw_sum([eng.match(t) for t in HYBRID_CLAUSES])
+    hits = scored.join(eng.corpus.select("docID", "content"), "docID").agg(
+        F.count(F.lit(1)).cast("long").alias("hit_count"),
+        F.round(F.avg(F.length("content")), 4).alias("hit_avg_chars"),
+    )
+    glob = eng.corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("global_count"),
+        F.round(F.avg(F.length("content")), 4).alias("global_avg_chars"),
+    )
+    return hits.crossJoin(glob)
+
+
 def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mix accounting: docs + token mass per (lang × split) with
     token fractions — the mixture sanity table."""
@@ -2047,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "hybrid_fields_fetch": q_hybrid_fields_fetch,
         "hybrid_agg_composite": q_hybrid_agg_composite,
+        "hybrid_agg_filters": q_hybrid_agg_filters,
+        "hybrid_agg_global": q_hybrid_agg_global,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
@@ -2459,6 +2514,8 @@ LIMIT 10
         "hybrid_agg_composite": osql.hybrid_agg_composite_sql(
             h2, COMPOSITE_AFTER, size=COMPOSITE_SIZE
         ),
+        "hybrid_agg_filters": osql.hybrid_agg_filters_sql(h2, FILTERS_AGG),
+        "hybrid_agg_global": osql.hybrid_agg_global_sql(h2),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

@@ -2380,3 +2380,53 @@ WHERE repo > '{a_repo}' OR (repo = '{a_repo}' AND lang > '{a_lang}')
 ORDER BY repo, lang
 LIMIT {int(size)}
 """
+
+
+def hybrid_agg_filters_sql(
+    clause_terms: list[list[str]],
+    filters: tuple,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """filters-aggregation twin: each named bucket is one conditional
+    aggregate over the hit set (buckets may overlap). Predicates are over
+    the corpus CTE columns (repo/lang/content)."""
+    selects = []
+    for name, pred in filters:
+        nm = name.replace("'", "''")
+        selects.append(
+            f"""SELECT '{nm}' AS bucket,
+       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+       ROUND(SUM(CASE WHEN {pred} THEN s.score ELSE 0.0 END), 4) AS sum_score
+FROM docsum s JOIN corpus2 c USING (docID)"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+corpus2 AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, source AS repo, lang, text AS content
+    FROM documents
+)
+SELECT * FROM ({union})
+ORDER BY bucket
+"""
+
+
+def hybrid_agg_global_sql(
+    clause_terms: list[list[str]], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """global-aggregation twin: hit-set stats beside index-wide stats."""
+    return f"""{_PRELUDE},{_hybrid_docsum(clause_terms, k1, b)},
+corpus2 AS (SELECT CAST(doc_id AS BIGINT) AS docID, text AS content FROM documents),
+h AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS hit_count,
+           ROUND(AVG(length(c.content)), 4) AS hit_avg_chars
+    FROM docsum s JOIN corpus2 c USING (docID)
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS global_count,
+           ROUND(AVG(length(content)), 4) AS global_avg_chars
+    FROM corpus2
+)
+SELECT h.hit_count, h.hit_avg_chars, g.global_count, g.global_avg_chars
+FROM h CROSS JOIN g
+"""
