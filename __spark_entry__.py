@@ -1934,6 +1934,13 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_suggest(eng, SUGGEST_TEXT, SUGGEST_EDITS, SUGGEST_SIZE)
 
 
+def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram (calendar_interval=day) × event-type terms sub-agg."""
+    from neural_search_spark.pipeline.events import date_histogram
+
+    return date_histogram(_events(spark, sf_dir))
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the event log: cohort = first-event day,
     users active exactly d days later (0 ≤ d ≤ 3)."""
@@ -2102,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_agg_composite": q_hybrid_agg_composite,
         "hybrid_agg_filters": q_hybrid_agg_filters,
         "hybrid_agg_global": q_hybrid_agg_global,
+        "events_date_histogram": q_events_date_histogram,
         "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
         "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
         "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
@@ -2516,6 +2524,7 @@ LIMIT 10
         ),
         "hybrid_agg_filters": osql.hybrid_agg_filters_sql(h2, FILTERS_AGG),
         "hybrid_agg_global": osql.hybrid_agg_global_sql(h2),
+        "events_date_histogram": psql.events_date_histogram_sql(),
         "hybrid_agg_significant_terms": osql.hybrid_agg_significant_terms_sql(
             h2, size=SIG_TERMS_SIZE
         ),

@@ -183,3 +183,22 @@ def retention(events: DataFrame, horizon_days: int = 3) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("users"))
         .orderBy("cohort", "d")
     )
+
+
+def date_histogram(events: DataFrame) -> DataFrame:
+    """(day, event_type, doc_count, sum_value): the OpenSearch
+    ``date_histogram`` (calendar_interval=day) with a terms sub-agg on the
+    event type — calendar buckets, unlike :func:`window_agg`'s fixed
+    epoch-aligned tumbling windows. One groupBy on (day, type); at 100 TB
+    the event log is date-partitioned so the bucket key equals the
+    partition key and the shuffle is partition-local."""
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )

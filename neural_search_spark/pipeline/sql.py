@@ -1375,3 +1375,15 @@ SELECT stratum, split, n_docs, n_tokens,
 FROM cells
 ORDER BY stratum, split
 """
+
+
+def events_date_histogram_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.date_histogram`."""
+    return """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
