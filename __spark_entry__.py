@@ -799,6 +799,26 @@ def q_sparse_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+#: analyzer-mode sparse query text (duplicate token exercises the
+#: HashMap-collapse rule: distinct tokens, weight 1.0 each)
+SPARSE_ANALYZER_QUERY = "join the data stream join table"
+
+
+def q_sparse_analyzer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neural_sparse ANALYZER mode (NeuralSparseQueryBuilder.java:93-104,
+    317-345): query tokens from the default stand-in analyzer (distinct
+    analyzed tokens, weight 1.0 — no explicit token-weight map), scored
+    by the same broadcast-join linear-feature plan."""
+    from neural_search_spark.search.sparse import (
+        neural_sparse_score,
+        sparse_query_tokens_from_analyzer,
+    )
+
+    toks = sparse_query_tokens_from_analyzer(SPARSE_ANALYZER_QUERY)
+    scored = neural_sparse_score(spark, _sparse_postings(spark, sf_dir), toks)
+    return _round_score(topk(scored, 10))
+
+
 def q_sparse_doc_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.search.sparse import neural_sparse_score
 
@@ -1576,7 +1596,7 @@ PCT_PROBS = (0.25, 0.5, 0.75, 0.95)
 MLT_SEED_DOC = 42
 MLT_MAX_TERMS, MLT_MIN_TF, MLT_MIN_DF = 10, 2, 2
 SQS_QUERY = 'table value -slow "part filter"'
-REGEXP_Q = "^(sort|stream)(s|ing|ed)?$"
+REGEXP_Q = "(sort|stream)(s|ing|ed)?"  # unanchored: engine+oracle wrap ^(?:...)$
 
 
 def _hybrid_hits_with(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
@@ -1683,14 +1703,15 @@ MPP_QUERY = "part fil"  # fixed term + prefix slot (search-as-you-type)
 def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase_prefix: exact fixed positions + prefix final slot,
     THROUGH THE POSITIONAL INDEX (Lucene's terms-dict walk + postings
-    lookups; score-identical by contract to the scan path
-    ``match_phrase_prefix_scores``, which stays as the index-less
-    fallback and shares this key's oracle — expansion uncapped here so
-    the contract is exact)."""
+    lookups). Expansion capped at Lucene's default 50 (term-asc
+    first-wins, mirrored by the oracle's ``ORDER BY term LIMIT 50`` over
+    the prefix-matched dictionary) so the driver-side expansion collect
+    is bounded regardless of prefix selectivity — a one-char prefix on a
+    100-TB vocabulary must not collect a vocabulary-scale list."""
     eng = _engine(spark, sf_dir)
     pidx = _pos_index(spark, sf_dir)
     scored = pidx.match_phrase_prefix(
-        MPP_QUERY, eng.term_dict, max_expansions=None
+        MPP_QUERY, eng.term_dict, max_expansions=50
     )
     return _round_score(topk(scored, 10))
 
@@ -1750,22 +1771,23 @@ def q_hybrid_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = scored.join(
         eng.corpus.select("docID", "repo", "lang", "content"), "docID"
     )
-    rows = []
+    aggs = []
     for name, pred in FILTERS_AGG:
         c = F.expr(pred)
-        rows.append(
-            hits.agg(
-                F.lit(name).alias("bucket"),
-                F.sum(F.when(c, 1).otherwise(0)).cast("long").alias("doc_count"),
-                F.round(F.sum(F.when(c, F.col("score")).otherwise(0.0)), 4).alias(
-                    "sum_score"
-                ),
+        aggs.append(
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"dc_{name}")
+        )
+        aggs.append(
+            F.round(F.sum(F.when(c, F.col("score")).otherwise(0.0)), 4).alias(
+                f"ss_{name}"
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("bucket")
+    one = hits.agg(*aggs)  # single job: hit-set join + all buckets at once
+    stack = "stack({}, {}) as (bucket, doc_count, sum_score)".format(
+        len(FILTERS_AGG),
+        ", ".join(f"'{n}', dc_{n}, ss_{n}" for n, _ in FILTERS_AGG),
+    )
+    return one.select(F.expr(stack)).orderBy("bucket")
 
 
 def q_hybrid_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2163,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_delimiter": q_chunk_delimiter,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
+        "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "sparse_score_topk": q_sparse_score_topk,
         "sparse_two_phase_topk": q_sparse_two_phase_topk,
         "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
@@ -2407,6 +2430,9 @@ LIMIT 10
         "chunk_delimiter": osql.chunk_delimiter_sql(CHUNK_DELIM),
         "chunk_fixed_char": osql.chunk_fixed_char_sql(64, 0.25),
         "chunk_fixed_token_counts": osql.chunk_fixed_token_counts_sql(20, 0.25),
+        "sparse_analyzer_topk": osql.sparse_analyzer_topk_sql(
+            SPARSE_ANALYZER_QUERY, k=10
+        ),
         "sparse_score_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
         "sparse_two_phase_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
         "sparse_doc_pruned_topk": osql.sparse_score_topk_sql(

@@ -43,6 +43,38 @@ DEFAULT_CHAR_LIMIT = 2048
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+#: Word tokenizers accepted by the reference chunker
+#: (``processor/chunker/FixedTokenLengthChunker.java:56-64``,
+#: ``DEFAULT_TOKENIZER = "standard"`` ``:51``; tokenization goes through the
+#: analysis registry ``:158-169``). Offset-based slicing means a tokenizer
+#: only needs token START offsets; stand-ins below give each name a
+#: deterministic start-offset rule. Names outside the set are rejected like
+#: the reference's ``validateTokenizer``.
+DEFAULT_TOKENIZER = "standard"
+_WHITESPACE_RE = re.compile(r"\S+")
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_TOKENIZERS = {
+    # the repo's standard tokenizer (lowercase + word pattern)
+    "standard": lambda content: _TOKEN_RE.finditer(content.lower()),
+    # maximal non-whitespace runs
+    "whitespace": lambda content: _WHITESPACE_RE.finditer(content),
+    # maximal letter-only runs (digits/punct break tokens)
+    "letter": lambda content: _LETTER_RE.finditer(content),
+    # lowercase = letter tokenizer + lowercasing; offsets match `letter`
+    "lowercase": lambda content: _LETTER_RE.finditer(content.lower()),
+}
+
+
+def token_start_offsets(content: str, tokenizer: str = DEFAULT_TOKENIZER) -> list[int]:
+    """Token START offsets under a named tokenizer — the only analyzer
+    output the offset-slicing chunk loop consumes."""
+    if tokenizer not in _TOKENIZERS:
+        raise ValueError(
+            f"Tokenizer {tokenizer!r} is not supported; supported: "
+            + ", ".join(sorted(_TOKENIZERS))
+        )
+    return [m.start() for m in _TOKENIZERS[tokenizer](content)]
+
 
 def _validate_overlap(overlap_rate: float) -> None:
     if not 0.0 <= overlap_rate <= 0.5:
@@ -85,11 +117,12 @@ def chunk_fixed_tokens(
     overlap_rate: float = 0.0,
     max_chunk_limit: int = DEFAULT_MAX_CHUNK_LIMIT,
     chunk_string_count: int = 1,
+    tokenizer: str = DEFAULT_TOKENIZER,
 ) -> list[str]:
     _validate_overlap(overlap_rate)
     if token_limit <= 0:
         raise ValueError("token_limit must be positive")
-    starts = [m.start() for m in _TOKEN_RE.finditer(content.lower())]
+    starts = token_start_offsets(content, tokenizer)
     out: list[str] = []
     overlap = math.floor(token_limit * overlap_rate)
     i = 0

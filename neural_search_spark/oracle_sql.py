@@ -1646,6 +1646,34 @@ LIMIT {k}
 """
 
 
+def sparse_analyzer_topk_sql(query_text: str, k: int = 10) -> str:
+    """neural_sparse ANALYZER-mode twin: the token-weight map is built IN
+    SQL from the query text — distinct analyzed tokens, weight 1.0 each
+    (payload-less analyzer; duplicates collapse), then the same
+    Σ qw·tf linear-feature scoring as :func:`sparse_score_topk_sql`."""
+    qt = query_text.replace("'", "''")
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT docID, term, COUNT(*) AS tf FROM toks GROUP BY docID, term
+),
+q AS (
+    SELECT DISTINCT term, 1.0 AS qw
+    FROM (SELECT unnest(regexp_extract_all(lower('{qt}'), '{SQL_TOKEN_PATTERN}')) AS term)
+    WHERE term <> ''
+)
+SELECT tf.docID, ROUND(SUM(q.qw * tf.tf), 4) AS score
+FROM tf JOIN q USING (term)
+GROUP BY tf.docID
+ORDER BY score DESC, docID
+LIMIT {k}
+"""
+
+
 def rerank_by_field_sql(terms: list[str], target_field: str, depth: int, k: int) -> str:
     """BM25 top-``depth`` candidates reranked by a numeric source field."""
     inner = bm25_topk_sql(terms, k=depth)
@@ -2161,9 +2189,19 @@ def simple_query_string_sql(
     """simple_query_string twin (default_operator=OR, msm=1): score = sum of
     matching should-clause scores (bare term → match clause, quoted text →
     phrase clause), ``-`` atoms exclude. Clause dicts:
-    ``{"kind": "match"|"phrase", "terms": [...]}``."""
+    ``{"kind": "match"|"phrase", "terms": [...]}``.
+
+    An all-negated / empty input legitimately parses to zero should
+    clauses (the parser never throws); the engine returns an empty frame
+    there, so mirror it with a SELECT-nothing query instead of rendering
+    malformed ``FROM ()`` SQL."""
     must_not_terms = must_not_terms or []
     ns = len(should_clauses)
+    if ns == 0:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docID,"
+            " CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+        )
     parts = []
     for i, c in enumerate(should_clauses):
         if c["kind"] == "phrase":
@@ -2188,10 +2226,11 @@ LIMIT {int(k)}
 
 
 def regexp_topk_sql(pattern: str, k: int = 10) -> str:
-    """Constant-score ``regexp`` query twin: the pattern (written in the
-    RE2∩Java common dialect, explicitly anchored like Lucene's implicit
-    whole-term anchoring) filters the distinct term dictionary."""
-    pat = pattern.replace("'", "''")
+    """Constant-score ``regexp`` query twin: the pattern (RE2∩Java common
+    dialect) filters the distinct term dictionary. Wrapped ``^(?:...)$``
+    here exactly like the engine path — Lucene's implicit whole-term
+    anchoring is enforced by both sides, not by caller convention."""
+    pat = f"^(?:{pattern})$".replace("'", "''")
     return f"""{_PRELUDE}
 SELECT DISTINCT docID, 1.0 AS score
 FROM tf
@@ -2294,9 +2333,13 @@ def match_phrase_prefix_topk_sql(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_expansions: int = 50,
 ) -> str:
     """match_phrase_prefix twin: fixed positions match exactly, the final
-    slot by prefix; query weight = Σ idf over the FIXED positions only."""
+    slot by prefix RESTRICTED to the first ``max_expansions`` dictionary
+    terms in term-asc order (Lucene's default-50 expansion cut, mirrored
+    from ``PositionalIndex.match_phrase_prefix``); query weight = Σ idf
+    over the FIXED positions only."""
     m = len(fixed_terms) + 1
     dlq = quantize_length_sql("dls.dl")
     conds = " AND ".join(
@@ -2304,11 +2347,17 @@ def match_phrase_prefix_topk_sql(
         for j, t in enumerate(fixed_terms)
     )
     pre = prefix.replace("'", "''")
-    conds = f"{conds} AND starts_with(toks[i+{m - 1}], '{pre}')"
+    conds = (
+        f"{conds} AND toks[i+{m - 1}] IN (SELECT term FROM expterms)"
+    )
     pos_terms = ", ".join("'" + t.replace("'", "''") + "'" for t in fixed_terms)
     return f"""{_PRELUDE},
 toksa AS (
     SELECT docID, regexp_extract_all(t, '{SQL_TOKEN_PATTERN}') AS toks FROM corpus
+),
+expterms AS (
+    SELECT DISTINCT term FROM tf WHERE starts_with(term, '{pre}')
+    ORDER BY term LIMIT {int(max_expansions)}
 ),
 pq AS (SELECT unnest([{pos_terms}]) AS term),
 nd AS (

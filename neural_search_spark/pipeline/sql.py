@@ -1089,7 +1089,7 @@ per AS (
 SELECT docID, n_tokens, distinct_terms,
        ROUND(log2(CAST(n_tokens AS DOUBLE)) - tlog / n_tokens, 4) AS entropy,
        ROUND(CAST(distinct_terms AS DOUBLE) / n_tokens, 4) AS ttr,
-       (log2(CAST(n_tokens AS DOUBLE)) - tlog / n_tokens) >= {T.ENTROPY_MIN_BITS!r}
+       ROUND(log2(CAST(n_tokens AS DOUBLE)) - tlog / n_tokens, 6) >= {T.ENTROPY_MIN_BITS!r}
            AND n_tokens >= {T.ENTROPY_MIN_TOKENS} AS keep
 FROM per
 ORDER BY docID

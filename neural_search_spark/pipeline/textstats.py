@@ -430,6 +430,9 @@ def entropy_stats(
     )
     dl = F.col("n_tokens").cast("double")
     ent = F.log2(dl) - F.col("_tlog") / dl
+    # The keep gate compares a float sum accumulated in engine-dependent
+    # order; quantize (round6, the repo's float contract) BEFORE the >=
+    # so a doc sitting exactly at the boundary can't flip between engines.
     return per.select(
         "docID",
         "n_tokens",
@@ -437,7 +440,7 @@ def entropy_stats(
         F.round(ent, 4).alias("entropy"),
         F.round(F.col("distinct_terms").cast("double") / dl, 4).alias("ttr"),
         (
-            (ent >= F.lit(ENTROPY_MIN_BITS))
+            (F.round(ent, 6) >= F.lit(ENTROPY_MIN_BITS))
             & (F.col("n_tokens") >= F.lit(ENTROPY_MIN_TOKENS))
         ).alias("keep"),
     )

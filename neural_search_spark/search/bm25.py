@@ -720,11 +720,18 @@ def more_like_this_scores(
 ) -> DataFrame:
     """``more_like_this`` query (Lucene MoreLikeThis over one seed doc):
     select the seed's "interesting" terms — tf ≥ min_term_freq and
-    df ≥ min_doc_freq — ranked by the integer-exact proxy
-    (tf desc, df asc, term asc) for MLT's tf·idf interest score (integer
-    sort keys make the term cut reproducible across engines), keep the
+    df ≥ min_doc_freq — ranked by (tf desc, df asc, term asc), keep the
     top ``max_query_terms``, then run them as a BM25 OR-clause excluding
     the seed doc itself.
+
+    DOCUMENTED DEVIATION: Lucene MLT ranks candidate terms by tf·idf
+    interest score; this integer-exact ordering is NOT monotone with
+    tf·idf (a tf=1 rare term can outrank a tf=2 common term in Lucene but
+    never here). It is chosen deliberately so the term cut is
+    reproducible bit-for-bit across engines (no float-cut divergence
+    between Spark and the DuckDB oracle); the selected query-term set can
+    therefore differ from the reference's on ties the float score would
+    break differently.
 
     Scale shape: the seed side is ONE document's postings (pushed-down
     docID filter on the postings scan), its df lookup a broadcast
@@ -758,14 +765,16 @@ def more_like_this_scores(
 
 def regexp_query_scores(engine: "BM25Engine", pattern: str) -> DataFrame:
     """Lucene ``regexp`` query (constant-score rewrite): the pattern —
-    written in the RE2∩Java common dialect and explicitly anchored, since
-    Lucene anchors regexp terms implicitly while rlike/regexp_matches do
-    not — filters the distinct-term dictionary; the expansion
-    broadcast-semi-joins postings like prefix/fuzzy/wildcard."""
+    written in the RE2∩Java common dialect — filters the distinct-term
+    dictionary; the expansion broadcast-semi-joins postings like
+    prefix/fuzzy/wildcard. Lucene anchors regexp terms implicitly while
+    rlike does not, so the pattern is wrapped ``^(?:...)$`` HERE (not by
+    caller convention) — the oracle twin applies the identical wrap."""
     from neural_search_spark import stats as _stats
 
     _stats.record_event("regexp_query_requests")
-    expanded = engine.term_dict.where(F.col("term").rlike(pattern))
+    anchored = f"^(?:{pattern})$"
+    expanded = engine.term_dict.where(F.col("term").rlike(anchored))
     matched = _expansion_semi_join(engine, expanded)
     return matched.select("docID").distinct().select(
         "docID", F.lit(1.0).alias("score")

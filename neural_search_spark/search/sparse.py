@@ -113,6 +113,47 @@ def sparse_query_encoding_stub(query_text: str) -> dict[str, float]:
     return {t: float(c) for t, c in Counter(tokenize_text(query_text)).items()}
 
 
+#: the reference's DEFAULT_ANALYZER (``query/NeuralSparseQueryBuilder.java``
+#: v3.1+ analyzer mode); mapped to the repo's deterministic stand-in below.
+SPARSE_DEFAULT_ANALYZER = "bert-uncased"
+
+
+def _whitespace_tokens(text: str) -> list[str]:
+    return text.lower().split()
+
+
+def sparse_query_tokens_from_analyzer(
+    query_text: str, analyzer: str | None = None
+) -> dict[str, float]:
+    """``neural_sparse`` ANALYZER mode
+    (``query/NeuralSparseQueryBuilder.java:93-104`` — ``ANALYZER_FIELD``,
+    default ``"bert-uncased"``; dispatch ``:317-345``; tokenization
+    ``:453-491``): when the query supplies an ``analyzer`` name instead of
+    an explicit token-weight map, tokenize ``query_text`` with that
+    analyzer; each token's weight comes from its payload, or **1.0 when
+    the analyzer attaches none**, and duplicate tokens collapse to one
+    entry (the reference accumulates into a HashMap).
+
+    Stand-in registry (payload-less, so all weights are 1.0):
+    ``standard`` → the repo tokenizer; ``whitespace`` → lowercase
+    whitespace split; ``bert-uncased`` (the reference default) → the
+    standard tokenizer, a documented deterministic model stand-in like
+    :func:`sparse_query_encoding_stub`. Unknown names raise, mirroring
+    the reference's "Analyzer [..] not found" check (``:455-458``)."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    registry = {
+        "standard": tokenize_text,
+        "bert-uncased": tokenize_text,
+        "whitespace": _whitespace_tokens,
+    }
+    name = analyzer if analyzer is not None else SPARSE_DEFAULT_ANALYZER
+    if name not in registry:
+        raise ValueError(f"Analyzer [{name}] not found")
+    toks = registry[name](query_text)
+    return {t: 1.0 for t in toks if t}
+
+
 def sparse_postings(features: DataFrame) -> DataFrame:
     """(docID, features) → long-form (term, docID, weight): the
     rank_features "index" as a DataFrame."""

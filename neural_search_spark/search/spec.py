@@ -326,9 +326,19 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
     if ctype == "neural_sparse":
         from pyspark.sql import functions as F
 
-        from neural_search_spark.search.sparse import neural_sparse_score
+        from neural_search_spark.search.sparse import (
+            neural_sparse_score,
+            sparse_query_tokens_from_analyzer,
+        )
 
-        tokens = body["query_tokens"]
+        # Explicit token map wins; otherwise ANALYZER mode tokenizes the
+        # query text (NeuralSparseQueryBuilder.java:317-345 dispatch:
+        # query_tokens supplier first, then the named/default analyzer).
+        tokens = body.get("query_tokens")
+        if tokens is None:
+            tokens = sparse_query_tokens_from_analyzer(
+                body["query"], body.get("analyzer")
+            )
         postings = body["postings"]  # caller-supplied sparse postings DataFrame
         scored = neural_sparse_score(engine.spark, postings, tokens)
         if filter_expr is not None:

@@ -87,6 +87,42 @@ class TestFixedChars:
         assert chunk_fixed_chars("ab", char_limit=10) == ["ab"]
 
 
+class TestNamedTokenizers:
+    """FixedTokenLengthChunker.java:56-64,158-169: the chunker tokenizes
+    through any registered word tokenizer (default ``standard``); the
+    offset-slicing round-trip rule must hold under every one of them."""
+
+    def test_whitespace_vs_standard_boundaries(self):
+        # "a-b" is 2 standard tokens (a@0, b@2) but ONE whitespace token
+        text = "a-b c d e"
+        std = chunk_fixed_tokens(text, token_limit=2, tokenizer="standard")
+        ws = chunk_fixed_tokens(text, token_limit=2, tokenizer="whitespace")
+        assert std == ["a-b ", "c d ", "e"]
+        assert ws == ["a-b c ", "d e"]
+
+    def test_roundtrip_under_both(self):
+        text = "x-ray scan, 42 units total; done now"
+        for tok in ("standard", "whitespace", "letter", "lowercase"):
+            got = chunk_fixed_tokens(text, token_limit=2, tokenizer=tok)
+            assert "".join(got) == text, tok
+
+    def test_letter_tokenizer_breaks_on_digits(self):
+        # letter tokens of "ab12cd ef": [ab, cd, ef] — chunk of 2 splits
+        # before "ef"; first chunk starts at 0
+        got = chunk_fixed_tokens("ab12cd ef gh", token_limit=2, tokenizer="letter")
+        assert got == ["ab12cd ", "ef gh"]
+
+    def test_unknown_tokenizer_rejected(self):
+        with pytest.raises(ValueError, match="not supported"):
+            chunk_fixed_tokens("a b", token_limit=2, tokenizer="thai-typo")
+
+    def test_default_is_standard(self):
+        text = "one two three four"
+        assert chunk_fixed_tokens(text, token_limit=2) == chunk_fixed_tokens(
+            text, token_limit=2, tokenizer="standard"
+        )
+
+
 def test_chunk_table_explodes(spark, tiny_corpus):
     out = chunk_table(tiny_corpus, "content", "docID", "fixed_char_length", char_limit=50)
     row = out.groupBy("docID").agg(F.count("*").alias("n"), F.min("chunk_idx").alias("lo")).collect()
