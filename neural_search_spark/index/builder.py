@@ -49,7 +49,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from neural_search_spark.index.codec import BLOCK_SIZE, encode_posting_list
+from neural_search_spark.index.codec import (
+    BLOCK_SIZE,
+    FORMAT_VERSION,
+    encode_posting_list,
+)
 from neural_search_spark.index.smallfloat import quantize_length_np
 
 POSTINGS_SCHEMA = StructType(
@@ -84,6 +88,20 @@ def _append_manifest(out_dir: str, entry: dict) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(_manifest_path(out_dir), "a") as f:
         f.write(json.dumps(entry) + "\n")
+
+
+def check_format_version(stats: dict, index_dir: str) -> None:
+    """Refuse to touch an index written under a different on-disk format
+    (BWC gate — see :data:`neural_search_spark.index.codec.FORMAT_VERSION`).
+    A pre-versioning index reads as version 0."""
+    found = int(stats.get("format_version", 0))
+    if found != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={found}, this engine "
+            f"reads format_version={FORMAT_VERSION}; rebuild the index with "
+            f"build_index(..., resume=False) (or run a migration) instead "
+            f"of decoding stale shards"
+        )
 
 
 def _encode_stream_factory(block_size: int):
@@ -236,6 +254,11 @@ def build_index(
 ) -> dict:
     """Build (or resume) the compressed index; returns summary metrics."""
     os.makedirs(out_dir, exist_ok=True)
+    stats_path = os.path.join(out_dir, "stats.json")
+    if resume and os.path.exists(stats_path):
+        # a resumed build must not mix shards across on-disk formats
+        with open(stats_path) as f:
+            check_format_version(json.load(f), out_dir)
     done = read_manifest(out_dir) if resume else []
     done_stage_a = any(e["stage"] == "raw" for e in done)
     done_shards = {s for e in done if e["stage"] == "postings" for s in e["shards"]}
@@ -322,6 +345,7 @@ def build_index(
             "total_tokens": int(dstats["tot"] or 0),
             "n_shards": n_shards,
             "block_size": block_size,
+            "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -383,6 +407,7 @@ def _encode_shards(
         {
             "stage": "postings",
             "shards": shards,
+            "format_version": FORMAT_VERSION,
             "terms": int(built["terms"]),
             "rows": int(built["postings"] or 0),
             "wall_s": round(time.perf_counter() - tb, 3),
@@ -488,6 +513,7 @@ def update_index(
         raise ValueError(f"mode must be 'sync' or 'upsert', got {mode!r}")
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
+    check_format_version(stats, out_dir)  # never re-encode a stale format
     n_shards = stats["n_shards"]
     raw_dir = os.path.join(out_dir, "_postings_raw")
     doclens_dir = os.path.join(out_dir, "doclens")

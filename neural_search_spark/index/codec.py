@@ -23,6 +23,14 @@ import numpy as np
 
 BLOCK_SIZE = 128
 
+#: On-disk format version for the whole postings layout (byte codec +
+#: block-metadata columns + directory shape). Bumped on any incompatible
+#: codec change; writers stamp it into ``stats.json`` and per-shard
+#: manifest entries, readers refuse a mismatched index instead of
+#: silently decoding stale shards — the BWC analog of the reference's
+#: restart/rolling-upgrade suites (``qa/``, ``build.gradle:325-446``).
+FORMAT_VERSION = 1
+
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized: one pass per byte position)."""

@@ -325,7 +325,8 @@ def multi_match_scores(
 # Lucene bounds multi-term rewrites (BooleanQuery.maxClauseCount = 1024
 # clauses by default before the rewrite switches strategy); the analogous
 # Spark hazard is the broadcast of the expanded term set, so the cap here
-# guards the broadcast rather than erroring.
+# guards the broadcast rather than erroring. Default only — the live value
+# comes from the settings surface ("max_broadcast_expansion").
 MAX_BROADCAST_EXPANSION = 65536
 
 
@@ -333,12 +334,18 @@ def _expansion_semi_join(engine: "BM25Engine", expanded: DataFrame) -> DataFrame
     """Semi-join postings against a multi-term expansion (prefix / fuzzy /
     wildcard). Small expansions broadcast; an oversized one (short prefix,
     leading-* wildcard — potentially a large fraction of a 100 TB corpus
-    vocabulary) falls back to a shuffle semi-join instead of shipping
+    vocabulary) falls back to a shuffle-hash semi-join (hinted, so the
+    planner's size estimate can't re-broadcast it) instead of shipping
     millions of terms to every executor and risking driver OOM."""
-    probe = expanded.limit(MAX_BROADCAST_EXPANSION + 1).count()
-    if probe <= MAX_BROADCAST_EXPANSION:
-        expanded = F.broadcast(expanded)
-    return engine.postings.join(expanded, "term", "left_semi")
+    from neural_search_spark import settings
+
+    cap = int(settings.get("max_broadcast_expansion"))
+    probe = expanded.limit(cap + 1).count()
+    if probe <= cap:
+        return engine.postings.join(F.broadcast(expanded), "term", "left_semi")
+    return engine.postings.join(
+        expanded.hint("shuffle_hash"), "term", "left_semi"
+    )
 
 
 def prefix_query_scores(engine: "BM25Engine", prefix: str) -> DataFrame:

@@ -34,7 +34,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F, Window
 
-MAX_SUB_QUERIES = 5  # HybridQueryBuilder.java:67
+# HybridQueryBuilder.java:67 — default; live value comes from the
+# settings surface ("hybrid_max_sub_queries")
+MAX_SUB_QUERIES = 5
 MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java MIN_SCORE
 MAX_SCORE = 1.0  # MinMaxScoreNormalizationTechnique.java MAX_SCORE
 
@@ -290,8 +292,11 @@ def hybrid_search(
     ``lower_bounds``/``upper_bounds``: per-clause min_max bounds, one entry
     (or None) per clause (``MinMaxScoreNormalizationTechnique.java:52-64``).
     """
-    if not 1 <= len(clause_scores) <= MAX_SUB_QUERIES:
-        raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
+    from neural_search_spark import settings
+
+    max_sub = int(settings.get("hybrid_max_sub_queries"))
+    if not 1 <= len(clause_scores) <= max_sub:
+        raise ValueError(f"hybrid query supports 1..{max_sub} sub-queries")
     validate_technique_pair(normalization, combination)
     if normalization == "rrf" and depth is None:
         # rrf ranks via a global (unpartitioned) row_number window — safe

@@ -28,6 +28,24 @@ def rerank_by_field(
     return joined.select(*cols).orderBy(F.desc("score"), F.asc("docID"))
 
 
+def rerank_document_context(
+    docs: DataFrame, fields: list[str], id_col: str = "docID"
+) -> DataFrame:
+    """Rerank context fetch (``processor/rerank/context/
+    DocumentContextSourceFetcher.java:93-110``): select the document fields
+    handed to the reranker, refusing a request for more than the
+    ``reranker_max_document_fields`` setting allows."""
+    from neural_search_spark import settings
+
+    cap = int(settings.get("reranker_max_document_fields"))
+    if len(fields) > cap:
+        raise ValueError(
+            f"Rerank context asked for {len(fields)} document fields; "
+            f"reranker_max_document_fields caps it at {cap}"
+        )
+    return docs.select(F.col(id_col).alias("docID"), *fields)
+
+
 def sort_by_fields(
     results: DataFrame,
     docs: DataFrame,

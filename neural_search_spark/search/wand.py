@@ -163,10 +163,13 @@ class BlockMaxIndex:
     directory; issues shard-parallel block-max top-k queries."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from neural_search_spark.index.builder import check_format_version
+
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        check_format_version(self.stats, index_dir)  # BWC gate: refuse stale
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
 

@@ -27,7 +27,14 @@ _EVENTS: Counter[str] = Counter()
 
 
 def record_event(name: str, n: int = 1) -> None:
-    """Increment an event counter (EventStatsManager.increment analog)."""
+    """Increment an event counter (EventStatsManager.increment analog).
+    A no-op while the ``stats_enabled`` setting is off
+    (``NeuralSearchSettings.java`` NEURAL_STATS_ENABLED, default false:
+    "Event stat increment calls are also treated as no-ops")."""
+    from neural_search_spark import settings
+
+    if not settings.get("stats_enabled"):
+        return
     with _LOCK:
         _EVENTS[name] += n
 
@@ -67,6 +74,14 @@ def build_metrics(index_dir: str) -> dict:
 
 
 def snapshot(index_dir: str | None = None) -> dict:
+    """Stats API response analog; refuses (the API's 403) while the
+    ``stats_enabled`` setting is off."""
+    from neural_search_spark import settings
+
+    if not settings.get("stats_enabled"):
+        raise PermissionError(
+            "stats API is disabled (settings put('stats_enabled', True) to enable)"
+        )
     out: dict = {"events": event_counts()}
     if index_dir is not None:
         out["build"] = build_metrics(index_dir)

@@ -422,3 +422,59 @@ def test_phrase_and_span_randomized_vs_python(spark, tmp_path):
         if slop == 0:
             scan = {r["docID"] for r in eng.match_phrase(phrase).collect()}
             assert scan == set(want), phrase
+
+
+class TestFormatVersion:
+    """BWC analog of the reference's restart-upgrade suites (qa/,
+    build.gradle:325-446): an index written under a different on-disk
+    format is REFUSED with a migrate hint — never silently decoded."""
+
+    def _bump(self, d, to=99):
+        import json as _json
+
+        p = os.path.join(d, "stats.json")
+        with open(p) as f:
+            stats = _json.load(f)
+        stats["format_version"] = to
+        with open(p, "w") as f:
+            _json.dump(stats, f)
+
+    def test_build_stamps_version(self, index_dir):
+        import json as _json
+
+        from neural_search_spark.index.codec import FORMAT_VERSION
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            assert _json.load(f)["format_version"] == FORMAT_VERSION
+        stamps = [
+            e["format_version"]
+            for e in read_manifest(index_dir)
+            if e["stage"] == "postings"
+        ]
+        assert stamps and all(v == FORMAT_VERSION for v in stamps)
+
+    def test_reader_refuses_after_kill_bump_restart(self, spark, tmp_path):
+        # kill mid-life: build, simulate an engine upgrade (version bump on
+        # disk), restart the reader -> refusal with a migrate hint
+        corpus = synthetic_code_corpus(spark, n_rows=60, seed=11)
+        d = str(tmp_path / "bwc")
+        build_index(spark, corpus, d, n_shards=2, block_size=16)
+        assert BlockMaxIndex(spark, d).match_topk("import", k=3).count() > 0
+        self._bump(d)
+        with pytest.raises(ValueError, match="format_version=99"):
+            BlockMaxIndex(spark, d)
+
+    def test_resume_and_update_refuse_stale_format(self, spark, tmp_path):
+        from neural_search_spark.index.builder import update_index
+
+        corpus = synthetic_code_corpus(spark, n_rows=60, seed=11)
+        d = str(tmp_path / "bwc2")
+        build_index(spark, corpus, d, n_shards=2, block_size=16)
+        self._bump(d)
+        with pytest.raises(ValueError, match="migration"):
+            build_index(spark, corpus, d, n_shards=2, block_size=16)  # resume
+        with pytest.raises(ValueError, match="migration"):
+            update_index(spark, corpus, d)
+        # resume=False rebuilds from scratch and restamps
+        build_index(spark, corpus, d, n_shards=2, block_size=16, resume=False)
+        assert BlockMaxIndex(spark, d).match_topk("import", k=3).count() > 0

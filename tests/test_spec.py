@@ -105,11 +105,15 @@ def test_enricher_defaults():
 
 
 def test_event_counters(spark, engine):
+    from neural_search_spark import settings
+
     stats.reset()
-    topk(engine.match("import ident1"), 5).collect()
-    hybrid_search(
-        [engine.match("import"), engine.term("ident1")], "min_max", "arithmetic_mean", k=3
-    ).collect()
+    with settings.override(stats_enabled=True):
+        topk(engine.match("import ident1"), 5).collect()
+        hybrid_search(
+            [engine.match("import"), engine.term("ident1")],
+            "min_max", "arithmetic_mean", k=3,
+        ).collect()
     ev = stats.event_counts()
     assert ev["match_query_requests"] == 2
     assert ev["term_query_requests"] == 1
@@ -128,8 +132,16 @@ def test_build_metrics(spark, tmp_path, tiny_corpus):
     assert m["raw_rows_per_sec"] > 0
     assert m["encoded_postings"] > 0
     assert m["lineage_entries"] >= 2
-    snap = stats.snapshot(d)
+    from neural_search_spark import settings
+
+    with settings.override(stats_enabled=True):
+        snap = stats.snapshot(d)
     assert "events" in snap and "build" in snap
+    # disabled (the reference default) -> the API 403s
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        stats.snapshot(d)
 
 
 def test_spec_const_score_and_multi_match_clauses(spark, engine):
