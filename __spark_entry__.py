@@ -101,6 +101,28 @@ def q_bm25_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(topk(eng.match(Q_MATCH), 10))
 
 
+#: offline query batch (eval set / query log) for the set-oriented path
+BM25_BATCH_QUERIES = {
+    0: "import data pipeline",
+    1: "stream join window",
+    2: "sort table index merge",
+    3: "def class return self",
+    4: "partition shuffle executor",
+}
+
+
+def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25: the whole query table scored in ONE plan
+    (one postings scan + one (qid, docID) agg + one per-qid window cut) —
+    the Spark-first capability a per-request engine runs as N jobs."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+    from neural_search_spark.search.bm25 import bm25_batch_topk
+
+    eng = _engine(spark, sf_dir)
+    qmap = {qid: tokenize_text(t) for qid, t in BM25_BATCH_QUERIES.items()}
+    return bm25_batch_topk(eng, qmap, k=5)
+
+
 def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.term(Q_TERM), 10))
@@ -1969,6 +1991,55 @@ def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram(_events(spark, sf_dir))
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-count z-score outliers (ops anomaly sweep over the
+    date_histogram buckets; population stddev, round6-gated)."""
+    from neural_search_spark.pipeline.events import daily_anomalies
+
+    return daily_anomalies(_events(spark, sf_dir), z_threshold=2.0)
+
+
+DSIR_TARGET = "lang = 'en'"  # target slice for importance resampling
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, unigram stand-in):
+    importance logratio of target vs corpus unigram LMs per doc, with the
+    quantized keep gate."""
+    from neural_search_spark.pipeline.textstats import dsir_weights
+
+    return dsir_weights(
+        corpus_from_documents(spark, sf_dir), DSIR_TARGET
+    ).orderBy("docID")
+
+
+PACK_CONTEXT_LEN = 512
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row packing accounting at context_len=512: slots and
+    utilization under pad-per-doc vs the pack_plan ideal."""
+    from neural_search_spark.pipeline.training import packing_efficiency
+
+    return packing_efficiency(
+        corpus_from_documents(spark, sf_dir), context_len=PACK_CONTEXT_LEN
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP decision: one canonical doc per MinHash cluster
+    (most tokens wins, tie lowest docID) — composes the cached pair
+    table, the cluster closure, and the corpus token counts."""
+    from neural_search_spark.corpus import inject_duplicates
+    from neural_search_spark.pipeline.dedup import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    clusters = connected_components(_minhash_pairs(spark, sf_dir))
+    return canonical_per_cluster(clusters, inject_duplicates(spark, sf_dir))
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the event log: cohort = first-event day,
     users active exactly d days later (0 ≤ d ≤ 3)."""
@@ -2117,6 +2188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 --
         "sparse_analyzer_topk": q_sparse_analyzer_topk,
+        "bm25_batch_topk": q_bm25_batch_topk,
+        "dsir_weights": q_dsir_weights,
+        "pack_efficiency": q_pack_efficiency,
+        "dedup_canonical": q_dedup_canonical,
+        "events_anomaly": q_events_anomaly,
         # -- changed in round 5 (advisor fixes / expansion cap) --
         "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
         "regexp_topk": q_regexp_topk,
@@ -2439,6 +2515,10 @@ LIMIT 10
         "chunk_delimiter": osql.chunk_delimiter_sql(CHUNK_DELIM),
         "chunk_fixed_char": osql.chunk_fixed_char_sql(64, 0.25),
         "chunk_fixed_token_counts": osql.chunk_fixed_token_counts_sql(20, 0.25),
+        "bm25_batch_topk": osql.bm25_batch_topk_sql(
+            {qid: tokenize_text(t) for qid, t in BM25_BATCH_QUERIES.items()},
+            k=5,
+        ),
         "sparse_analyzer_topk": osql.sparse_analyzer_topk_sql(
             SPARSE_ANALYZER_QUERY, k=10
         ),
@@ -2503,6 +2583,10 @@ LIMIT 10
         "dedup_exact": psql.dedup_exact_sql(),
         "dedup_minhash_lsh": psql.dedup_minhash_sql(),
         "dedup_clusters": psql.dedup_clusters_sql(),
+        "dsir_weights": psql.dsir_weights_sql(DSIR_TARGET),
+        "pack_efficiency": psql.packing_efficiency_sql(PACK_CONTEXT_LEN),
+        "dedup_canonical": psql.dedup_canonical_sql(),
+        "events_anomaly": psql.events_anomaly_sql(2.0),
         "train_split_assign": psql.train_split_assign_sql(),
         "pack_plan": psql.pack_plan_sql(PACK_BUDGET),
         "dedup_simhash": psql.dedup_simhash_sql(),

@@ -1646,6 +1646,50 @@ LIMIT {k}
 """
 
 
+def bm25_batch_topk_sql(
+    queries: dict[int, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Batched multi-query BM25 twin: one (qid, term) table joined against
+    postings once, per-(qid, docID) sum, per-qid round-then-cut top-k —
+    mirrors :func:`neural_search_spark.search.bm25.bm25_batch_topk`."""
+    dlq = quantize_length_sql("dls.dl")
+    pairs = sorted({(int(q), t) for q, ts in queries.items() for t in ts if t})
+    vals = ", ".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in pairs
+    )
+    return f"""{_PRELUDE},
+qb(qid, term) AS (VALUES {vals}),
+nd AS (
+    SELECT tf.term, COUNT(*) AS ndoc
+    FROM tf JOIN (SELECT DISTINCT term FROM qb) d USING (term)
+    GROUP BY tf.term
+),
+sc AS (
+    SELECT qb.qid, tf.docID,
+           SUM(
+             ln(1 + (s.n_docs - nd.ndoc + 0.5) / (nd.ndoc + 0.5))
+             * tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * {dlq} / (s.total / s.n_docs)))
+           ) AS score
+    FROM tf
+    JOIN qb ON tf.term = qb.term
+    JOIN nd ON tf.term = nd.term
+    JOIN dls ON tf.docID = dls.docID
+    CROSS JOIN stats s
+    GROUP BY qb.qid, tf.docID
+),
+r AS (
+    SELECT qid, docID, ROUND(score, 4) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY ROUND(score, 4) DESC, docID
+           ) AS rn
+    FROM sc
+)
+SELECT CAST(qid AS INT) AS qid, docID, score
+FROM r WHERE rn <= {int(k)}
+ORDER BY qid, score DESC, docID
+"""
+
+
 def sparse_analyzer_topk_sql(query_text: str, k: int = 10) -> str:
     """neural_sparse ANALYZER-mode twin: the token-weight map is built IN
     SQL from the query text — distinct analyzed tokens, weight 1.0 each

@@ -334,6 +334,56 @@ def connected_components(
     )
 
 
+def canonical_per_cluster(
+    clusters: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """The KEEP decision a dedup pipeline actually ships: one canonical
+    doc per near-dup cluster → (cluster_id, canonical, n_members,
+    canonical_tokens).
+
+    Keeper rule: most analyzed tokens wins (keep the highest-content
+    variant of the duplicate group), tie-break lowest docID — integer
+    sort keys only, so engine and oracle cut identically with no float
+    boundary. This refines the min-docID label that
+    :func:`connected_components` uses as the cluster id (the id stays
+    min-docID; the KEPT doc is chosen by content).
+
+    Scale shape: ``clusters`` is LSH-verify-sized (never the corpus); the
+    token counts come from one semi-joined projection of the corpus, and
+    the per-cluster argmax is a window partitioned BY cluster — no global
+    sort, no corpus shuffle."""
+    dl = corpus.select(
+        F.col(id_col).alias("docID"),
+        F.size(_tokens(text_col)).cast("long").alias("dl"),
+    )
+    from pyspark.sql import Window
+
+    m = clusters.join(dl, "docID")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("dl").desc(), F.col("docID").asc()
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("docID").alias("canonical"),
+            F.col("dl").alias("canonical_tokens"),
+        )
+    )
+    members = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        best.join(members, "cluster_id")
+        .select("cluster_id", "canonical", "n_members", "canonical_tokens")
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -202,3 +202,36 @@ def date_histogram(events: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def daily_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """(event_type, day, doc_count, zscore) — days whose event count is a
+    z-score outlier WITHIN its event type (the ops-side anomaly sweep over
+    the same calendar-day buckets as :func:`date_histogram`). Population
+    stddev (DuckDB ``stddev_pop``-compatible), z quantized round6 BEFORE
+    the |z| ≥ threshold gate so boundary days cannot flip between
+    engines; reported z rounds to 4.
+
+    Scale shape: the daily-count table is O(types × days) — tiny even for
+    a 100 TB raw log — so the per-type window runs over a few thousand
+    rows; the only corpus-sized work is the same single groupBy as the
+    histogram."""
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg("doc_count").over(w)
+    sd = F.stddev_pop("doc_count").over(w)
+    z = F.when(sd > 0, (F.col("doc_count") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "doc_count",
+            F.round(z, 4).alias("zscore"),
+            F.abs(F.round(z, 6)).alias("_az"),
+        )
+        .where(F.col("_az") >= float(z_threshold))
+        .select("event_type", "day", "doc_count", "zscore")
+        .orderBy("event_type", "day")
+    )

@@ -1387,3 +1387,134 @@ FROM events
 GROUP BY day, event_type
 ORDER BY day, event_type
 """
+
+
+def events_anomaly_sql(z_threshold: float = 2.0) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.events.daily_anomalies`:
+    per-type daily counts, population-stddev z-score, round6-quantized
+    |z| gate."""
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM events GROUP BY event_type, day
+),
+z AS (
+    SELECT event_type, day, doc_count,
+           CASE WHEN stddev_pop(doc_count) OVER (PARTITION BY event_type) > 0
+                THEN (doc_count - avg(doc_count) OVER (PARTITION BY event_type))
+                     / stddev_pop(doc_count) OVER (PARTITION BY event_type)
+                ELSE 0.0 END AS zz
+    FROM daily
+)
+SELECT event_type, day, doc_count, ROUND(zz, 4) AS zscore
+FROM z
+WHERE ABS(ROUND(zz, 6)) >= {float(z_threshold)!r}
+ORDER BY event_type, day
+"""
+
+
+def packing_efficiency_sql(context_len: int = 2048) -> str:
+    """Twin of
+    :func:`neural_search_spark.pipeline.training.packing_efficiency`."""
+    L = int(context_len)
+    return f"""
+WITH b AS (
+    SELECT len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n
+    FROM documents
+),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(n / {L}.0) AS BIGINT)) AS BIGINT) AS slots_padded
+    FROM b WHERE n >= 1
+)
+SELECT CAST({L} AS BIGINT) AS context_len, n_docs, total_tokens, slots_padded,
+       CAST(CEIL(total_tokens / {L}.0) AS BIGINT) AS slots_packed,
+       ROUND(CAST(total_tokens AS DOUBLE) / (slots_padded * {L}), 4) AS util_padded,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / (CAST(CEIL(total_tokens / {L}.0) AS BIGINT) * {L}), 4) AS util_packed
+FROM a
+"""
+
+
+def dedup_canonical_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.dedup.canonical_per_cluster`
+    over the MinHash clusters: keeper = most analyzed tokens, tie lowest
+    docID (integer-exact rank)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_block()},
+edges AS (
+    SELECT docA AS src, docB AS dst FROM pairs
+    UNION
+    SELECT docB AS src, docA AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS docID FROM edges),
+reach AS (
+    SELECT docID, docID AS root FROM nodes
+    UNION
+    SELECT e.dst AS docID, r.root AS root
+    FROM reach r JOIN edges e ON e.src = r.docID
+),
+cl AS (SELECT docID, MIN(root) AS cluster_id FROM reach GROUP BY docID),
+dl AS (
+    SELECT docID,
+           CAST(len(regexp_extract_all(lower(content), '{SQL_TOKEN_PATTERN}')) AS BIGINT) AS dl
+    FROM dupdocs
+),
+m AS (
+    SELECT cl.cluster_id, cl.docID, dl.dl,
+           ROW_NUMBER() OVER (
+               PARTITION BY cl.cluster_id ORDER BY dl.dl DESC, cl.docID ASC
+           ) AS rn
+    FROM cl JOIN dl USING (docID)
+),
+mem AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM cl GROUP BY cluster_id)
+SELECT m.cluster_id, m.docID AS canonical, mem.n_members,
+       m.dl AS canonical_tokens
+FROM m JOIN mem USING (cluster_id)
+WHERE m.rn = 1
+ORDER BY m.cluster_id
+"""
+
+
+def dsir_weights_sql(target_expr: str) -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.dsir_weights`:
+    add-1-smoothed unigram target/corpus LMs over the corpus vocabulary,
+    per-token average log ratio, round6-quantized keep gate.
+    ``target_expr`` is a boolean SQL expression over the ``documents``
+    columns (engine side evaluates the same expression over the adapted
+    corpus columns)."""
+    return f"""
+WITH tk AS (
+    SELECT CAST(doc_id AS BIGINT) AS docID, ({target_expr}) AS is_t,
+           unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT docID, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(is_t) AS is_t
+    FROM tk GROUP BY docID, term
+),
+lm AS (
+    SELECT term, SUM(tf) AS cnt_c,
+           SUM(CASE WHEN is_t THEN tf ELSE 0.0 END) AS cnt_t
+    FROM tf GROUP BY term
+),
+scal AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS v, SUM(cnt_c) AS nc, SUM(cnt_t) AS nt
+    FROM lm
+),
+per AS (
+    SELECT f.docID,
+           CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+           SUM(f.tf * (ln((l.cnt_t + 1.0) / (s.nt + s.v))
+                       - ln((l.cnt_c + 1.0) / (s.nc + s.v)))) AS mass
+    FROM tf f JOIN lm l USING (term) CROSS JOIN scal s
+    GROUP BY f.docID
+)
+SELECT docID, n_tokens,
+       ROUND(mass / n_tokens, 4) AS logratio,
+       ROUND(mass / n_tokens, 6) >= 0.0 AS keep
+FROM per
+ORDER BY docID
+"""

@@ -560,3 +560,64 @@ def unigram_ppl(
         F.round(nll, 4).alias("avg_nll"),
         F.round(F.pow(F.lit(2.0), nll), 4).alias("ppl"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_expr: str,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(docID, n_tokens, logratio, keep) — DSIR-style importance weights
+    for data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"; unigram stand-in for its hashed
+    n-gram features): score every doc by how target-like its token
+    distribution is, logratio = Σ tf·(ln p_target − ln p_corpus) / dl
+    with add-1-smoothed unigram LMs over the corpus vocabulary,
+    ``target_expr`` (a boolean SQL expression over the input columns,
+    e.g. ``lang = 'java'``) defining the target slice. keep = quantized
+    (round6) logratio ≥ 0 — the "more target-like than corpus-average"
+    selection gate; rounding before the gate keeps boundary docs from
+    flipping between engines.
+
+    Scale shape: both LMs are distributed word counts — the target one
+    over the (tiny) target slice, the corpus one reused per release; the
+    scalars (vocab size, token totals) are a 1-row broadcast; scoring
+    joins the (docID, term)-reduced tf table against the vocab-keyed LM
+    table — one term-hash exchange, one docID groupBy, the corpus token
+    stream itself never shuffles."""
+    toks = df.select(
+        F.col(id_col).alias("docID"),
+        F.expr(target_expr).alias("_is_t"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("docID", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("_is_t").alias("_is_t"),
+    )
+    lm = tf.groupBy("term").agg(
+        F.sum("tf").alias("cnt_c"),
+        F.sum(F.when(F.col("_is_t"), F.col("tf")).otherwise(0.0)).alias("cnt_t"),
+    )
+    scal = F.broadcast(
+        lm.agg(
+            F.count(F.lit(1)).cast("double").alias("_v"),
+            F.sum("cnt_c").alias("_nc"),
+            F.sum("cnt_t").alias("_nt"),
+        )
+    )
+    ratio = F.log((F.col("cnt_t") + 1.0) / (F.col("_nt") + F.col("_v"))) - F.log(
+        (F.col("cnt_c") + 1.0) / (F.col("_nc") + F.col("_v"))
+    )
+    j = tf.join(lm, "term").crossJoin(scal)
+    per = j.groupBy("docID").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * ratio).alias("_mass"),
+    )
+    lr = F.col("_mass") / F.col("n_tokens").cast("double")
+    return per.select(
+        "docID",
+        "n_tokens",
+        F.round(lr, 4).alias("logratio"),
+        (F.round(lr, 6) >= 0.0).alias("keep"),
+    )

@@ -329,6 +329,48 @@ def length_buckets(
     )
 
 
+def packing_efficiency(
+    df: "DataFrame",
+    context_len: int = 2048,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> "DataFrame":
+    """One-row packing accounting at a fixed context length L: what
+    sequence packing SAVES versus pad-per-document batching —
+    (context_len, n_docs, total_tokens, slots_padded, slots_packed,
+    util_padded, util_packed). ``slots_padded`` = Σ ceil(len/L) (each doc
+    alone in its slots, padded), ``slots_packed`` = ceil(Σ len / L) (the
+    concat-and-slice ideal that :func:`pack_plan` realizes); utilization
+    = total_tokens / (slots · L), round4. Integer-exact slot counts, so
+    both engines agree bit-for-bit.
+
+    Scale shape: one pure-projection pass + a single 1-row aggregate —
+    no shuffle beyond the final combine."""
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    L = int(context_len)
+    n = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"))
+    base = df.select(F.col(id_col).alias("docID"), n.alias("n")).where(
+        F.col("n") >= 1
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.ceil(F.col("n") / F.lit(L))).cast("long").alias("slots_padded"),
+    )
+    packed = F.ceil(F.col("total_tokens") / F.lit(L)).cast("long")
+    tok = F.col("total_tokens").cast("double")
+    return agg.select(
+        F.lit(L).cast("long").alias("context_len"),
+        "n_docs",
+        "total_tokens",
+        "slots_padded",
+        packed.alias("slots_packed"),
+        F.round(tok / (F.col("slots_padded") * L), 4).alias("util_padded"),
+        F.round(tok / (packed * L), 4).alias("util_packed"),
+    )
+
+
 def contrastive_pairs(
     df: "DataFrame",
     positives: "DataFrame",

@@ -152,6 +152,80 @@ def bm25_clause_scores(
     return agg.select("docID", "score")
 
 
+def bm25_batch_scores(
+    spark,
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: CorpusStats,
+    queries: dict[int, list[str]],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score MANY lexical queries in ONE plan → (qid, docID, score).
+
+    The set-oriented restatement of the reference's per-request search
+    path: where OpenSearch executes one query per request, a Spark
+    engine scoring a batch (offline eval sets, query logs, training-pair
+    mining) should join the whole (qid, term) query table against
+    postings ONCE — one postings scan, one (qid, docID) aggregation —
+    instead of N independent jobs. Per-query scores are identical to
+    :func:`bm25_clause_scores` (same idf over the full corpus, same
+    SmallFloat-quantized norms).
+
+    Scale shape: the query table broadcasts (it is query-log-sized, not
+    corpus-sized); postings shuffle once keyed by (qid, docID). A term
+    shared by q queries fans its postings rows out q times — that IS the
+    semantics (each query must see the term's postings)."""
+    pairs = sorted(
+        {(int(qid), t) for qid, ts in queries.items() for t in ts if t}
+    )
+    if not pairs:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("qid"),
+            F.col("id").alias("docID"),
+            F.lit(0.0).alias("score"),
+        )
+    qt = F.broadcast(spark.createDataFrame(pairs, "qid int, term string"))
+    dfreq = (
+        postings.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("ndoc"))
+    )
+    matched = (
+        postings.join(qt, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doclens, "docID")
+    )
+    avgdl = F.lit(stats.avgdl)
+    tf = F.col("tf").cast("double")
+    tf_norm = tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / avgdl))
+    term_score = idf_col(stats.n_docs, F.col("ndoc")) * tf_norm
+    return matched.groupBy("qid", "docID").agg(F.sum(term_score).alias("score"))
+
+
+def bm25_batch_topk(
+    engine: "BM25Engine", queries: dict[int, list[str]], k: int = 10
+) -> DataFrame:
+    """Per-query top-k over a scored batch: ONE window partitioned by qid
+    (never a global sort — each query's heap is independent, exactly the
+    per-shard collector model). Round-then-cut (score round4, docID asc)
+    so the cut is reproducible across engines."""
+    from pyspark.sql import Window
+
+    scored = bm25_batch_scores(
+        engine.spark, engine.postings, engine.doclens, engine.stats, queries
+    )
+    r4 = F.round(F.col("score"), 4)
+    w = Window.partitionBy("qid").orderBy(r4.desc(), F.col("docID").asc())
+    return (
+        scored.select("qid", "docID", r4.alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "docID", "score")
+        .orderBy("qid", F.col("score").desc(), "docID")
+    )
+
+
 def phrase_freq_col(toks_col, terms: list[str]):
     """Exact-phrase frequency (slop 0) over an analyzed token-array column:
     the number of positions i where ``toks[i..i+m-1] == terms``. Runs as a
