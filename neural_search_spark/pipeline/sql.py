@@ -1513,7 +1513,7 @@ per AS (
     GROUP BY f.docID
 )
 SELECT docID, n_tokens,
-       ROUND(mass / n_tokens, 4) AS logratio,
+       ROUND(mass / n_tokens, 4) + 0.0 AS logratio,
        ROUND(mass / n_tokens, 6) >= 0.0 AS keep
 FROM per
 ORDER BY docID

@@ -615,9 +615,11 @@ def dsir_weights(
         F.sum(F.col("tf") * ratio).alias("_mass"),
     )
     lr = F.col("_mass") / F.col("n_tokens").cast("double")
+    # + 0.0 canonicalizes IEEE -0.0 to 0.0 (a doc whose mass rounds to
+    # zero must hash identically across engines)
     return per.select(
         "docID",
         "n_tokens",
-        F.round(lr, 4).alias("logratio"),
+        (F.round(lr, 4) + F.lit(0.0)).alias("logratio"),
         (F.round(lr, 6) >= 0.0).alias("keep"),
     )

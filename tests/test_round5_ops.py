@@ -31,10 +31,14 @@ class TestBatchBM25:
             for r in bm25_batch_topk(engine, queries, k=5).collect()
         }
         for qid, terms in queries.items():
-            solo = topk(engine.match(" ".join(terms)), 5).collect()
-            solo_scores = {
-                (qid, r["docID"]): round(r["score"], 4) for r in solo
-            }
+            # same round-then-cut as the batch path (topk() cuts on the raw
+            # double, which breaks round4 ties differently)
+            solo = engine.match(" ".join(terms)).collect()
+            ranked = sorted(
+                ((round(r["score"], 4), r["docID"]) for r in solo),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            solo_scores = {(qid, doc): s for s, doc in ranked}
             batch_q = {k: v for k, v in got.items() if k[0] == qid}
             assert batch_q == solo_scores, qid
 
