@@ -2002,6 +2002,23 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_TARGET = "lang = 'en'"  # target slice for importance resampling
 
 
+#: dense query batch (eval set) for the set-oriented neural path
+NEURAL_BATCH_QUERIES = (
+    "customer stream window partition",
+    "orders join supplier region",
+    "lineitem filter aggregate group",
+)
+
+
+def q_neural_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched dense retrieval: every query vector against the embedding
+    column in ONE scan + per-qid window cut (round6-then-cut)."""
+    from neural_search_spark.search.neural import neural_batch_topk
+
+    qvs = {i: _qv_of(t) for i, t in enumerate(NEURAL_BATCH_QUERIES)}
+    return neural_batch_topk(spark, _doc_embeddings(spark, sf_dir), qvs, k=5)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, unigram stand-in):
     importance logratio of target vs corpus unigram LMs per doc, with the
@@ -2189,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
+        "neural_batch_topk": q_neural_batch_topk,
         "dsir_weights": q_dsir_weights,
         "pack_efficiency": q_pack_efficiency,
         "dedup_canonical": q_dedup_canonical,
@@ -2583,6 +2601,9 @@ LIMIT 10
         "dedup_exact": psql.dedup_exact_sql(),
         "dedup_minhash_lsh": psql.dedup_minhash_sql(),
         "dedup_clusters": psql.dedup_clusters_sql(),
+        "neural_batch_topk": osql.neural_batch_topk_sql(
+            {i: _qv_of(t) for i, t in enumerate(NEURAL_BATCH_QUERIES)}, k=5
+        ),
         "dsir_weights": psql.dsir_weights_sql(DSIR_TARGET),
         "pack_efficiency": psql.packing_efficiency_sql(PACK_CONTEXT_LEN),
         "dedup_canonical": psql.dedup_canonical_sql(),

@@ -918,6 +918,30 @@ LIMIT {k}
 """
 
 
+def neural_batch_topk_sql(query_vectors: dict[int, list[float]], k: int = 10) -> str:
+    """Batched dense retrieval twin: every query vector scored against the
+    stand-in embedding view in one pass, per-qid round6-then-cut window —
+    mirrors :func:`neural_search_spark.search.neural.neural_batch_topk`."""
+    branches = "\n    UNION ALL ".join(
+        f"SELECT {int(qid)} AS qid, docID, {round6_sql(_neural_dot(qv))} AS score FROM edim"
+        for qid, qv in sorted(query_vectors.items())
+    )
+    return f"""
+WITH {_neural_prelude().strip()},
+s AS (
+    {branches}
+),
+r AS (
+    SELECT qid, docID, score,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docID) AS rn
+    FROM s
+)
+SELECT CAST(qid AS INT) AS qid, docID, score
+FROM r WHERE rn <= {int(k)}
+ORDER BY qid, score DESC, docID
+"""
+
+
 def neural_nested_sql(
     qvec: list[float],
     delimiter: str,

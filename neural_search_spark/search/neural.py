@@ -99,6 +99,54 @@ def neural_clause_scores(
     return scored
 
 
+def neural_batch_topk(
+    spark,
+    doc_embeddings: DataFrame,
+    query_vectors: dict[int, list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, docID, score): MANY dense queries against the embedding
+    column in ONE scan — the set-oriented twin of
+    :func:`neural_clause_scores` (offline eval sets, hard-negative
+    mining). The query-vector table broadcasts; each embedding row scores
+    every query in place (a broadcast nested-loop by construction — the
+    brute-force batch is Q×corpus work however it is scheduled, and one
+    scan beats Q scans); the per-qid cut is a window partitioned by qid.
+    Scores are 6-dp rounded BEFORE the cut (the neural convention), so
+    the cut is bit-identical across engines.
+
+    At 100 TB the per-qid window shuffles only (qid, docID, score) rows;
+    the embedding column itself is read once. The ANN keys (IVF/LSH/
+    quantized) remain the scale path when Q×corpus exceeds budget."""
+    from neural_search_spark.pipeline.ann import _dot
+    from pyspark.sql import Window
+
+    rows = [
+        (int(qid), [float(v) for v in qv])
+        for qid, qv in sorted(query_vectors.items())
+    ]
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("qid"),
+            F.col("id").alias("docID"),
+            F.lit(0.0).alias("score"),
+        )
+    qt = F.broadcast(spark.createDataFrame(rows, "qid int, qv array<double>"))
+    scored = doc_embeddings.crossJoin(qt).select(
+        "qid", "docID", P.round6(_dot(F.col(vec_col), F.col("qv"))).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docID").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "docID", "score")
+        .orderBy("qid", F.col("score").desc(), "docID")
+    )
+
+
 def neural_nested_scores(
     chunks: DataFrame,
     query_vector: list[float],

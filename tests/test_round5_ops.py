@@ -53,6 +53,35 @@ class TestBatchBM25:
         assert all(r["count"] <= 3 for r in rows) and len(rows) == 2
 
 
+class TestBatchNeural:
+    def test_batch_equals_per_query(self, spark, tiny_corpus):
+        from neural_search_spark.pipeline.embedding import text_embedding_stub
+        from neural_search_spark.search.neural import (
+            neural_batch_topk,
+            neural_clause_scores,
+            query_embedding_stub,
+        )
+
+        emb = text_embedding_stub(tiny_corpus).cache()
+        texts = ["import ident1 self", "def return class"]
+        qvs = {i: query_embedding_stub(t) for i, t in enumerate(texts)}
+        got = {
+            (r["qid"], r["docID"]): r["score"]
+            for r in neural_batch_topk(spark, emb, qvs, k=4).collect()
+        }
+        for qid, t in enumerate(texts):
+            solo = neural_clause_scores(emb, qvs[qid], k=4).collect()
+            want = {(qid, r["docID"]): r["score"] for r in solo}
+            assert {k: v for k, v in got.items() if k[0] == qid} == want
+
+    def test_empty(self, spark, tiny_corpus):
+        from neural_search_spark.pipeline.embedding import text_embedding_stub
+        from neural_search_spark.search.neural import neural_batch_topk
+
+        out = neural_batch_topk(spark, text_embedding_stub(tiny_corpus), {}, k=3)
+        assert out.count() == 0 and out.columns == ["qid", "docID", "score"]
+
+
 class TestDedupCanonical:
     def test_keeper_is_longest_then_lowest_id(self, spark):
         from neural_search_spark.pipeline.dedup import canonical_per_cluster
