@@ -2010,6 +2010,29 @@ NEURAL_BATCH_QUERIES = (
 )
 
 
+#: hybrid request batch: per request, a list of match clauses (tokenized)
+HYBRID_BATCH = {
+    0: ["import data pipeline", "stream window"],
+    1: ["sort table merge", "partition shuffle"],
+    2: ["def class return", "join filter aggregate"],
+}
+
+
+def q_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid (min_max + arithmetic_mean): every request's clauses
+    scored off ONE postings scan, normalized/combined with (qid, clause)-
+    keyed windows — the per-request processor pipeline, set-oriented."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+    from neural_search_spark.search.hybrid import hybrid_batch_topk
+
+    eng = _engine(spark, sf_dir)
+    batches = {
+        qid: [tokenize_text(c) for c in clauses]
+        for qid, clauses in HYBRID_BATCH.items()
+    }
+    return hybrid_batch_topk(eng, batches, k=5, depth=HYBRID_DEPTH)
+
+
 def q_neural_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched dense retrieval: every query vector against the embedding
     column in ONE scan + per-qid window cut (round6-then-cut)."""
@@ -2207,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "neural_batch_topk": q_neural_batch_topk,
+        "hybrid_batch_topk": q_hybrid_batch_topk,
         "dsir_weights": q_dsir_weights,
         "pack_efficiency": q_pack_efficiency,
         "dedup_canonical": q_dedup_canonical,
@@ -2604,6 +2628,14 @@ LIMIT 10
         "dedup_exact": psql.dedup_exact_sql(),
         "dedup_minhash_lsh": psql.dedup_minhash_sql(),
         "dedup_clusters": psql.dedup_clusters_sql(),
+        "hybrid_batch_topk": osql.hybrid_batch_topk_sql(
+            {
+                qid: [tokenize_text(c) for c in clauses]
+                for qid, clauses in HYBRID_BATCH.items()
+            },
+            k=5,
+            depth=HYBRID_DEPTH,
+        ),
         "neural_batch_topk": osql.neural_batch_topk_sql(
             {i: _qv_of(t) for i, t in enumerate(NEURAL_BATCH_QUERIES)}, k=5
         ),

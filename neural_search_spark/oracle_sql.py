@@ -1193,6 +1193,29 @@ LIMIT {k}
 """
 
 
+def hybrid_batch_topk_sql(
+    batches: dict[int, list[list[str]]],
+    k: int = 10,
+    depth: int | None = 50,
+) -> str:
+    """Batched hybrid twin: one :func:`hybrid_topk_sql` block per request
+    (min_max + arithmetic_mean, the pairing every single-request hybrid
+    key is already proven against), tagged with its qid and unioned."""
+    parts = [
+        f"SELECT {int(qid)} AS qid, docID, score FROM ("
+        + hybrid_topk_sql(clauses, "min_max", "arithmetic_mean", k=k, depth=depth)
+        + ")"
+        for qid, clauses in sorted(batches.items())
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT CAST(qid AS INT) AS qid, docID, score FROM (
+{union}
+)
+ORDER BY qid, score DESC, docID
+"""
+
+
 def hybrid_agg_sql(clause_terms: list[list[str]], group_col: str = "lang", k1: float = 1.2, b: float = 0.75) -> str:
     """Aggregation under a hybrid query (§2.7): each matching doc counted
     once with score = SUM of raw sub-query scores

@@ -268,6 +268,120 @@ def hybrid_raw_sum(clause_scores: list[DataFrame]) -> DataFrame:
     return long.groupBy("docID").agg(F.sum("score").alias("score"))
 
 
+def hybrid_batch_topk(
+    engine,
+    batches: dict[int, list[list[str]]],
+    k: int = 10,
+    depth: int | None = 50,
+) -> DataFrame:
+    """MANY hybrid requests (min_max + arithmetic_mean, the reference's
+    default processor pair) in ONE grouped plan → (qid, docID, score).
+
+    Every request's lexical clauses are scored off a single postings
+    scan (one broadcast (qid, clause, term) table), depth-cut, min-max
+    normalized and mean-combined with windows/groupBys keyed by
+    (qid, clause) — the set-oriented restatement of the per-request
+    NormalizationProcessor pipeline for offline eval sets and query logs.
+    Per-request numbers are IEEE-identical to :func:`hybrid_search`: the
+    pivot into fixed per-clause columns keeps the combine's add order
+    left-associated exactly like :func:`combine_clauses`, and absent
+    clauses zero-fill (they still count in the arithmetic-mean
+    denominator, ``ScoreCombiner`` semantics).
+
+    Scale shape: query tables broadcast; the corpus-sized work is one
+    postings join + one (qid, clause, docID) aggregation; everything
+    after the depth cut is bounded by Q × clauses × depth rows."""
+    from neural_search_spark import settings
+    from neural_search_spark.search.bm25 import idf_col
+
+    max_sub = int(settings.get("hybrid_max_sub_queries"))
+    rows = []
+    for qid, clauses in sorted(batches.items()):
+        if not 1 <= len(clauses) <= max_sub:
+            raise ValueError(f"hybrid query supports 1..{max_sub} sub-queries")
+        for ci, terms in enumerate(clauses):
+            for t in sorted(set(terms)):
+                rows.append((int(qid), ci, t))
+    spark = engine.spark
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("qid"),
+            F.col("id").alias("docID"),
+            F.lit(0.0).alias("score"),
+        )
+    qt = F.broadcast(
+        spark.createDataFrame(rows, "qid int, cidx int, term string")
+    )
+    postings, doclens, stats = engine.postings, engine.doclens, engine.stats
+    dfreq = (
+        postings.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ndoc"))
+    )
+    matched = (
+        postings.join(qt, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doclens, "docID")
+    )
+    tf = F.col("tf").cast("double")
+    tf_norm = tf / (
+        tf
+        + F.lit(1.2) * (F.lit(1.0 - 0.75) + F.lit(0.75) * F.col("dlq") / F.lit(stats.avgdl))
+    )
+    clause_scores = matched.groupBy("qid", "cidx", "docID").agg(
+        F.sum(idf_col(stats.n_docs, F.col("ndoc")) * tf_norm).alias("score")
+    )
+    if depth is not None:
+        wd = Window.partitionBy("qid", "cidx").orderBy(
+            F.col("score").desc(), F.col("docID").asc()
+        )
+        clause_scores = (
+            clause_scores.withColumn("_rn", F.row_number().over(wd))
+            .where(F.col("_rn") <= int(depth))
+            .drop("_rn")
+        )
+    st = clause_scores.groupBy("qid", "cidx").agg(
+        F.min("score").alias("_mn"), F.max("score").alias("_mx")
+    )
+    j = clause_scores.join(F.broadcast(st), ["qid", "cidx"])
+    s, mn, mx = F.col("score"), F.col("_mn"), F.col("_mx")
+    raw = (s - mn) / (mx - mn)
+    n = (
+        F.when((mx == mn) & (mx == s), F.lit(1.0))
+        .when(mx == mn, F.lit(1.0))
+        .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+    )
+    normalized = j.select("qid", "cidx", "docID", n.alias("nscore"))
+    maxc = max(len(c) for c in batches.values())
+    wide = normalized.groupBy("qid", "docID").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("cidx") == i, F.col("nscore"))), F.lit(0.0)
+            ).alias(f"s_{i}")
+            for i in range(maxc)
+        ]
+    )
+    nclause = F.broadcast(
+        spark.createDataFrame(
+            [(int(qid), float(len(c))) for qid, c in sorted(batches.items())],
+            "qid int, _nc double",
+        )
+    )
+    num = reduce(lambda a, b: a + b, [F.col(f"s_{i}") for i in range(maxc)])
+    comb = wide.join(nclause, "qid").select(
+        "qid", "docID", (num / F.col("_nc")).alias("score")
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docID").asc()
+    )
+    return (
+        comb.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "docID", F.round("score", 4).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "docID")
+    )
+
+
 def hybrid_search(
     clause_scores: list[DataFrame],
     normalization: str = "min_max",

@@ -82,6 +82,41 @@ class TestBatchNeural:
         assert out.count() == 0 and out.columns == ["qid", "docID", "score"]
 
 
+class TestBatchHybrid:
+    def test_batch_equals_per_request(self, spark, engine):
+        from neural_search_spark.search.hybrid import (
+            hybrid_batch_topk,
+            hybrid_search,
+        )
+
+        batches = {
+            0: [["import", "ident1"], ["def", "return"]],
+            1: [["class", "self"], ["ident2"]],
+        }
+        got = {
+            (r["qid"], r["docID"]): r["score"]
+            for r in hybrid_batch_topk(engine, batches, k=4, depth=20).collect()
+        }
+        for qid, clauses in batches.items():
+            solo = hybrid_search(
+                [engine.match(" ".join(c)) for c in clauses],
+                "min_max",
+                "arithmetic_mean",
+                k=4,
+                depth=20,
+            ).collect()
+            want = {(qid, r["docID"]): round(r["score"], 4) for r in solo}
+            assert {k: v for k, v in got.items() if k[0] == qid} == want, qid
+
+    def test_clause_cap_applies(self, engine):
+        from neural_search_spark import settings
+        from neural_search_spark.search.hybrid import hybrid_batch_topk
+
+        with settings.override(hybrid_max_sub_queries=1):
+            with pytest.raises(ValueError, match="1..1 sub-queries"):
+                hybrid_batch_topk(engine, {0: [["a"], ["b"]]}, k=3)
+
+
 class TestDedupCanonical:
     def test_keeper_is_longest_then_lowest_id(self, spark):
         from neural_search_spark.pipeline.dedup import canonical_per_cluster
