@@ -90,7 +90,10 @@ def warm(entry_mod, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def main(reps: int = 3) -> None:
+def main(reps: int = 3, only: str | None = None) -> None:
+    global KEYS
+    if only:
+        KEYS = only.split(",")
     make_sf1()
     from neural_search_spark.session import get_spark
 
@@ -129,4 +132,7 @@ def main(reps: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 3,
+        sys.argv[2] if len(sys.argv) > 2 else None,
+    )
