@@ -1728,6 +1728,15 @@ SIG_TEXT_SIZE = 10
 MPP_QUERY = "part fil"  # fixed term + prefix slot (search-as-you-type)
 
 
+def q_match_bool_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix: BM25-scored fixed terms + constant-score prefix
+    final term as a bool SHOULD (search-as-you-type without positions)."""
+    from neural_search_spark.search.bm25 import match_bool_prefix_scores
+
+    eng = _engine(spark, sf_dir)
+    return _round_score(topk(match_bool_prefix_scores(eng, MPP_QUERY), 10))
+
+
 def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase_prefix: exact fixed positions + prefix final slot,
     THROUGH THE POSITIONAL INDEX (Lucene's terms-dict walk + postings
@@ -2235,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "dedup_canonical": q_dedup_canonical,
         "events_anomaly": q_events_anomaly,
+        "match_bool_prefix_topk": q_match_bool_prefix_topk,
         # -- changed in round 5 (advisor fixes / expansion cap) --
         "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
         "regexp_topk": q_regexp_topk,
@@ -2689,6 +2699,9 @@ LIMIT 10
         "doc_token_ids": psql.token_ids_sql(VOCAB_K, VOCAB_MIN_COUNT),
         "pipeline_end_to_end": psql.pipeline_end_to_end_sql(PACK_BUDGET),
         "match_phrase_prefix_topk": osql.match_phrase_prefix_topk_sql(
+            tt(MPP_QUERY)[:-1], tt(MPP_QUERY)[-1], k=10
+        ),
+        "match_bool_prefix_topk": osql.match_bool_prefix_topk_sql(
             tt(MPP_QUERY)[:-1], tt(MPP_QUERY)[-1], k=10
         ),
         "text_unigram_ppl": psql.unigram_ppl_sql(),

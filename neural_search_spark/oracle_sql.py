@@ -1693,6 +1693,37 @@ LIMIT {k}
 """
 
 
+def match_bool_prefix_topk_sql(
+    fixed_terms: list[str],
+    prefix: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """match_bool_prefix twin: BM25 sum over the fixed terms UNION a
+    1.0 constant-score row per doc containing any prefix-matched term,
+    summed per doc (bool SHOULD, msm=1)."""
+    pre = prefix.replace("'", "''")
+    parts = [
+        f"""SELECT DISTINCT docID, 1.0 AS score
+    FROM tf WHERE starts_with(term, '{pre}')"""
+    ]
+    clause = ""
+    if fixed_terms:
+        clause = "," + _clause_ctes(0, fixed_terms, k1, b, None, None)
+        parts.append("SELECT docID, score FROM cut0")
+    union = "\n    UNION ALL\n    ".join(parts)
+    return f"""{_PRELUDE}{clause}
+SELECT docID, ROUND(SUM(score), 4) AS score
+FROM (
+    {union}
+)
+GROUP BY docID
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
 def bm25_batch_topk_sql(
     queries: dict[int, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:

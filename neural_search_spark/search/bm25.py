@@ -152,6 +152,43 @@ def bm25_clause_scores(
     return agg.select("docID", "score")
 
 
+def match_bool_prefix_scores(engine: "BM25Engine", query_text: str) -> DataFrame:
+    """``match_bool_prefix`` (search-as-you-type's non-positional sibling
+    of ``match_phrase_prefix``): the analyzed terms become a bool SHOULD —
+    every term but the last as a scored BM25 term query, the LAST as a
+    prefix query under its constant-score rewrite (1.0 per matching doc,
+    the repo's documented treatment of multi-term rewrites inside bool).
+    score = BM25 sum over the fixed terms + 1.0 if any dictionary term
+    with the prefix occurs; a doc matches if ANY sub-query matches
+    (msm=1). Terms need no positions — unlike the phrase variant, word
+    order is free.
+
+    Plan shape: the fixed terms reuse the standard broadcast clause path;
+    the prefix expansion walks the distinct-term dictionary and
+    semi-joins postings under the settings broadcast cap — nothing scans
+    stored text."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("match_bool_prefix_query_requests")
+    terms = tokenize_text(query_text)
+    if not terms:
+        return engine.spark.range(0).select(
+            F.col("id").alias("docID"), F.lit(0.0).alias("score")
+        )
+    fixed, prefix = terms[:-1], terms[-1]
+    parts = [prefix_query_scores(engine, prefix)]
+    if fixed:
+        parts.append(
+            bm25_clause_scores(
+                engine.spark, engine.postings, engine.doclens, engine.stats, fixed
+            )
+        )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    return long.groupBy("docID").agg(F.sum("score").alias("score"))
+
+
 def bm25_batch_scores(
     spark,
     postings: DataFrame,
