@@ -129,7 +129,21 @@ def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """match_phrase: postings-intersected candidates + positional verify."""
+    """match_phrase — DEFAULT path: the positional postings index (like
+    every composed phrase clause; sf1 ratio 1.16× vs the scan's 7.67×).
+    The corpus-scan path remains available as the explicit
+    ``bm25_phrase_scan_topk`` contract exhibit; both share one oracle
+    because the index is score-identical to the scan by contract."""
+    pidx = _pos_index(spark, sf_dir)
+    return _round_score(pidx.match_phrase_topk(Q_PHRASE, k=10))
+
+
+def q_bm25_phrase_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase, deliberate SCAN-path exhibit (mode="scan"): postings-
+    intersected candidates + positional verify by re-tokenizing candidate
+    content — the no-positional-artifact fallback. Corpus-linear BY DESIGN
+    (the documented 7.67× sf1 contract row); the default key routes through
+    the positional index."""
     eng = _engine(spark, sf_dir)
     return _round_score(topk(eng.match_phrase(Q_PHRASE), 10))
 
@@ -489,6 +503,54 @@ def q_hybrid_neural_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+_DOC_IVF_ARTIFACTS: dict = {}
+
+
+def _doc_ivf_artifacts(spark: SparkSession, sf_dir: str):
+    """Ingest-time IVF artifacts (centroids + list assignment) over the
+    DOC-embedding column (the 8-dim stand-in, distinct from the
+    embeddings-table artifacts used by the ann_* keys), cached per
+    (session, corpus) — at 100 TB these are trained/written once at index
+    time and the embedding table is partitioned by list_id; queries only
+    probe."""
+    from neural_search_spark.pipeline.ann import ivf_assign, ivf_centroids
+
+    key = (id(spark), sf_dir)
+    if key not in _DOC_IVF_ARTIFACTS:
+        emb = _doc_embeddings(spark, sf_dir)
+        cents = ivf_centroids(emb, n_lists=8, id_col="docID", vec_col="embedding").cache()
+        asg = ivf_assign(emb, cents, id_col="docID", vec_col="embedding").cache()
+        _DOC_IVF_ARTIFACTS[key] = (cents, asg)
+    return _DOC_IVF_ARTIFACTS[key]
+
+
+def q_hybrid_ann_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + ANN dense hybrid: the dense clause runs through the IVF
+    coarse quantizer (probe 2 of 8 lists) instead of the brute-force
+    corpus scan — the knn_method surface wired into the hybrid clause
+    family, so no composed retrieval path is corpus-linear at scale. The
+    oracle recomputes the identical deterministic probe + candidate set
+    and scores it exactly."""
+    from neural_search_spark.search.neural import (
+        neural_clause_scores_ann,
+        query_embedding_stub,
+    )
+
+    eng = _engine(spark, sf_dir)
+    emb = _doc_embeddings(spark, sf_dir)
+    cents, asg = _doc_ivf_artifacts(spark, sf_dir)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    dense = neural_clause_scores_ann(
+        emb, qv, method="ivf", k=HYBRID_DEPTH, n_lists=8, nprobe=2,
+        centroids=cents, assigned=asg,
+    )
+    out = hybrid_search(
+        [eng.match(Q_MATCH), dense], "min_max", "arithmetic_mean",
+        k=10, depth=HYBRID_DEPTH,
+    )
+    return _round_score(out)
+
+
 def q_hybrid_phrase_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase + match in one hybrid query: the positional clause's
     sparse, high-scoring candidate set against a broad OR clause — another
@@ -641,6 +703,40 @@ def q_rerank_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     cand = topk(eng.match(Q_MATCH), 50)
     return rerank_ml(cand, _doc_embeddings(spark, sf_dir), Q_MATCH, k=10)
+
+
+RERANK_WINDOW = 50
+
+
+def q_rerank_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request-driven rerank: the ``ext.rerank`` block of the search spec
+    supplies everything — the query text comes OUT OF THE REQUEST via
+    ``query_context.query_text_path`` (``query/ext/RerankSearchExtBuilder
+    .java``), and the hit context field is fetched through the capped
+    document-context fetcher
+    (``processor/rerank/context/DocumentContextSourceFetcher.java:30-70``,
+    ``reranker_max_document_fields``)."""
+    from neural_search_spark.search.spec import parse_spec_with_rerank
+
+    eng = _engine(spark, sf_dir)
+    spec = {
+        "queries": [{"match": Q_MATCH}],
+        "ext": {
+            "rerank": {
+                "ml_opensearch": {
+                    "query_context": {"query_text_path": "queries.0.match"},
+                    "context": {"document_fields": ["lang"]},
+                }
+            }
+        },
+    }
+    return parse_spec_with_rerank(
+        eng,
+        spec,
+        k=10,
+        window=RERANK_WINDOW,
+        embeddings=_doc_embeddings(spark, sf_dir),
+    )
 
 
 NESTED_QUERY_TERMS = ["spark", "join", "window"]
@@ -2231,31 +2327,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): keys NEW or CHANGED this round first, then the 36 keys whose
-    # freshest driver row is round 2 (the r4 verdict's rotation ask — they
-    # fit in one 50-key window), then the long-green staples at the tail.
+    # round): the 4 keys NEW or CHANGED in round 6 first, then 46 of the
+    # 49 keys whose freshest driver row is round 3 (the r5 verdict's
+    # rotation ask). 49 + 4 > 50, so three UNCHANGED, trivially-
+    # deterministic r3 keys (text_token_counts, text_fingerprint,
+    # train_split_assign — pure projections, pytest-covered) sit at
+    # positions 51-53 to lead the round-7 window; fresher keys rotate to
+    # the tail.
     return {
-        # -- new in round 5 --
+        # -- new in round 6 --
+        "hybrid_ann_dense": q_hybrid_ann_dense,
+        "rerank_context": q_rerank_context,
+        "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
+        # -- changed in round 6 (round-then-cut window fix, ADVICE r5) --
+        "hybrid_batch_topk": q_hybrid_batch_topk,
+        # -- last driver-checked in round 3 (46 of 49) --
+        "bm25_phrase_topk": q_bm25_phrase_topk,  # changed: indexed default
+        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
+        "bm25_match_topk": q_bm25_match_topk,
+        "bm25_term_topk": q_bm25_term_topk,
+        "bm25_multi_match_topk": q_bm25_multi_match_topk,
+        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "bm25_match_and_topk": q_bm25_match_and_topk,
+        "bm25_match_msm_topk": q_bm25_match_msm_topk,
+        "span_near_topk": q_span_near_topk,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "terms_topk": q_terms_topk,
+        "wildcard_topk": q_wildcard_topk,
+        "range_topk": q_range_topk,
+        "ids_topk": q_ids_topk,
+        "match_all_filtered": q_match_all_filtered,
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "constant_score_topk": q_constant_score_topk,
+        "hybrid_bool_boosted": q_hybrid_bool_boosted,
+        "hybrid_agg_range": q_hybrid_agg_range,
+        "hybrid_sort_field": q_hybrid_sort_field,
+        "hybrid_explain": q_hybrid_explain,
+        "hybrid_explain_full": q_hybrid_explain_full,
+        "hybrid_spec_full": q_hybrid_spec_full,
+        "highlight_semantic": q_highlight_semantic,
+        "neural_max_distance": q_neural_max_distance,
+        "neural_rescored_topk": q_neural_rescored_topk,
+        "neural_nested_topk": q_neural_nested_topk,
+        "neural_nested_expand": q_neural_nested_expand,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_clusters": q_dedup_clusters,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_text_image_embedding": q_mm_text_image_embedding,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "stream_window_stats_batch": q_stream_window_stats_batch,
+        # ---- driver window boundary (first 50 keys end here) ----
+        # -- r3-stale spill (lead the round-7 window) --
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "train_split_assign": q_train_split_assign,
+        # -- green in round 5 (freshest, rotated to the tail) --
         "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "neural_batch_topk": q_neural_batch_topk,
-        "hybrid_batch_topk": q_hybrid_batch_topk,
         "dsir_weights": q_dsir_weights,
         "pack_efficiency": q_pack_efficiency,
         "dedup_canonical": q_dedup_canonical,
         "events_anomaly": q_events_anomaly,
         "match_bool_prefix_topk": q_match_bool_prefix_topk,
-        # -- changed in round 5 (advisor fixes / expansion cap) --
         "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
         "regexp_topk": q_regexp_topk,
         "text_entropy_quality": q_text_entropy,
         "hybrid_agg_filters": q_hybrid_agg_filters,
-        # (mlt_topk / simple_query_string changed only in docstring /
-        # an unreachable oracle branch — r4-green, rotated to the tail so
-        # the 36 r2-stale keys all fit in the 50-key window)
         "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
         "pipeline_end_to_end": q_pipeline_end_to_end,
-        # -- last driver-checked in round 2 (36 keys) --
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "doclen_quantized": q_doclen_quantized,
@@ -2279,7 +2431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_inner_hits": q_nested_inner_hits,
         "chunk_delimiter": q_chunk_delimiter,
         "chunk_fixed_char": q_chunk_fixed_char,
-        "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "sparse_score_topk": q_sparse_score_topk,
         "sparse_two_phase_topk": q_sparse_two_phase_topk,
         "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
@@ -2292,57 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_max_score": q_hybrid_max_score,
         "hybrid_spec_enriched": q_hybrid_spec_enriched,
         "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
-        # -- green in round 3 (freshest) --
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "mm_text_image_embedding": q_mm_text_image_embedding,
-        "hybrid_sort_field": q_hybrid_sort_field,
-        "hybrid_explain_full": q_hybrid_explain_full,
-        "hybrid_explain": q_hybrid_explain,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "text_token_counts": q_text_token_counts,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "mm_image_meta": q_mm_image_meta,
-        "mm_frame_sample": q_mm_frame_sample,
-        "hybrid_spec_full": q_hybrid_spec_full,
-        "neural_max_distance": q_neural_max_distance,
-        "neural_rescored_topk": q_neural_rescored_topk,
-        "neural_nested_topk": q_neural_nested_topk,
-        "neural_nested_expand": q_neural_nested_expand,
-        "highlight_semantic": q_highlight_semantic,
-        "stream_window_stats_batch": q_stream_window_stats_batch,
-        "dedup_clusters": q_dedup_clusters,
-        "train_split_assign": q_train_split_assign,
-        "bm25_match_and_topk": q_bm25_match_and_topk,
-        "bm25_match_msm_topk": q_bm25_match_msm_topk,
-        "hybrid_bool_boosted": q_hybrid_bool_boosted,
-        "hybrid_agg_range": q_hybrid_agg_range,
-        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
-        "match_all_filtered": q_match_all_filtered,
-        "ids_topk": q_ids_topk,
-        "wildcard_topk": q_wildcard_topk,
-        "range_topk": q_range_topk,
-        "dis_max_topk": q_dis_max_topk,
-        "boosting_topk": q_boosting_topk,
-        "constant_score_topk": q_constant_score_topk,
-        "bm25_match_topk": q_bm25_match_topk,
-        "bm25_term_topk": q_bm25_term_topk,
-        "bm25_phrase_topk": q_bm25_phrase_topk,
-        "bm25_multi_match_topk": q_bm25_multi_match_topk,
-        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
-        "span_near_topk": q_span_near_topk,
-        "prefix_topk": q_prefix_topk,
-        "fuzzy_topk": q_fuzzy_topk,
-        "terms_topk": q_terms_topk,
-        # -- green in round 4 (freshest, rotated to the tail) --
+        # -- green in round 4 (rotated to the tail) --
         "vocab_oov_rate": q_vocab_oov,
         "dedup_substring": q_dedup_substring,
         "rank_feature_topk": q_rank_feature_topk,
@@ -2408,6 +2509,28 @@ def oracle_sql() -> dict[str, str]:
     h2 = [tt(c) for c in HYBRID_CLAUSES]
     h3 = [tt(c) for c in HYBRID_CLAUSES_3]
     return {
+        "hybrid_ann_dense": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {
+                    "kind": "neural_ann",
+                    "qvec": _neural_qv(),
+                    "k": HYBRID_DEPTH,
+                    "n_lists": 8,
+                    "nprobe": 2,
+                },
+            ],
+            k=10,
+            depth=HYBRID_DEPTH,
+        ),
+        "rerank_context": osql.rerank_context_sql(
+            tt(Q_MATCH), _qv_of(Q_MATCH), RERANK_WINDOW, 10
+        ),
+        # scan-path exhibit shares the default key's oracle: the positional
+        # index is score-identical to the scan by contract
+        "bm25_phrase_scan_topk": osql.match_phrase_topk_sql(
+            tt(Q_PHRASE), k=10
+        ),
         "bm25_match_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "bm25_match_and_topk": osql.bm25_topk_sql(
             tt(Q_MATCH), k=10, min_term_match=len(set(tt(Q_MATCH)))

@@ -183,9 +183,21 @@ def chunk_udf(algorithm: str, **params):
     return _chunk
 
 
+_CHUNK_ALGO_EVENTS = {
+    "fixed_tokens": "text_chunking_fixed_token_length_executions",
+    "delimiter": "text_chunking_delimiter_executions",
+    "fixed_chars": "text_chunking_fixed_char_length_executions",
+}
+
+
 def chunk_table(df, text_col: str, id_col: str, algorithm: str, **params):
     """corpus → exploded (docID, chunk_idx, chunk) — the Spark restatement of
     the ingest processor's per-field chunk loop (`explode(chunk_udf(...))`)."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("text_chunking_executions")
+    if algorithm in _CHUNK_ALGO_EVENTS:
+        _stats.record_event(_CHUNK_ALGO_EVENTS[algorithm])
     return df.select(
         F.col(id_col).alias("docID"),
         F.posexplode(chunk_udf(algorithm, **params)(F.col(text_col))).alias(

@@ -260,6 +260,14 @@ def build_index(
         with open(stats_path) as f:
             check_format_version(json.load(f), out_dir)
     done = read_manifest(out_dir) if resume else []
+    # stats.json is written at the END of stage A, so an interrupted build
+    # left by an older-format engine can have a manifest (and encoded
+    # shards) with no stats.json — gate on the manifest's completed
+    # 'postings' entries too, or the resume would silently mix stale-format
+    # shards with new ones (a pre-versioning entry reads as version 0)
+    for e in done:
+        if e.get("stage") == "postings":
+            check_format_version(e, out_dir)
     done_stage_a = any(e["stage"] == "raw" for e in done)
     done_shards = {s for e in done if e["stage"] == "postings" for s in e["shards"]}
 
@@ -374,6 +382,133 @@ def build_index(
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     stats["build_wall_s"] = round(time.perf_counter() - t0, 3)
+    return stats
+
+
+#: on-disk format versions migrate_index can read. Version 0 is the
+#: pre-versioning layout (same byte codec, no stamps anywhere).
+MIGRATABLE_VERSIONS = {0}
+
+_RAW_ROW_SCHEMA = StructType(
+    [
+        StructField("docID", LongType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("tf", IntegerType(), False),
+    ]
+)
+
+
+def migrate_index(spark: SparkSession, old_dir: str, new_dir: str) -> dict:
+    """Rolling-upgrade analog (reference ``qa/rolling-upgrade``,
+    ``build.gradle:325-446``): rewrite a version n−1 index into the current
+    :data:`FORMAT_VERSION` under ``new_dir``. The reader keeps REFUSING
+    unmigrated mismatches (restart-upgrade semantics,
+    :func:`check_format_version`); this job is the upgrade path.
+
+    Shape: one distributed pass per the old index's postings — each stale
+    (term, shard) row is decoded with the version-tagged decoder
+    (vectorized numpy inside ``mapInPandas``, never per-posting Python),
+    per-doc quantized lengths are re-joined from the doclens table (block
+    metadata only stores the block MIN), and the stream re-encodes through
+    the current stage-B encoder. doclens/docmap are format-independent
+    parquet and are rewritten as-is; the content-sha256 docmap invariant
+    is verified before the new index is stamped. Returns the new stats.
+    """
+    with open(os.path.join(old_dir, "stats.json")) as f:
+        old_stats = json.load(f)
+    found = int(old_stats.get("format_version", 0))
+    if found == FORMAT_VERSION:
+        raise ValueError(
+            f"index at {old_dir} is already format_version={FORMAT_VERSION}; nothing to migrate"
+        )
+    if found not in MIGRATABLE_VERSIONS:
+        raise ValueError(
+            f"index at {old_dir} has format_version={found}; this engine "
+            f"migrates only versions {sorted(MIGRATABLE_VERSIONS)}"
+        )
+    n_shards = int(old_stats["n_shards"])
+    block_size = int(old_stats.get("block_size", BLOCK_SIZE))
+    os.makedirs(new_dir, exist_ok=True)
+    t0 = time.perf_counter()
+
+    from neural_search_spark.index.codec import decode_posting_list
+
+    def _decode(batches):
+        for pdf in batches:
+            out_doc: list[np.ndarray] = []
+            out_tf: list[np.ndarray] = []
+            out_term: list[np.ndarray] = []
+            out_shard: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                blocks = list(
+                    zip(row.blk_last, row.blk_maxtf, row.blk_mindlq,
+                        row.blk_docend, row.blk_tfend)
+                )
+                d, t = decode_posting_list(bytes(row.doc_bytes), bytes(row.tf_bytes), blocks)
+                out_doc.append(d)
+                out_tf.append(t)
+                out_term.append(np.repeat(row.term, d.size))
+                out_shard.append(np.full(d.size, row.shard, dtype=np.int32))
+            if not out_doc:
+                continue
+            yield pd.DataFrame(
+                {
+                    "docID": np.concatenate(out_doc),
+                    "shard": np.concatenate(out_shard),
+                    "term": np.concatenate(out_term),
+                    "tf": np.concatenate(out_tf).astype(np.int32),
+                }
+            )
+
+    old_postings = spark.read.parquet(os.path.join(old_dir, "postings"))
+    decoded = old_postings.mapInPandas(_decode, _RAW_ROW_SCHEMA)
+    doclens = spark.read.parquet(os.path.join(old_dir, "doclens"))
+    raw = decoded.join(
+        doclens.select("docID", "dl", "dlq"), "docID"
+    ).select("docID", "shard", "dl", "dlq", "term", "tf")
+    raw_dir = os.path.join(new_dir, "_postings_raw")
+    (
+        raw.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "docID")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(raw_dir)
+    )
+    # doclens/docmap: format-independent parquet, rewritten shard-partitioned
+    doclens.repartition(n_shards, "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(os.path.join(new_dir, "doclens"))
+    old_map = spark.read.parquet(os.path.join(old_dir, "docmap"))
+    old_map.repartition(n_shards, "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(os.path.join(new_dir, "docmap"))
+    # content-identity invariant: the migrated docmap must carry exactly
+    # the old (docID, sha256) pairs — checked distributed (anti-join both
+    # ways collapses to one count), never by collecting the map
+    new_map = spark.read.parquet(os.path.join(new_dir, "docmap"))
+    drift = (
+        old_map.select("docID", "sha").exceptAll(new_map.select("docID", "sha")).count()
+        + new_map.select("docID", "sha").exceptAll(old_map.select("docID", "sha")).count()
+    )
+    if drift:
+        raise RuntimeError(f"migration changed {drift} docmap rows — aborting before stamp")
+    stats = {**old_stats, "format_version": FORMAT_VERSION, "block_size": block_size}
+    stats.pop("build_wall_s", None)
+    with open(os.path.join(new_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    _append_manifest(
+        new_dir,
+        {
+            "stage": "raw",
+            "shards": list(range(n_shards)),
+            "rows": None,
+            "migrated_from": {"dir": old_dir, "format_version": found},
+            "wall_s": round(time.perf_counter() - t0, 3),
+        },
+    )
+    _encode_shards(spark, new_dir, raw_dir, list(range(n_shards)), block_size)
+    stats["migrate_wall_s"] = round(time.perf_counter() - t0, 3)
     return stats
 
 
@@ -511,6 +646,10 @@ def update_index(
     """
     if mode not in ("sync", "upsert"):
         raise ValueError(f"mode must be 'sync' or 'upsert', got {mode!r}")
+    from neural_search_spark import stats as _stats
+
+    # the update IS the skip_existing path (unchanged docs never re-read)
+    _stats.record_event("skip_existing_executions")
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     check_format_version(stats, out_dir)  # never re-encode a stale format

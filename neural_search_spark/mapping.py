@@ -92,8 +92,10 @@ def apply_semantic_mapping(
     the mapper also skips empty values). The output schema equals
     :func:`derive_semantic_schema` of the input schema up to nullability
     flags (Spark derives those from the expressions; they are advisory)."""
+    from neural_search_spark import stats as _stats
     from neural_search_spark.pipeline.embedding import text_embedding_stub
 
+    _stats.record_event("semantic_field_executions")
     info_name = semantic_info_field_name(field, semantic_info_field)
     # validate via the schema transformer (same error surface)
     derive_semantic_schema(df.schema, field, semantic_info_field)

@@ -235,6 +235,101 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def _cos8_sql(a: str, b: str, n_dims: int = 8) -> str:
+    """Cosine between two 8-dim DuckDB lists, unrolled left-associated —
+    same fold order as ``pipeline.ann._cosine`` (zip_with + aggregate)."""
+    from neural_search_spark.pipeline.params import pairwise_dot_sql
+
+    dot = pairwise_dot_sql(a, b, n_dims, one_based=True)
+    na = pairwise_dot_sql(a, a, n_dims, one_based=True)
+    nb = pairwise_dot_sql(b, b, n_dims, one_based=True)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _neural_ann_clause_ctes(
+    i: int,
+    qvec: list[float],
+    depth: int | None,
+    doc_filter: str | None,
+    kq: int,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    n_dims: int = 8,
+) -> str:
+    """IVF-pruned dense clause twin of
+    :func:`neural_search_spark.search.neural.neural_clause_scores_ann`
+    (method="ivf"): same deterministic coarse quantizer as the ann_ivf
+    oracle (seeds = lowest docIDs, one Lloyd step with 6-dp per-dim means,
+    argmax ties to the smaller list_id), probe = top-nprobe centroids by
+    (cosine desc, list_id asc) against the literal query vector, clause
+    score = round6 dot over the probed lists only, cut to the clause k."""
+    from neural_search_spark.pipeline.params import dot_sql
+
+    qlist = "[" + ", ".join(f"{float(v)!r}" for v in qvec) + "]"
+    qq = " + ".join(f"{float(v)!r} * {float(v)!r}" for v in qvec)
+    vdims = ", ".join(f"d{j}" for j in range(n_dims))
+    # cosine(centroid, literal qv): dot unrolled over the centroid list,
+    # |qv| rendered from the same literals the engine folds
+    cq_dot = dot_sql("c", [float(v) for v in qvec], one_based=True)
+    filt = (
+        f"WHERE docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    cut_k = kq if depth is None else min(kq, depth)
+    return f"""
+ev{i} AS (SELECT docID, [{vdims}] AS v FROM edim),
+seeds{i} AS (
+    SELECT row_number() OVER (ORDER BY docID) - 1 AS list_id, v AS c
+    FROM (SELECT * FROM ev{i} ORDER BY docID LIMIT {n_lists})
+),
+a0_{i} AS (
+    SELECT docID, v, list_id,
+           row_number() OVER (
+               PARTITION BY docID
+               ORDER BY {_cos8_sql('v', 'c', n_dims)} DESC, list_id ASC
+           ) AS rn
+    FROM ev{i}, seeds{i}
+),
+dims{i} AS (
+    SELECT list_id, di, {round6_sql('avg(CAST(v[di] AS DOUBLE))')} AS m
+    FROM (SELECT list_id, v, unnest(generate_series(1, {n_dims})) AS di
+          FROM a0_{i} WHERE rn = 1)
+    GROUP BY list_id, di
+),
+cents{i} AS (SELECT list_id, list(m ORDER BY di) AS c FROM dims{i} GROUP BY list_id),
+a1_{i} AS (
+    SELECT docID, v, list_id,
+           row_number() OVER (
+               PARTITION BY docID
+               ORDER BY {_cos8_sql('v', 'c', n_dims)} DESC, list_id ASC
+           ) AS rn
+    FROM ev{i}, cents{i}
+),
+assigned{i} AS (SELECT docID, v, list_id FROM a1_{i} WHERE rn = 1),
+probe{i} AS (
+    SELECT list_id FROM cents{i}
+    ORDER BY ({cq_dot}) / (sqrt({pairwise_dot8(n_dims)('c')}) * sqrt({qq})) DESC,
+             list_id ASC
+    LIMIT {nprobe}
+),
+sc{i} AS (
+    SELECT a.docID, {round6_sql(dot_sql('a.v', [float(v) for v in qvec], one_based=True))} AS score
+    FROM assigned{i} a JOIN probe{i} USING (list_id)
+    {filt.replace('WHERE docID', 'WHERE a.docID') if filt else ''}
+    ORDER BY score DESC, docID ASC
+    LIMIT {cut_k}
+),
+cut{i} AS (SELECT docID, score FROM sc{i})"""
+
+
+def pairwise_dot8(n_dims: int):
+    """self-dot renderer for a list column (unrolled, left-associated)."""
+    from neural_search_spark.pipeline.params import pairwise_dot_sql
+
+    return lambda a: pairwise_dot_sql(a, a, n_dims, one_based=True)
+
+
 def _sparse_clause_ctes(
     i: int, query_tokens: dict[str, float], depth: int | None, doc_filter: str | None
 ) -> str:
@@ -841,6 +936,16 @@ def _mixed_clause_ctes(
         )
     if kind == "neural":
         return _neural_clause_ctes(i, spec["qvec"], depth, doc_filter)
+    if kind == "neural_ann":
+        return _neural_ann_clause_ctes(
+            i,
+            spec["qvec"],
+            depth,
+            doc_filter,
+            kq=spec["k"],
+            n_lists=spec.get("n_lists", 8),
+            nprobe=spec.get("nprobe", 2),
+        )
     if kind == "sparse":
         return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
     if kind == "phrase":
@@ -871,7 +976,7 @@ def hybrid_mixed_topk_sql(
     "tokens": {...}}``."""
     n = len(clauses)
     w = weights or [1.0] * n
-    needs_emb = any(c["kind"] == "neural" for c in clauses)
+    needs_emb = any(c["kind"] in ("neural", "neural_ann") for c in clauses)
     prelude = _PRELUDE + ("," + _neural_prelude() if needs_emb else "")
     clause_sql = ",".join(
         _mixed_clause_ctes(i, c, k1, b, depth, doc_filter) for i, c in enumerate(clauses)
@@ -1037,6 +1142,33 @@ SELECT cand.docID, COALESCE({score}, 0.0) AS score
 FROM cand LEFT JOIN edim e ON cand.docID = e.docID
 ORDER BY score DESC, cand.docID
 LIMIT {k}
+"""
+
+
+def rerank_context_sql(
+    terms: list[str], qvec: list[float], window: int, k: int
+) -> str:
+    """Spec-level ``ext.rerank`` twin of
+    :func:`neural_search_spark.search.spec.parse_spec_with_rerank`
+    (ml_opensearch): single-match hybrid window → similarity rescore
+    (score REPLACED, round6) → cut to k → fetched document context field
+    (``lang``) joined onto the hits."""
+    inner = hybrid_mixed_topk_sql(
+        [{"kind": "match", "terms": terms}], k=window, depth=window
+    )
+    score = round6_sql(_neural_dot(qvec, prefix="e."))
+    return f"""
+WITH cand AS ({inner}),
+{_neural_prelude().strip()},
+rr AS (
+    SELECT cand.docID AS docID, COALESCE({score}, 0.0) AS score
+    FROM cand LEFT JOIN edim e ON cand.docID = e.docID
+    ORDER BY score DESC, docID
+    LIMIT {k}
+)
+SELECT rr.docID, rr.score, d.lang
+FROM rr JOIN documents d ON rr.docID = CAST(d.doc_id AS BIGINT)
+ORDER BY rr.score DESC, rr.docID
 """
 
 

@@ -34,6 +34,9 @@ def text_embedding_stub(
     n_dims: int = N_DIMS,
 ) -> DataFrame:
     """(docID, embedding array<double>) — the processor's output shape."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("text_embedding_executions")
     toks = corpus.select(
         F.col(id_col).alias("docID"),
         F.explode(tokenize_udf(F.col(text_col))).alias("term"),

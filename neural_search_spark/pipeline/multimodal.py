@@ -59,18 +59,37 @@ def decode_image_stub(payload: bytes) -> "object":
     )
 
 
+def rechunk_ingest_batches(
+    batches: Iterator[pd.DataFrame], batch_size: int
+) -> Iterator[pd.DataFrame]:
+    """Re-chunk Arrow batches into model micro-batches of at most
+    ``batch_size`` rows — the Spark analog of the reference's ingest
+    sub-batching (``processor/InferenceProcessor.java:199-229`` cuts the
+    doc list into ``semantic_ingest_batch_size`` slices per model call).
+    Arrow hands `mapInPandas` ~10k-row batches; a model server has its own
+    max batch, so the loop slices before each "inference" call."""
+    for pdf in batches:
+        for start in range(0, len(pdf), batch_size):
+            yield pdf.iloc[start : start + batch_size]
+
+
 def extract_binary_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     (docID, payload, meta) → (docID, n_bytes, checksum). A real decoder
     replaces the checksum with decoded features; batch shape, schema and
-    partitioning are exactly what that decoder would need.
+    partitioning are exactly what that decoder would need. Each model
+    micro-batch is capped at the ``semantic_ingest_batch_size`` setting
+    (``settings/NeuralSearchSettings.java`` intSetting default 10, 1..100).
     """
+    from neural_search_spark import settings
+
+    batch_size = settings.get("semantic_ingest_batch_size")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in batches:
+        for pdf in rechunk_ingest_batches(batches, batch_size):
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -110,6 +129,9 @@ def text_image_embedding_stub(
     multimodal model drops in as an Arrow UDF over the same (text, payload)
     batch shape. Returns long form (docID, dim, value) for the oracle gate.
     """
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("text_image_embedding_executions")
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
     tcnt = (
         df.select(F.col(id_col).alias("docID"), F.explode(toks).alias("term"))

@@ -368,8 +368,12 @@ def hybrid_batch_topk(
         )
     )
     num = reduce(lambda a, b: a + b, [F.col(f"s_{i}") for i in range(maxc)])
+    # round-then-cut: the per-qid window orders by the ROUNDED score so the
+    # engine and the DuckDB oracle (which rounds before ORDER BY/LIMIT)
+    # share one cut contract — same reasoning as bm25_batch_topk; cutting
+    # on the unrounded score can pick different docs on 4dp boundary ties.
     comb = wide.join(nclause, "qid").select(
-        "qid", "docID", (num / F.col("_nc")).alias("score")
+        "qid", "docID", F.round(num / F.col("_nc"), 4).alias("score")
     )
     wk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("docID").asc()
@@ -377,7 +381,7 @@ def hybrid_batch_topk(
     return (
         comb.withColumn("_rn", F.row_number().over(wk))
         .where(F.col("_rn") <= int(k))
-        .select("qid", "docID", F.round("score", 4).alias("score"))
+        .select("qid", "docID", "score")
         .orderBy("qid", F.col("score").desc(), "docID")
     )
 
@@ -421,9 +425,29 @@ def hybrid_search(
     # stats-API event counters (stats/events/EventStatName.java analog)
     from neural_search_spark import stats as _stats
 
+    # EventStatName.java counters: the normalization processor runs once
+    # per hybrid request; techniques map to their typed counters (rrf is
+    # the rank-based processor + comb_rrf pair in the reference)
     _stats.record_event("hybrid_query_requests")
-    _stats.record_event(f"normalization_{normalization}_executions")
-    _stats.record_event(f"combination_{combination}_executions")
+    if normalization == "rrf":
+        _stats.record_event("rank_based_normalization_processor_executions")
+    else:
+        _stats.record_event("normalization_processor_executions")
+        _stats.record_event(
+            {
+                "min_max": "norm_minmax_executions",
+                "l2": "norm_l2_executions",
+                "z_score": "norm_zscore_executions",
+            }[normalization]
+        )
+    _stats.record_event(
+        {
+            "arithmetic_mean": "comb_arithmetic_executions",
+            "geometric_mean": "comb_geometric_executions",
+            "harmonic_mean": "comb_harmonic_executions",
+            "rrf": "comb_rrf_executions",
+        }[combination]
+    )
     for bounds in (lower_bounds, upper_bounds):
         if bounds is not None and len(bounds) != len(clause_scores):
             raise ValueError("bounds list must have one entry per sub-query")

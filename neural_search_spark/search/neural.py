@@ -78,8 +78,11 @@ def neural_clause_scores(
     2·(1−score) ≤ max_distance² — evaluated on the 6-dp-rounded score so
     the cut is bit-identical on both engines.
     """
+    from neural_search_spark import stats as _stats
     from neural_search_spark.pipeline.ann import _dot
 
+    _stats.record_event("neural_query_requests")
+    _stats.record_event("neural_query_against_knn_requests")
     if min_score is not None and max_distance is not None:
         raise ValueError("neural clause accepts min_score OR max_distance, not both")
     qv = F.array(*[F.lit(float(v)) for v in query_vector])
@@ -97,6 +100,128 @@ def neural_clause_scores(
     if k is not None:
         scored = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
     return scored
+
+
+def neural_clause_scores_ann(
+    doc_embeddings: DataFrame,
+    query_vector: list[float],
+    method: str = "ivf",
+    k: int | None = None,
+    n_lists: int | None = None,
+    nprobe: int | None = None,
+    oversample: int = 3,
+    candidate_docs: DataFrame | None = None,
+    min_score: float | None = None,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN-backed dense clause — the ``knn_method`` surface of the kNN
+    rewrite (``query/NeuralKNNQueryBuilder.java:33-41`` exposes k/rescore;
+    the method params live in the k-NN plugin the reference wraps). Same
+    (docID, score) contract as :func:`neural_clause_scores` — score =
+    round6 cosine of the L2-normalized stand-in embeddings — but the
+    candidate set is PRUNED instead of the whole corpus, so a dense clause
+    inside a hybrid query stops being corpus-linear at scale:
+
+    - ``method="ivf"``: probe the ``nprobe`` nearest coarse lists
+      (:func:`neural_search_spark.pipeline.ann.ivf_centroids` /
+      ``ivf_assign`` — at 100 TB both are ingest-time artifacts passed in
+      via ``centroids``/``assigned`` and the table is partitioned by
+      ``list_id``, so the scan prunes to nprobe/n_lists of the data).
+    - ``method="quantized_rescore"``: int8-dequantized coarse cosine cuts
+      a ``k×oversample`` window (4× less I/O than float32), the exact
+      float cosine rescores only that window.
+
+    Deterministic contract (oracle-checkable): probe lists = top-nprobe
+    centroids by (cosine desc, list_id asc); final rank by (round6 score
+    desc, docID asc). ``candidate_docs``/``min_score`` apply after pruning,
+    exactly like the brute clause.
+    """
+    from neural_search_spark.pipeline.ann import (
+        _cosine,
+        _dot,
+        ivf_assign,
+        ivf_centroids,
+        quantization_stats,
+        quantize_int8,
+    )
+
+    from neural_search_spark import stats as _stats
+
+    if k is None:
+        raise ValueError("ANN dense clause requires k (the kNN candidate count)")
+    _stats.record_event("neural_query_requests")
+    _stats.record_event("neural_query_against_knn_requests")
+    qv = F.array(*[F.lit(float(v)) for v in query_vector])
+    if method == "ivf":
+        n_lists = n_lists if n_lists is not None else P.IVF_N_LISTS
+        nprobe = nprobe if nprobe is not None else P.IVF_NPROBE
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(doc_embeddings, n_lists, id_col="docID", vec_col=vec_col)
+        )
+        asg = (
+            assigned
+            if assigned is not None
+            else ivf_assign(doc_embeddings, cents, id_col="docID", vec_col=vec_col)
+        )
+        # centroids are means (not unit vectors) — the probe ranks by the
+        # full cosine, the exact expression the oracle twin recomputes
+        probe = (
+            cents.orderBy(F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id"))
+            .limit(int(nprobe))
+            .select("list_id")
+        )
+        scored = (
+            asg.join(F.broadcast(probe), "list_id")
+            .select(
+                F.col("vec_id").alias("docID"),
+                P.round6(_dot(F.col("v"), qv)).alias("score"),
+            )
+        )
+    elif method == "quantized_rescore":
+        # coarse pass: both sides through the SAME global-interval int8
+        # quantizer (the query quantizes driver-side — two exact extremes
+        # fetched once, the ann_quantized convention), 4-dp rounded
+        # dequantized cosine cuts a k×oversample window; exact pass:
+        # round6 dot of the ORIGINAL floats over that window only
+        mn, mx = quantization_stats(doc_embeddings, vec_col)
+        scale = (mx - mn) / 255.0 if mx > mn else 1.0
+        dqv = [
+            mn + math.floor((float(v) - mn) / scale + 0.5) * scale
+            for v in query_vector
+        ]
+        cqv = F.array(*[F.lit(float(v)) for v in dqv])
+        qt = quantize_int8(doc_embeddings, mn, mx, id_col="docID", vec_col=vec_col)
+        deq = F.transform(
+            F.col("qvec"), lambda x: F.lit(mn) + x.cast("double") * F.lit(scale)
+        )
+        window = (
+            qt.select("vec_id", deq.alias("v"))
+            .select("vec_id", P.round4(_cosine(F.col("v"), cqv)).alias("cscore"))
+            .orderBy(F.desc("cscore"), F.asc("vec_id"))
+            .limit(int(k) * int(oversample))
+            .select("vec_id")
+        )
+        scored = (
+            doc_embeddings.select(
+                F.col("docID").alias("vec_id"), F.col(vec_col).alias("v")
+            )
+            .join(F.broadcast(window), "vec_id", "semi")
+            .select(
+                F.col("vec_id").alias("docID"),
+                P.round6(_dot(F.col("v"), qv)).alias("score"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown knn_method {method!r}")
+    if candidate_docs is not None:
+        scored = scored.join(candidate_docs.select("docID"), "docID", "semi")
+    if min_score is not None:
+        scored = scored.where(F.col("score") >= float(min_score))
+    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(int(k))
 
 
 def neural_batch_topk(
@@ -243,7 +368,7 @@ def rerank_ml(
     rescores exactly the hits in the response)."""
     from neural_search_spark import stats as _stats
 
-    _stats.record_event("rerank_ml_processor_executions")
+    _stats.record_event("rerank_ml_executions")
     rescored = cross_encoder_stub_scores(results, doc_embeddings, query_text)
     # every window hit keeps a row (the reference rescores hits in place);
     # a doc with no embedding (empty content) scores 0.0

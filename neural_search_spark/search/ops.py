@@ -21,6 +21,9 @@ def rerank_by_field(
     (``processor/rerank/ByFieldRerankProcessor.java:72-107``): replace the
     score with a numeric field from the hit source, optionally keeping the
     previous score as ``previous_score``, then re-sort."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("rerank_by_field_executions")
     joined = results.join(docs.select(F.col(id_col).alias("docID"), target_field), "docID")
     cols = [F.col("docID"), F.col(target_field).cast("double").alias("score")]
     if keep_previous_score:
@@ -282,6 +285,9 @@ def nested_inner_hits(
     Scale shape: one window over ``parent_col`` (shuffle by parent) — the
     same plan as collapse; no joins, no driver-side state.
     """
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("hybrid_query_with_inner_hits_requests")
     from neural_search_spark.analysis.tokenizer import tokenize_udf
 
     tset = F.array(*[F.lit(t) for t in sorted(set(terms))])
@@ -374,6 +380,10 @@ def highlight_semantic(
     tokens — no per-row Python), one window per doc.
     """
     import re
+
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("semantic_highlighting_request_count")
 
     from neural_search_spark.pipeline.ann import _dot
     from neural_search_spark.pipeline import params as P

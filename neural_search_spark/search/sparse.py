@@ -92,6 +92,9 @@ def sparse_features_from_tf(corpus: DataFrame, text_col: str = "content", id_col
     (``processor/SparseEncodingProcessor.java:45``): feature weight =
     term frequency (exact under FeatureField quantization for tf ≤ 512).
     Returns (docID, features map<string,float>)."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("sparse_encoding_executions")
     return corpus.select(
         F.col(id_col).alias("docID"),
         F.transform_values(
@@ -170,6 +173,9 @@ def neural_sparse_score(
 ) -> DataFrame:
     """Σ_token qw × dw per doc → (docID, score). The tiny query-token table
     is broadcast; only matching postings rows shuffle into the final agg."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("neural_sparse_query_requests")
     if not query_tokens:
         return spark.range(0).select(F.col("id").alias("docID"), F.lit(0.0).alias("score"))
     qt = F.broadcast(
@@ -197,6 +203,9 @@ def two_phase_topk(
     """Two-phase sparse retrieval: heavy tokens select a candidate window,
     light tokens only rescore the window — the reference's rescorer shape
     (window_size = size × expansion_rate, capped at 10000)."""
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("neural_sparse_two_phase_executions")
     hi, lo = prune_vector(dict(query_tokens), prune_type, prune_ratio)
     window = min(int(k * expansion_rate), MAX_WINDOW_SIZE)
     phase1 = neural_sparse_score(spark, postings, hi)

@@ -59,6 +59,9 @@ def enrich_spec(spec: dict, defaults: dict[str, Any] | None = None) -> dict:
     the input is not mutated."""
     if not defaults:
         return spec
+    from neural_search_spark import stats as _stats
+
+    _stats.record_event("neural_query_enricher_executions")
     out = {**spec, "queries": []}
     for clause in spec.get("queries", []):
         (ctype, body), = clause.items()
@@ -315,6 +318,27 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
             cand = engine.corpus.where(filter_expr).select(
                 F.col(engine.id_col).alias("docID")
             )
+        # knn_method: ANN-pruned candidate generation (ivf /
+        # quantized_rescore) instead of the brute-force scan — the k-NN
+        # method-param surface the reference's NeuralKNNQueryBuilder wraps.
+        # ``centroids``/``assigned`` are the optional ingest-time IVF
+        # artifacts (same artifact-handle convention as ``embeddings``).
+        if body.get("knn_method"):
+            from neural_search_spark.search.neural import neural_clause_scores_ann
+
+            return neural_clause_scores_ann(
+                body["embeddings"],
+                qv,
+                method=body["knn_method"],
+                k=body.get("k"),
+                n_lists=body.get("n_lists"),
+                nprobe=body.get("nprobe"),
+                oversample=body.get("oversample", 3),
+                candidate_docs=cand,
+                min_score=body.get("min_score"),
+                centroids=body.get("centroids"),
+                assigned=body.get("assigned"),
+            )
         return neural_clause_scores(
             body["embeddings"],
             qv,
@@ -483,6 +507,102 @@ def parse_spec_with_highlight(
     )
 
 
+def resolve_query_text_path(spec: dict, path: str) -> str:
+    """Resolve a ``query_text_path`` against the request dict — the
+    reference reads the rerank query text out of the search request itself
+    (``query/ext/RerankSearchExtBuilder.java`` carries the block;
+    ``MLOpenSearchRerankProcessor`` evaluates the XContent path). Dot
+    segments index dicts; numeric segments index lists."""
+    node: Any = spec
+    for seg in path.split("."):
+        if isinstance(node, list):
+            node = node[int(seg)]
+        elif isinstance(node, dict):
+            if seg not in node:
+                raise ValueError(f"query_text_path {path!r}: no key {seg!r}")
+            node = node[seg]
+        else:
+            raise ValueError(f"query_text_path {path!r}: hit a leaf at {seg!r}")
+    if not isinstance(node, str):
+        raise ValueError(f"query_text_path {path!r} must resolve to a string")
+    return node
+
+
+def parse_spec_with_rerank(
+    engine,
+    spec: dict,
+    pipeline: dict | None = None,
+    k: int = 10,
+    window: int = 50,
+    embeddings: DataFrame | None = None,
+    enricher_defaults: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Hybrid search + spec-level ``ext.rerank`` block — the request-context
+    surface of the rerank processors (``query/ext/RerankSearchExtBuilder.java``
+    + ``processor/rerank/context/DocumentContextSourceFetcher.java:30-70``):
+
+    - ``{"ext": {"rerank": {"ml_opensearch": {"query_context":
+      {"query_text": ...} | {"query_text_path": ...}, "context":
+      {"document_fields": [...]}}}}}`` — the query text comes from the
+      request itself (path resolved against the spec dict, exactly one of
+      the two keys), every response-window hit is re-scored by the
+      similarity model, and the listed document fields are fetched through
+      the context fetcher, which enforces ``reranker_max_document_fields``.
+    - ``{"ext": {"rerank": {"by_field": {"target_field": ...,
+      "keep_previous_score": ...}}}}`` — the target field is fetched
+      through the same capped fetcher and replaces the score.
+
+    Returns (docID, score, <document_fields...>) for ml, the by_field
+    schema for by_field. The window (top-``window`` hybrid hits) is the
+    response the processor sees; the final cut is ``k``.
+    """
+    body = spec["hybrid"] if "hybrid" in spec else spec
+    ext = body.get("ext", {}).get("rerank")
+    if not isinstance(ext, dict):
+        raise ValueError("spec has no ext.rerank block")
+    inner = {k2: v for k2, v in body.items() if k2 != "ext"}
+    results = parse_hybrid_spec(
+        engine, inner, pipeline=pipeline, k=window, enricher_defaults=enricher_defaults
+    )
+    from neural_search_spark.search.ops import rerank_by_field, rerank_document_context
+
+    if "ml_opensearch" in ext:
+        from neural_search_spark.search.neural import rerank_ml
+
+        cfg = ext["ml_opensearch"]
+        qc = cfg.get("query_context") or {}
+        if ("query_text" in qc) == ("query_text_path" in qc):
+            # RerankSearchExtBuilder validates exactly one source
+            raise ValueError(
+                "query_context requires exactly one of query_text / query_text_path"
+            )
+        qtext = qc.get("query_text") or resolve_query_text_path(inner, qc["query_text_path"])
+        if embeddings is None:
+            raise ValueError("ml_opensearch rerank requires the embeddings artifact")
+        out = rerank_ml(results, embeddings, qtext, k=k)
+        fields = (cfg.get("context") or {}).get("document_fields") or []
+        if fields:
+            from pyspark.sql import functions as F
+
+            ctx = rerank_document_context(engine.corpus, fields, id_col=engine.id_col)
+            out = out.join(ctx, "docID", "left").orderBy(
+                F.desc("score"), F.asc("docID")
+            )
+        return out
+    if "by_field" in ext:
+        cfg = ext["by_field"]
+        ctx = rerank_document_context(
+            engine.corpus, [cfg["target_field"]], id_col=engine.id_col
+        )
+        return rerank_by_field(
+            results,
+            ctx,
+            cfg["target_field"],
+            keep_previous_score=bool(cfg.get("keep_previous_score", False)),
+        ).limit(k)
+    raise ValueError(f"unknown rerank ext type(s): {sorted(ext)}")
+
+
 def parse_hybrid_spec(
     engine,
     spec: dict,
@@ -514,6 +634,12 @@ def parse_hybrid_spec(
     filter_expr = spec.get("filter")
     depth = spec.get("pagination_depth")
     frm = spec.get("from", 0)
+    from neural_search_spark import stats as _stats
+
+    if filter_expr is not None:
+        _stats.record_event("hybrid_query_with_filter_requests")
+    if frm > 0 or depth is not None:
+        _stats.record_event("hybrid_query_with_pagination_requests")
     if frm > 0 and depth is None:
         # HybridCollectorManager.java:591-607
         raise ValueError("pagination_depth is required when 'from' > 0")

@@ -36,6 +36,16 @@ def _bool(v: Any) -> bool:
     raise ValueError("must be a boolean")
 
 
+def _bounded_int(lo: int, hi: int) -> Callable[[Any], int]:
+    def check(v: Any) -> int:
+        i = int(v)
+        if not (lo <= i <= hi):
+            raise ValueError(f"must be an integer in [{lo}, {hi}]")
+        return i
+
+    return check
+
+
 #: name -> (default, validator). Names mirror NeuralSearchSettings.java
 #: where a reference setting exists; engine-limit entries are the Spark
 #: analogs of Lucene-side constants (documented inline).
@@ -45,8 +55,10 @@ _REGISTRY: dict[str, tuple[Any, Callable[[Any], Any]]] = {
     # NeuralSearchSettings.java: plugins.neural_search.stats_enabled
     # (default FALSE — stats calls 403 and event increments no-op when off)
     "stats_enabled": (False, _bool),
-    # NeuralSearchSettings.java: index.neural_search.semantic_ingest_batch_size (default 10)
-    "semantic_ingest_batch_size": (10, _positive_int),
+    # NeuralSearchSettings.java: index.neural_search.semantic_ingest_batch_size
+    # (intSetting default 10, min 1, max 100) — consumed by the embedding
+    # ingest path (pipeline/embedding.py) as the model micro-batch size.
+    "semantic_ingest_batch_size": (10, _bounded_int(1, 100)),
     # Spark analog of BooleanQuery.maxClauseCount: the cap on BROADCASTING
     # a multi-term expansion before the semi-join falls back to a shuffle
     # (search/bm25.py MAX_BROADCAST_EXPANSION).
@@ -93,13 +105,23 @@ def as_dict() -> dict[str, Any]:
 
 @contextmanager
 def override(**kwargs: Any) -> Iterator[None]:
-    """Scoped settings override (transient cluster-settings update)."""
-    saved: dict[str, tuple[bool, Any]] = {}
+    """Scoped settings override (transient cluster-settings update).
+
+    All values are validated BEFORE any is applied, so a failed override
+    leaves no partial state (the reference's cluster-settings update is
+    likewise all-or-nothing per request).
+    """
+    validated: dict[str, Any] = {}
     for n, v in kwargs.items():
-        with _LOCK:
-            saved[n] = (n in _VALUES, _VALUES.get(n))
-        put(n, v)
+        if n not in _REGISTRY:
+            raise KeyError(f"unknown setting {n!r}")
+        validated[n] = _REGISTRY[n][1](v)
+    saved: dict[str, tuple[bool, Any]] = {}
     try:
+        for n, v in validated.items():
+            with _LOCK:
+                saved[n] = (n in _VALUES, _VALUES.get(n))
+                _VALUES[n] = v
         yield
     finally:
         with _LOCK:

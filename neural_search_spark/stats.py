@@ -25,14 +25,79 @@ from collections import Counter
 _LOCK = threading.Lock()
 _EVENTS: Counter[str] = Counter()
 
+#: Typed event catalog — name → dotted path, mirroring the reference's
+#: ``stats/events/EventStatName.java`` (all 33 entries, verbatim names and
+#: paths), plus engine-extension counters for the OpenSearch-CORE query
+#: kinds this engine also scores (the plugin's catalog only covers its own
+#: surfaces; core kinds like ``match``/``term`` are counted by core, so
+#: their Spark analogs live here under the ``query.core`` path and are
+#: marked as extensions in the snapshot).
+EVENT_CATALOG: dict[str, str] = {
+    # --- EventStatName.java verbatim (name -> path) ---
+    "text_embedding_executions": "processors.ingest",
+    "skip_existing_executions": "processors.ingest",
+    "text_chunking_executions": "processors.ingest",
+    "text_chunking_fixed_token_length_executions": "processors.ingest",
+    "text_chunking_delimiter_executions": "processors.ingest",
+    "text_chunking_fixed_char_length_executions": "processors.ingest",
+    "semantic_field_executions": "processors.ingest",
+    "semantic_field_chunking_executions": "processors.ingest",
+    "semantic_highlighting_request_count": "semantic_highlighting",
+    "normalization_processor_executions": "processors.search.hybrid",
+    "norm_l2_executions": "processors.search.hybrid",
+    "norm_minmax_executions": "processors.search.hybrid",
+    "norm_zscore_executions": "processors.search.hybrid",
+    "comb_arithmetic_executions": "processors.search.hybrid",
+    "comb_geometric_executions": "processors.search.hybrid",
+    "comb_harmonic_executions": "processors.search.hybrid",
+    "rank_based_normalization_processor_executions": "processors.search.hybrid",
+    "comb_rrf_executions": "processors.search.hybrid",
+    "hybrid_query_requests": "query.hybrid",
+    "hybrid_query_with_inner_hits_requests": "query.hybrid",
+    "hybrid_query_with_filter_requests": "query.hybrid",
+    "hybrid_query_with_pagination_requests": "query.hybrid",
+    "neural_query_requests": "query.neural",
+    "neural_query_against_knn_requests": "query.neural",
+    "neural_query_against_semantic_dense_requests": "query.neural",
+    "neural_query_against_semantic_sparse_requests": "query.neural",
+    "neural_sparse_query_requests": "query.neural_sparse",
+    "text_image_embedding_executions": "processors.ingest",
+    "sparse_encoding_executions": "processors.ingest",
+    "neural_query_enricher_executions": "processors.search",
+    "neural_sparse_two_phase_executions": "processors.search",
+    "rerank_by_field_executions": "processors.search",
+    "rerank_ml_executions": "processors.search",
+    # --- engine extensions: OpenSearch-core query kinds (query.core.*) ---
+    "match_query_requests": "query.core",
+    "term_query_requests": "query.core",
+    "match_phrase_query_requests": "query.core",
+    "match_bool_prefix_query_requests": "query.core",
+    "prefix_query_requests": "query.core",
+    "terms_query_requests": "query.core",
+    "fuzzy_query_requests": "query.core",
+    "match_all_query_requests": "query.core",
+    "ids_query_requests": "query.core",
+    "wildcard_query_requests": "query.core",
+    "range_query_requests": "query.core",
+    "regexp_query_requests": "query.core",
+    "mlt_query_requests": "query.core",
+    "term_suggest_requests": "query.core",
+}
+
+_EXTENSION_PATHS = {"query.core"}
+
 
 def record_event(name: str, n: int = 1) -> None:
     """Increment an event counter (EventStatsManager.increment analog).
     A no-op while the ``stats_enabled`` setting is off
     (``NeuralSearchSettings.java`` NEURAL_STATS_ENABLED, default false:
-    "Event stat increment calls are also treated as no-ops")."""
+    "Event stat increment calls are also treated as no-ops"). Unknown
+    names are rejected like ``EventStatName.from`` ("Event stat not
+    found") — the catalog is typed, not free-form."""
     from neural_search_spark import settings
 
+    if name not in EVENT_CATALOG:
+        raise ValueError(f"Event stat not found: {name}")
     if not settings.get("stats_enabled"):
         return
     with _LOCK:
@@ -73,16 +138,32 @@ def build_metrics(index_dir: str) -> dict:
     }
 
 
+def event_counts_by_path() -> dict[str, dict[str, int]]:
+    """Counters grouped under their catalog path — the response shape of
+    the stats API (``EventStatName.getFullPath`` nests each counter under
+    its dotted path)."""
+    out: dict[str, dict[str, int]] = {}
+    for name, n in event_counts().items():
+        out.setdefault(EVENT_CATALOG[name], {})[name] = n
+    return out
+
+
 def snapshot(index_dir: str | None = None) -> dict:
     """Stats API response analog; refuses (the API's 403) while the
-    ``stats_enabled`` setting is off."""
+    ``stats_enabled`` setting is off. ``events`` is the flat counter map;
+    ``events_by_path`` nests counters under their EventStatName path, with
+    engine-extension families flagged."""
     from neural_search_spark import settings
 
     if not settings.get("stats_enabled"):
         raise PermissionError(
             "stats API is disabled (settings put('stats_enabled', True) to enable)"
         )
-    out: dict = {"events": event_counts()}
+    out: dict = {
+        "events": event_counts(),
+        "events_by_path": event_counts_by_path(),
+        "extension_paths": sorted(_EXTENSION_PATHS),
+    }
     if index_dir is not None:
         out["build"] = build_metrics(index_dir)
     return out

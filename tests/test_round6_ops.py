@@ -1,0 +1,353 @@
+"""Round-6 surfaces: ANN-backed dense clause (knn_method), rerank
+request-context ext block, index migration (rolling-upgrade analog),
+settings atomicity + ingest batch size, resume-path BWC gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark import settings
+from neural_search_spark.corpus import synthetic_code_corpus
+from neural_search_spark.search.bm25 import BM25Engine
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_corpus):
+    return BM25Engine(spark, tiny_corpus).cache()
+
+
+@pytest.fixture(scope="module")
+def doc_emb(spark, tiny_corpus):
+    from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+    return text_embedding_stub(tiny_corpus).cache()
+
+
+class TestAnnDenseClause:
+    """knn_method surface of the kNN rewrite
+    (query/NeuralKNNQueryBuilder.java:33-41 wraps the k-NN plugin's
+    method params): the dense clause's candidate set is pruned, scores
+    keep the round6 neural-clause contract."""
+
+    def _qv(self):
+        from neural_search_spark.search.neural import query_embedding_stub
+
+        return query_embedding_stub("customer stream window partition")
+
+    def test_ivf_candidates_come_from_probed_lists(self, doc_emb):
+        from neural_search_spark.pipeline.ann import (
+            _cosine,
+            _dot,
+            ivf_assign,
+            ivf_centroids,
+        )
+        from neural_search_spark.search.neural import neural_clause_scores_ann
+
+        qv_list = self._qv()
+        cents = ivf_centroids(doc_emb, 4, id_col="docID", vec_col="embedding")
+        asg = ivf_assign(doc_emb, cents, id_col="docID", vec_col="embedding")
+        out = neural_clause_scores_ann(
+            doc_emb, qv_list, method="ivf", k=20, n_lists=4, nprobe=2,
+            centroids=cents, assigned=asg,
+        )
+        got = {r["docID"]: r["score"] for r in out.collect()}
+        assert 0 < len(got) <= 20
+        qv = F.array(*[F.lit(float(v)) for v in qv_list])
+        probe = {
+            r["list_id"]
+            for r in cents.orderBy(
+                F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id")
+            ).limit(2).collect()
+        }
+        allowed = {
+            r["vec_id"]
+            for r in asg.where(F.col("list_id").isin(list(probe))).collect()
+        }
+        assert set(got) <= allowed
+        # every returned score equals the brute-force round6 cosine
+        from neural_search_spark.pipeline import params as P
+        from neural_search_spark.pipeline.ann import _dot as dot
+
+        brute = {
+            r["docID"]: r["score"]
+            for r in doc_emb.select(
+                "docID", P.round6(dot(F.col("embedding"), qv)).alias("score")
+            ).collect()
+        }
+        assert all(brute[d] == s for d, s in got.items())
+
+    def test_quantized_rescore_scores_are_exact(self, doc_emb):
+        from neural_search_spark.pipeline import params as P
+        from neural_search_spark.pipeline.ann import _dot
+        from neural_search_spark.search.neural import neural_clause_scores_ann
+
+        qv_list = self._qv()
+        out = neural_clause_scores_ann(
+            doc_emb, qv_list, method="quantized_rescore", k=10, oversample=3
+        )
+        rows = out.collect()
+        assert 0 < len(rows) <= 10
+        qv = F.array(*[F.lit(float(v)) for v in qv_list])
+        brute = {
+            r["docID"]: r["score"]
+            for r in doc_emb.select(
+                "docID", P.round6(_dot(F.col("embedding"), qv)).alias("score")
+            ).collect()
+        }
+        # rescored window scores are the exact float scores (not coarse)
+        assert all(brute[r["docID"]] == r["score"] for r in rows)
+
+    def test_k_required_and_unknown_method_rejected(self, doc_emb):
+        from neural_search_spark.search.neural import neural_clause_scores_ann
+
+        with pytest.raises(ValueError, match="requires k"):
+            neural_clause_scores_ann(doc_emb, self._qv(), method="ivf")
+        with pytest.raises(ValueError, match="unknown knn_method"):
+            neural_clause_scores_ann(doc_emb, self._qv(), method="hnsw", k=5)
+
+    def test_spec_parser_routes_knn_method(self, engine, doc_emb):
+        from neural_search_spark.search.spec import parse_hybrid_spec
+
+        spec = {
+            "queries": [
+                {"match": "import data"},
+                {
+                    "neural": {
+                        "query": "customer stream window partition",
+                        "embeddings": doc_emb,
+                        "k": 20,
+                        "knn_method": "ivf",
+                        "n_lists": 4,
+                        "nprobe": 2,
+                    }
+                },
+            ]
+        }
+        out = parse_hybrid_spec(engine, spec, k=5, pipeline=None)
+        assert 0 < out.count() <= 5
+
+
+class TestRerankContext:
+    """ext.rerank request-context block
+    (query/ext/RerankSearchExtBuilder.java +
+    processor/rerank/context/DocumentContextSourceFetcher.java:30-70)."""
+
+    def _spec(self, qc: dict, fields: list[str] | None = None) -> dict:
+        ml: dict = {"query_context": qc}
+        if fields is not None:
+            ml["context"] = {"document_fields": fields}
+        return {
+            "queries": [{"match": "import data pipeline"}],
+            "ext": {"rerank": {"ml_opensearch": ml}},
+        }
+
+    def test_query_text_path_resolves_from_request(self, engine, doc_emb):
+        from neural_search_spark.search.spec import parse_spec_with_rerank
+
+        spec = self._spec({"query_text_path": "queries.0.match"}, ["lang"])
+        out = parse_spec_with_rerank(
+            engine, spec, k=5, window=20, embeddings=doc_emb
+        )
+        rows = out.collect()
+        assert 0 < len(rows) <= 5
+        assert set(out.columns) == {"docID", "score", "lang"}
+        # path text == literal text → identical output
+        direct = parse_spec_with_rerank(
+            engine,
+            self._spec({"query_text": "import data pipeline"}, ["lang"]),
+            k=5,
+            window=20,
+            embeddings=doc_emb,
+        ).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+
+    def test_exactly_one_query_text_source(self, engine, doc_emb):
+        from neural_search_spark.search.spec import parse_spec_with_rerank
+
+        for qc in ({}, {"query_text": "a", "query_text_path": "queries.0.match"}):
+            with pytest.raises(ValueError, match="exactly one"):
+                parse_spec_with_rerank(
+                    engine, self._spec(qc), k=5, embeddings=doc_emb
+                )
+
+    def test_document_fields_cap_enforced(self, engine, doc_emb):
+        from neural_search_spark.search.spec import parse_spec_with_rerank
+
+        many = [f"f{i}" for i in range(51)]  # default cap is 50
+        with pytest.raises(ValueError, match="caps it at 50"):
+            parse_spec_with_rerank(
+                engine, self._spec({"query_text": "import"}, many),
+                k=5, embeddings=doc_emb,
+            )
+
+    def test_by_field_fetches_through_capped_fetcher(self, spark, tiny_corpus):
+        from neural_search_spark.search.spec import parse_spec_with_rerank
+
+        eng = BM25Engine(
+            spark, tiny_corpus.withColumn("stars", F.length("content"))
+        )
+        spec = {
+            "queries": [{"match": "import data pipeline"}],
+            "ext": {"rerank": {"by_field": {"target_field": "stars"}}},
+        }
+        out = parse_spec_with_rerank(eng, spec, k=5, window=20)
+        rows = out.collect()
+        assert rows and all(r["score"] is not None for r in rows)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # the fetch goes through the capped fetcher: within cap=1 it works
+        # (the >cap rejection is exercised on the ml path above)
+        with settings.override(reranker_max_document_fields=1):
+            assert parse_spec_with_rerank(eng, spec, k=5, window=20).count() > 0
+
+    def test_path_resolution_errors(self):
+        from neural_search_spark.search.spec import resolve_query_text_path
+
+        spec = {"queries": [{"match": {"query": "hello"}}]}
+        assert resolve_query_text_path(spec, "queries.0.match.query") == "hello"
+        with pytest.raises(ValueError, match="no key"):
+            resolve_query_text_path(spec, "queries.0.nope")
+        with pytest.raises(ValueError, match="must resolve to a string"):
+            resolve_query_text_path(spec, "queries.0.match")
+
+
+class TestMigrateIndex:
+    """Rolling-upgrade analog (qa/rolling-upgrade): a frozen version-0
+    index (tests/fixtures/index_v0, byte-frozen old-codec shards) migrates
+    to the current format and reads green; the reader keeps refusing the
+    unmigrated dir; the content-sha256 docmap invariant holds."""
+
+    def test_migrate_fixture_and_read(self, spark, tmp_path):
+        from neural_search_spark.index.builder import migrate_index
+        from neural_search_spark.index.codec import FORMAT_VERSION
+        from neural_search_spark.search.wand import BlockMaxIndex
+
+        old = os.path.join(FIXTURES, "index_v0")
+        # unmigrated: reader refuses (restart-upgrade gate still stands)
+        with pytest.raises(ValueError, match="format_version=0"):
+            BlockMaxIndex(spark, old)
+        new = str(tmp_path / "migrated")
+        stats = migrate_index(spark, old, new)
+        assert stats["format_version"] == FORMAT_VERSION
+        idx = BlockMaxIndex(spark, new)
+        assert idx.match_topk("import", k=3).count() > 0
+        # sha256 invariant: docmap identical old vs new
+        om = spark.read.parquet(os.path.join(old, "docmap")).select("docID", "sha")
+        nm = spark.read.parquet(os.path.join(new, "docmap")).select("docID", "sha")
+        assert om.exceptAll(nm).count() == 0 and nm.exceptAll(om).count() == 0
+
+    def test_migrated_scores_match_fresh_build(self, spark, tmp_path):
+        """Decode → re-join dlq → re-encode must reproduce the exact
+        postings a fresh build of the same corpus produces (same query
+        scores, doc for doc)."""
+        from neural_search_spark.index.builder import build_index, migrate_index
+        from neural_search_spark.search.wand import BlockMaxIndex
+
+        old = os.path.join(FIXTURES, "index_v0")
+        new = str(tmp_path / "m2")
+        migrate_index(spark, old, new)
+        fresh = str(tmp_path / "fresh")
+        corpus = synthetic_code_corpus(spark, n_rows=60, seed=11)
+        build_index(spark, corpus, fresh, n_shards=2, block_size=16)
+        a = BlockMaxIndex(spark, new).match_topk("import data", k=10)
+        b = BlockMaxIndex(spark, fresh).match_topk("import data", k=10)
+        ra = [(r["docID"], round(r["score"], 6)) for r in a.collect()]
+        rb = [(r["docID"], round(r["score"], 6)) for r in b.collect()]
+        assert ra == rb
+
+    def test_migrate_refuses_wrong_versions(self, spark, tmp_path):
+        import json
+
+        from neural_search_spark.index.builder import build_index, migrate_index
+
+        corpus = synthetic_code_corpus(spark, n_rows=30, seed=3)
+        d = str(tmp_path / "cur")
+        build_index(spark, corpus, d, n_shards=2, block_size=16)
+        with pytest.raises(ValueError, match="already format_version"):
+            migrate_index(spark, d, str(tmp_path / "out"))
+        with open(os.path.join(d, "stats.json")) as f:
+            stats = json.load(f)
+        stats["format_version"] = 99
+        with open(os.path.join(d, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        with pytest.raises(ValueError, match="migrates only"):
+            migrate_index(spark, d, str(tmp_path / "out2"))
+
+
+class TestResumeManifestGate:
+    """ADVICE r5: an interrupted old-format build (manifest present,
+    stats.json absent) must refuse to resume — the manifest's completed
+    'postings' entries carry the stamp."""
+
+    def test_resume_refuses_on_stale_manifest_entry(self, spark, tmp_path):
+        import json
+
+        from neural_search_spark.index.builder import build_index
+
+        corpus = synthetic_code_corpus(spark, n_rows=30, seed=3)
+        d = str(tmp_path / "interrupted")
+        build_index(spark, corpus, d, n_shards=2, block_size=16)
+        # simulate: older engine wrote shards + manifest, crashed before
+        # stats.json; entries carry no format_version (reads as 0)
+        os.remove(os.path.join(d, "stats.json"))
+        lines = []
+        with open(os.path.join(d, "manifest.jsonl")) as f:
+            for line in f:
+                e = json.loads(line)
+                e.pop("format_version", None)
+                lines.append(json.dumps(e))
+        with open(os.path.join(d, "manifest.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with pytest.raises(ValueError, match="format_version=0"):
+            build_index(spark, corpus, d, n_shards=2, block_size=16)
+        # resume=False rebuilds cleanly
+        build_index(spark, corpus, d, n_shards=2, block_size=16, resume=False)
+
+
+class TestSettingsRound6:
+    def test_override_is_atomic(self):
+        """A failed override leaves no partial state (ADVICE r5: earlier
+        kwargs must not stay applied when a later one fails validation)."""
+        before = settings.as_dict()
+        with pytest.raises(ValueError):
+            with settings.override(hybrid_max_sub_queries=3, stats_enabled="bogus"):
+                pass  # pragma: no cover - never entered
+        assert settings.as_dict() == before
+
+    def test_ingest_batch_size_bounds(self):
+        """NeuralSearchSettings.java intSetting(default 10, min 1, max 100)."""
+        assert settings.get("semantic_ingest_batch_size") == 10
+        for bad in (0, 101, -5):
+            with pytest.raises(ValueError):
+                settings.put("semantic_ingest_batch_size", bad)
+        settings.put("semantic_ingest_batch_size", 100)
+        settings.reset("semantic_ingest_batch_size")
+
+    def test_ingest_batch_size_consumed_by_extract(self, spark, tiny_corpus):
+        """The setting drives the model micro-batch size in the Arrow
+        ingest path (InferenceProcessor.java:199-229 sub-batching)."""
+        from neural_search_spark.pipeline.multimodal import (
+            extract_binary_features,
+            rechunk_ingest_batches,
+            with_binary_payload,
+        )
+        import pandas as pd
+
+        chunks = list(
+            rechunk_ingest_batches(iter([pd.DataFrame({"x": range(25)})]), 10)
+        )
+        assert [len(c) for c in chunks] == [10, 10, 5]
+        assert pd.concat(chunks)["x"].tolist() == list(range(25))
+        # end-to-end: results are identical for any batch size
+        payload = with_binary_payload(tiny_corpus)
+        base = sorted(tuple(r) for r in extract_binary_features(payload).collect())
+        with settings.override(semantic_ingest_batch_size=7):
+            small = sorted(
+                tuple(r) for r in extract_binary_features(payload).collect()
+            )
+        assert base == small

@@ -118,8 +118,9 @@ def test_event_counters(spark, engine):
     assert ev["match_query_requests"] == 2
     assert ev["term_query_requests"] == 1
     assert ev["hybrid_query_requests"] == 1
-    assert ev["normalization_min_max_executions"] == 1
-    assert ev["combination_arithmetic_mean_executions"] == 1
+    assert ev["normalization_processor_executions"] == 1
+    assert ev["norm_minmax_executions"] == 1
+    assert ev["comb_arithmetic_executions"] == 1
 
 
 def test_build_metrics(spark, tmp_path, tiny_corpus):
