@@ -41,10 +41,19 @@ def main() -> None:
     for fld in entry_mod.MULTI_MATCH_FIELDS:  # positional postings (phrase paths)
         entry_mod._pos_index(spark, sf_dir, field=fld)
     entry_mod._ivf_artifacts(spark, sf_dir)  # IVF centroids + list assignment
+    entry_mod._doc_embeddings(spark, sf_dir)  # ingest-time embedding column
+    entry_mod._doc_ivf_artifacts(spark, sf_dir)  # doc-embedding IVF (hybrid_ann_dense)
     for fld in entry_mod.MULTI_MATCH_FIELDS:  # per-field indexes (multi_match)
         p, _d, _s = eng.field_artifacts(fld)
         p.count()
     index_build = time.perf_counter() - t_idx0
+
+    # stats API opt-in for the run: the bench emits the event-counter
+    # snapshot (EventStatName catalog families) alongside the timings
+    from neural_search_spark import settings as nss_settings, stats as nss_stats
+
+    nss_stats.reset()
+    nss_settings.put("stats_enabled", True)
 
     qmap = entry_mod.queries()
     # Median of N repetitions per key: the host VM is hypervisor-
@@ -109,7 +118,11 @@ def main() -> None:
         "index_build_sec": round(index_build, 4),
         "cpus": int(cpus),
         "scaling": scaling,
+        # plan-time event counters over the whole timed set (counts are
+        # reps × per-key executions; grouped by EventStatName path)
+        "stats_events": nss_stats.event_counts_by_path(),
     }
+    nss_settings.reset("stats_enabled")
     print(json.dumps(out))
     spark.stop()
 

@@ -502,7 +502,6 @@ def migrate_index(spark: SparkSession, old_dir: str, new_dir: str) -> dict:
         {
             "stage": "raw",
             "shards": list(range(n_shards)),
-            "rows": None,
             "migrated_from": {"dir": old_dir, "format_version": found},
             "wall_s": round(time.perf_counter() - t0, 3),
         },

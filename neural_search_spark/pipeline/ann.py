@@ -207,6 +207,66 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_batch_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = P.ANN_K,
+    n_lists: int = P.IVF_N_LISTS,
+    nprobe: int = P.IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, vec_id, score): MANY ANN queries through ONE assignment scan —
+    the set-oriented twin of :func:`ann_ivf_topk` (bulk retrieval: eval
+    sets, hard-negative mining, dedup candidate generation).
+
+    All-relational batch shape: the Q query vectors broadcast; the probe
+    is a (Q × n_lists)-row window (top-nprobe centroids per qid by cosine
+    desc, list_id asc — the single-query contract per qid); candidates =
+    ONE scan of the assignment table joined against the broadcast
+    (qid, list_id) probe set, so Q queries share one pass instead of Q
+    (per-query driver-side probe pruning stops paying once the probed
+    union approaches all lists — amortization IS the batch win, exactly
+    like bm25_batch_topk). Scores round4 BEFORE the per-qid cut
+    (round-then-cut, the batch-path convention), self excluded.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_lists, id_col, vec_col)
+    )
+    asg = assigned if assigned is not None else ivf_assign(emb, cents, id_col, vec_col)
+    qt = F.broadcast(
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc(_cosine("c", "qv")), F.asc("list_id")
+    )
+    probe = (
+        qt.crossJoin(F.broadcast(cents.select("list_id", F.col("centroid").alias("c"))))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= int(nprobe))
+        .select("qid", "list_id")
+    )
+    cand = (
+        asg.join(F.broadcast(probe), "list_id")
+        .join(qt, "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "vec_id", "score")
+        .orderBy("qid", F.desc("score"), F.asc("vec_id"))
+    )
+
+
 def quantization_stats(emb: DataFrame, vec_col: str = "embedding") -> tuple[float, float]:
     """Global (min, max) over every embedding component — the int8 scalar-
     quantization interval (Lucene's scalar quantizer uses a global

@@ -554,6 +554,67 @@ def embedding_bucket_expr(vec_col: str) -> Column:
     return bucket_col(vec_col)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_lists: int = 8,
+    threshold: float = P.COSINE_DUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the trained coarse
+    quantizer (k-means — :func:`neural_search_spark.pipeline.ann.ivf_centroids`),
+    compare pairs ONLY within a cluster, and drop every vector that has a
+    near-duplicate (round4 cosine ≥ ``threshold``) with a LOWER id in its
+    cluster — the paper's per-cluster greedy keep-one rule with a
+    deterministic keeper. Returns ``(vec_id, keep)`` for every vector.
+
+    vs :func:`embedding_near_dups` (LSH sign buckets): the cluster buckets
+    here are data-adaptive (trained centroids follow density), the
+    clustering is the SAME ingest-time artifact the IVF index uses, and
+    the scan shape is identical — a self-join keyed by ``list_id``, never
+    all-pairs; at 100 TB the table is partitioned by ``list_id`` so each
+    cluster's pair block is partition-local.
+    """
+    from neural_search_spark.pipeline.ann import _dot, ivf_assign, ivf_centroids
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_lists, id_col, vec_col)
+    )
+    asg = assigned if assigned is not None else ivf_assign(emb, cents, id_col, vec_col)
+    # per-row norm precomputed BEFORE the self-join (same reasoning as
+    # embedding_near_dups: inside the join it would re-run per PAIR)
+    b = asg.select(
+        F.col("vec_id").alias("id"),
+        "v",
+        "list_id",
+        F.sqrt(_dot("v", "v")).alias("nrm"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    dot = _dot("x.v", "y.v")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.list_id") == F.col("y.list_id")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .where(
+            P.round4(dot / (F.col("x.nrm") * F.col("y.nrm"))) >= F.lit(float(threshold))
+        )
+        .select(F.col("y.id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select("vec_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

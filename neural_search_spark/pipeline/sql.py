@@ -328,6 +328,105 @@ LIMIT {k}
 """
 
 
+def _ivf_ctes(src: str, n_lists: int) -> str:
+    """The deterministic IVF coarse-quantizer CTE chain (seeds = lowest
+    ids, one Lloyd step with 6-dp per-dim means, argmax ties to the
+    smaller list_id) over an arbitrary (vec_id, v) source CTE — shared by
+    the batch-ANN and SemDeDup oracles (same contract as
+    :func:`ann_ivf_topk_sql`'s inline chain)."""
+    return f"""
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c0
+    FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {n_lists})
+),
+a0 AS (
+    SELECT vec_id, v, list_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_cos_sql('v', 'c0')} DESC, list_id ASC
+           ) AS rn
+    FROM {src}, seeds
+),
+dims AS (
+    SELECT list_id, i, {P.round6_sql('avg(CAST(v[i] AS DOUBLE))')} AS m
+    FROM (SELECT list_id, v, unnest(generate_series(1, {P.EMBEDDING_DIM})) AS i
+          FROM a0 WHERE rn = 1)
+    GROUP BY list_id, i
+),
+cents AS (SELECT list_id, list(m ORDER BY i) AS c FROM dims GROUP BY list_id),
+a1 AS (
+    SELECT vec_id, v, list_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_cos_sql('v', 'c')} DESC, list_id ASC
+           ) AS rn
+    FROM {src}, cents
+),
+assigned AS (SELECT vec_id, v, list_id FROM a1 WHERE rn = 1)"""
+
+
+def ann_ivf_batch_topk_sql(
+    query_ids: list[int],
+    k: int,
+    n_lists: int = P.IVF_N_LISTS,
+    nprobe: int = P.IVF_NPROBE,
+) -> str:
+    """Batch twin of :func:`ann_ivf_topk_sql`: per-qid probe window over
+    (Q × n_lists) rows, one candidate pass, round4-then-cut per qid."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+{_ivf_ctes('e', n_lists).strip()},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids})),
+pr AS (
+    SELECT q.qid, cents.list_id,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_cos_sql('c', 'qv')} DESC, list_id ASC
+           ) AS rn
+    FROM cents, q
+),
+probe AS (SELECT qid, list_id FROM pr WHERE rn <= {nprobe}),
+cand AS (
+    SELECT p.qid, a.vec_id, {P.round4_sql(_cos_sql('a.v', 'q.qv'))} AS score
+    FROM assigned a
+    JOIN probe p USING (list_id)
+    JOIN q ON q.qid = p.qid
+    WHERE a.vec_id != p.qid
+),
+r AS (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+    FROM cand
+)
+SELECT qid, vec_id, score FROM r
+WHERE rn <= {k}
+ORDER BY qid, score DESC, vec_id
+"""
+
+
+def semantic_dedup_sql(n_lists: int = 8) -> str:
+    """SemDeDup twin of
+    :func:`neural_search_spark.pipeline.dedup.semantic_dedup` over the
+    dup-injected vector table: IVF-cluster buckets, within-cluster pair
+    cosine (round4) against the shared threshold, keeper = lowest id."""
+    cos = P.round4_sql(_cos_sql("x.v", "y.v"))
+    return f"""
+WITH {DUPVECS_CTE.strip()},
+e AS (SELECT vec_id, embedding AS v FROM dupvecs),
+{_ivf_ctes('e', n_lists).strip()},
+dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM assigned x JOIN assigned y
+      ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+    WHERE {cos} >= {P.COSINE_DUP_THRESHOLD}
+)
+SELECT e.vec_id AS vec_id, (d.vec_id IS NULL) AS keep
+FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+ORDER BY vec_id
+"""
+
+
 def ann_quantized_topk_sql(query_id: int, k: int) -> str:
     """Twin of :func:`neural_search_spark.pipeline.ann.ann_quantized_topk`:
     global-interval int8 quantize → dequantize → exact cosine. The

@@ -168,18 +168,24 @@ def neural_clause_scores_ann(
             else ivf_assign(doc_embeddings, cents, id_col="docID", vec_col=vec_col)
         )
         # centroids are means (not unit vectors) — the probe ranks by the
-        # full cosine, the exact expression the oracle twin recomputes
-        probe = (
-            cents.orderBy(F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id"))
+        # full cosine, the exact expression the oracle twin recomputes.
+        # Probe-list selection is DRIVER-SIDE (O(nprobe) rows — every IVF
+        # system picks probe lists at the coordinator): the resulting
+        # LITERAL isin predicate statically prunes the assignment table —
+        # cached-batch pruning here, parquet list_id partition pruning at
+        # 100 TB — which a join-shaped restriction cannot do.
+        probe_ids = [
+            r["list_id"]
+            for r in cents.orderBy(
+                F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id")
+            )
             .limit(int(nprobe))
             .select("list_id")
-        )
-        scored = (
-            asg.join(F.broadcast(probe), "list_id")
-            .select(
-                F.col("vec_id").alias("docID"),
-                P.round6(_dot(F.col("v"), qv)).alias("score"),
-            )
+            .collect()
+        ]
+        scored = asg.where(F.col("list_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("docID"),
+            P.round6(_dot(F.col("v"), qv)).alias("score"),
         )
     elif method == "quantized_rescore":
         # coarse pass: both sides through the SAME global-interval int8
@@ -347,10 +353,18 @@ def cross_encoder_stub_scores(
 ) -> DataFrame:
     """Stand-in TEXT_SIMILARITY model: similarity(query, doc) = stand-in
     embedding cosine — deterministic, shared with the DuckDB oracle. A real
-    deployment swaps this for a cross-encoder ``predict_batch_udf``."""
-    qv = query_embedding_stub(query_text)
-    return neural_clause_scores(
-        doc_embeddings, qv, candidate_docs=results.select("docID"), vec_col=vec_col
+    deployment swaps this for a cross-encoder ``predict_batch_udf``.
+    Scored inline (not via :func:`neural_clause_scores`) because a rerank
+    model call is NOT a neural query — it must not bump the
+    ``neural_query_requests`` stat counter."""
+    from neural_search_spark.pipeline.ann import _dot
+
+    qv = F.array(*[F.lit(float(v)) for v in query_embedding_stub(query_text)])
+    return (
+        doc_embeddings.select(
+            "docID", P.round6(_dot(F.col(vec_col), qv)).alias("score")
+        )
+        .join(results.select("docID"), "docID", "semi")
     )
 
 

@@ -309,6 +309,154 @@ class TestResumeManifestGate:
         build_index(spark, corpus, d, n_shards=2, block_size=16, resume=False)
 
 
+class TestAnnBatch:
+    """Batched IVF ANN: one assignment scan for Q queries; per-qid results
+    must equal the single-query ann_ivf_topk contract."""
+
+    def test_batch_equals_per_query(self, spark):
+        from neural_search_spark.pipeline.ann import (
+            ann_ivf_batch_topk,
+            ann_ivf_topk,
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        cents = ivf_centroids(emb)
+        asg = ivf_assign(emb, cents)
+        qids = [3, 17, 42]
+        batch = ann_ivf_batch_topk(emb, qids, k=5, centroids=cents, assigned=asg)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+        assert set(got) == set(qids)
+        for qid in qids:
+            solo = [
+                (r["vec_id"], r["score"])
+                for r in ann_ivf_topk(
+                    emb, qid, k=5, centroids=cents, assigned=asg
+                ).collect()
+            ]
+            assert got[qid] == solo, qid
+
+    def test_empty_batch(self, spark):
+        from neural_search_spark.pipeline.ann import ann_ivf_batch_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        assert ann_ivf_batch_topk(emb, [], k=5).count() == 0
+
+
+class TestSemanticDedup:
+    def test_injected_duplicates_dropped(self, spark):
+        """Exact copies share the cluster and cosine 1.0 — every injected
+        duplicate (higher id) drops, every original keeps."""
+        from neural_search_spark.corpus import inject_vector_duplicates
+        from neural_search_spark.pipeline.dedup import semantic_dedup
+
+        emb = inject_vector_duplicates(spark, "/root/testdata/sf0.001")
+        out = {r["vec_id"]: r["keep"] for r in semantic_dedup(emb, n_lists=8).collect()}
+        n = emb.count()
+        assert len(out) == n
+        injected = [v for v in out if v >= 100000]
+        assert injected and all(not out[v] for v in injected)
+        assert all(out[v] for v in out if v < 100000)
+
+    def test_pairs_only_within_cluster(self, spark):
+        """The pair join is keyed by list_id — vectors in different
+        clusters never compare, so keep-flags are reproducible from the
+        assignment alone (scale contract: never all-pairs)."""
+        from neural_search_spark.pipeline.ann import ivf_assign, ivf_centroids
+        from neural_search_spark.pipeline.dedup import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        cents = ivf_centroids(emb, 4)
+        asg = ivf_assign(emb, cents)
+        out = semantic_dedup(emb, n_lists=4, centroids=cents, assigned=asg)
+        # no injected dups → random synthetic vectors are all distinct
+        assert out.where(~F.col("keep")).count() == 0
+
+
+class TestStatsCatalog:
+    """EventStatName.java catalog parity: typed names (unknown rejected),
+    path grouping, and counter deltas over a mixed query sample."""
+
+    def test_unknown_event_rejected_even_when_disabled(self):
+        from neural_search_spark import stats
+
+        with pytest.raises(ValueError, match="Event stat not found"):
+            stats.record_event("not_a_stat")
+
+    def test_catalog_covers_reference_names(self):
+        from neural_search_spark import stats
+
+        # spot-check verbatim EventStatName.java entries and their paths
+        assert stats.EVENT_CATALOG["text_embedding_executions"] == "processors.ingest"
+        assert stats.EVENT_CATALOG["norm_minmax_executions"] == "processors.search.hybrid"
+        assert stats.EVENT_CATALOG["hybrid_query_with_filter_requests"] == "query.hybrid"
+        assert stats.EVENT_CATALOG["neural_sparse_query_requests"] == "query.neural_sparse"
+        assert stats.EVENT_CATALOG["rerank_ml_executions"] == "processors.search"
+        assert len([n for n, p in stats.EVENT_CATALOG.items() if p != "query.core"]) == 33
+
+    def test_mixed_sample_counter_deltas(self, spark, engine, doc_emb):
+        from neural_search_spark import settings, stats
+        from neural_search_spark.search.hybrid import hybrid_search
+        from neural_search_spark.search.neural import (
+            neural_clause_scores,
+            neural_clause_scores_ann,
+            query_embedding_stub,
+            rerank_ml,
+        )
+        from neural_search_spark.search.sparse import two_phase_topk, sparse_postings, sparse_features_from_tf
+        from neural_search_spark.search.spec import parse_hybrid_spec
+
+        stats.reset()
+        qv = query_embedding_stub("customer stream window")
+        with settings.override(stats_enabled=True):
+            hybrid_search(
+                [engine.match("import data"), neural_clause_scores(doc_emb, qv, k=20)],
+                "min_max", "arithmetic_mean", k=5, depth=20,
+            )
+            hybrid_search(
+                [engine.match("import"), engine.term("ident1")], "rrf", "rrf",
+                k=5, depth=20,
+            )
+            neural_clause_scores_ann(doc_emb, qv, method="ivf", k=10, n_lists=4, nprobe=2)
+            spost = sparse_postings(sparse_features_from_tf(engine.corpus))
+            two_phase_topk(spark, spost, {"import": 2.0, "data": 0.3}, k=5)
+            rerank_ml(engine.match_topk("import", 10), doc_emb, "import")
+            parse_hybrid_spec(
+                engine,
+                {"queries": [{"match": "import"}], "filter": "lang = 'python'"},
+                k=3,
+            )
+            snap = stats.snapshot()
+        ev = snap["events"]
+        assert ev["hybrid_query_requests"] == 3  # 2 direct + 1 via spec
+        assert ev["normalization_processor_executions"] == 2  # min_max runs
+        assert ev["norm_minmax_executions"] == 2
+        assert ev["comb_arithmetic_executions"] == 2
+        assert ev["rank_based_normalization_processor_executions"] == 1  # rrf
+        assert ev["comb_rrf_executions"] == 1
+        assert ev["neural_query_requests"] == 2  # brute clause + ann clause
+        assert ev["neural_query_against_knn_requests"] == 2
+        assert ev["neural_sparse_query_requests"] >= 2  # two-phase = 2 passes
+        assert ev["neural_sparse_two_phase_executions"] == 1
+        assert ev["sparse_encoding_executions"] == 1
+        assert ev["rerank_ml_executions"] == 1
+        assert ev["hybrid_query_with_filter_requests"] == 1
+        # path grouping mirrors EventStatName.getFullPath
+        by_path = snap["events_by_path"]
+        assert "norm_minmax_executions" in by_path["processors.search.hybrid"]
+        assert "match_query_requests" in by_path["query.core"]
+        assert "query.core" in snap["extension_paths"]
+
+
 class TestSettingsRound6:
     def test_override_is_atomic(self):
         """A failed override leaves no partial state (ADVICE r5: earlier

@@ -87,6 +87,10 @@ def warm(entry_mod, spark, sf_dir: str) -> float:
         entry_mod._pos_index(spark, sf_dir, field=fld)
         p, _d, _s = eng.field_artifacts(fld)
         p.count()
+    # ingest-time artifacts for the dense/sparse clause families
+    entry_mod._doc_embeddings(spark, sf_dir).count()
+    entry_mod._doc_ivf_artifacts(spark, sf_dir)[1].count()
+    entry_mod._sparse_postings(spark, sf_dir).count()
     return time.perf_counter() - t0
 
 
