@@ -21,6 +21,8 @@ the embedding expression, never the schema contract.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -32,6 +34,61 @@ from pyspark.sql.types import (
 
 #: SemanticFieldConstants.DEFAULT_SEMANTIC_INFO_FIELD_NAME_SUFFIX
 SEMANTIC_INFO_SUFFIX = "_semantic_info"
+
+
+@dataclass(frozen=True)
+class TargetFieldConfig:
+    """Query-time view of a field's mapping — the analog of
+    ``query/dto/NeuralQueryTargetFieldConfig.java`` (resolved by
+    ``SemanticMappingUtils.getIndexToTargetFieldConfigMapFromIndexMetadata``
+    from index metadata; here from the corpus schema + the semantic-info
+    column's field METADATA, Spark's schema-attached metadata being the
+    natural index-metadata analog)."""
+
+    is_semantic_field: bool
+    is_unmapped_field: bool
+    search_model_id: str | None = None
+    embedding_field_type: str | None = None  # "knn_vector" — dense stand-in
+    embedding_field_path: str | None = None
+    chunks_path: str | None = None
+    chunking_enabled: bool = False
+
+
+def target_field_config(
+    schema: StructType, field: str, semantic_info_field: str | None = None
+) -> TargetFieldConfig:
+    """Resolve the :class:`TargetFieldConfig` for ``field`` from a corpus
+    schema: unmapped → flagged; mapped but no derived
+    ``<field>_semantic_info`` sibling → not semantic (the caller must then
+    supply explicit model/embedding arguments, mirroring
+    ``NeuralQueryValidationUtil.validateTargetFieldConfig``); semantic →
+    embedding path + chunking mode read from the derived sub-tree, model
+    id from the column metadata stamped at ingest."""
+    names = {f.name: f for f in schema.fields}
+    if field not in names:
+        return TargetFieldConfig(is_semantic_field=False, is_unmapped_field=True)
+    info_name = semantic_info_field_name(field, semantic_info_field)
+    if info_name not in names:
+        return TargetFieldConfig(is_semantic_field=False, is_unmapped_field=False)
+    info = names[info_name]
+    meta = info.metadata or {}
+    children = (
+        {f.name for f in info.dataType.fields}
+        if isinstance(info.dataType, StructType)
+        else set()
+    )
+    chunking = "chunks" in children
+    return TargetFieldConfig(
+        is_semantic_field=True,
+        is_unmapped_field=False,
+        search_model_id=meta.get("model_id"),
+        embedding_field_type="knn_vector",
+        embedding_field_path=(
+            f"{info_name}.chunks.embedding" if chunking else f"{info_name}.embedding"
+        ),
+        chunks_path=f"{info_name}.chunks" if chunking else None,
+        chunking_enabled=chunking,
+    )
 
 
 def semantic_info_field_name(field: str, override: str | None = None) -> str:
@@ -86,19 +143,81 @@ def apply_semantic_mapping(
     id_col: str = "docID",
     semantic_info_field: str | None = None,
     model_type: str = "text_embedding",
+    chunking: bool = False,
+    chunk_algorithm: str = "delimiter",
+    **chunk_params,
 ) -> DataFrame:
     """Ingest-time population of the derived semantic-info column with the
     stand-in dense embedding (docs with no tokens get a null embedding —
-    the mapper also skips empty values). The output schema equals
+    the mapper also skips empty values). With ``chunking=True`` the field
+    is chunked first (``SemanticFieldProcessor`` chains the chunker when
+    the mapping enables it) and the derived column holds the per-chunk
+    ``(text, embedding)`` array in chunk order; token-less chunks are
+    skipped, like empty values at the doc level. The output schema equals
     :func:`derive_semantic_schema` of the input schema up to nullability
-    flags (Spark derives those from the expressions; they are advisory)."""
+    flags (Spark derives those from the expressions; they are advisory),
+    and the derived column carries ``{model_id, model_type}`` in its field
+    METADATA — the index-metadata analog
+    :func:`target_field_config` resolves at query time."""
     from neural_search_spark import stats as _stats
     from neural_search_spark.pipeline.embedding import text_embedding_stub
 
     _stats.record_event("semantic_field_executions")
     info_name = semantic_info_field_name(field, semantic_info_field)
     # validate via the schema transformer (same error surface)
-    derive_semantic_schema(df.schema, field, semantic_info_field)
+    derive_semantic_schema(df.schema, field, semantic_info_field, chunking=chunking)
+    meta = {"model_id": model_id, "model_type": model_type}
+    if chunking:
+        from neural_search_spark.analysis.chunking import chunk_table
+
+        _stats.record_event("semantic_field_chunking_executions")
+        chunks = chunk_table(
+            df, field, id_col, chunk_algorithm, **chunk_params
+        ).select(
+            F.col("docID").cast("long").alias("_pid"),
+            F.col("chunk_idx"),
+            F.col("chunk"),
+        )
+        # surrogate chunk key for the one-id-column stub; every chunker
+        # caps chunk counts far below 100000
+        keyed = chunks.select(
+            (F.col("_pid") * 100000 + F.col("chunk_idx")).alias("ckey"), "chunk"
+        )
+        emb = text_embedding_stub(keyed, text_col="chunk", id_col="ckey").select(
+            (F.col("docID") / 100000).cast("long").alias("_pid"),
+            (F.col("docID") % 100000).cast("int").alias("chunk_idx"),
+            F.col("embedding"),
+        )
+        per_doc = (
+            chunks.join(emb, ["_pid", "chunk_idx"])  # inner: drop token-less
+            .groupBy("_pid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk", "embedding"))
+                ).alias("_raw")
+            )
+            .select(
+                "_pid",
+                F.transform(
+                    "_raw",
+                    lambda c: F.struct(
+                        c["chunk"].alias("text"), c["embedding"].alias("embedding")
+                    ),
+                ).alias("_chunks"),
+            )
+        )
+        out = df.join(
+            per_doc, F.col(id_col).cast("long") == F.col("_pid"), "left"
+        ).withColumn(
+            info_name,
+            F.struct(
+                F.struct(
+                    F.lit(model_id).alias("id"), F.lit(model_type).alias("type")
+                ).alias("model"),
+                F.col("_chunks").alias("chunks"),
+            ).alias(info_name, metadata=meta),
+        )
+        return out.drop("_pid", "_chunks")
     emb = text_embedding_stub(df, text_col=field, id_col=id_col).select(
         F.col("docID").alias(id_col), F.col("embedding").alias("_emb")
     )
@@ -109,6 +228,6 @@ def apply_semantic_mapping(
                 F.lit(model_id).alias("id"), F.lit(model_type).alias("type")
             ).alias("model"),
             F.col("_emb").alias("embedding"),
-        ),
+        ).alias(info_name, metadata=meta),
     )
     return out.drop("_emb")

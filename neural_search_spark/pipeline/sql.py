@@ -782,6 +782,38 @@ ORDER BY window_start, event_type
 """
 
 
+def session_window_stats_sql(gap_minutes: int = 480) -> str:
+    """Twin of
+    :func:`neural_search_spark.streaming.sessions.session_window_stats`
+    (Spark's built-in ``session_window``, run in batch mode). Boundary
+    contract: an inter-event gap of EXACTLY ``gap`` starts a new session
+    (``gap_s >= gap*60`` — Spark merges only while the next event is
+    strictly inside last+gap); ``session_end`` is last event + gap,
+    Spark's session close time."""
+    return f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts, value,
+           epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts, value,
+           SUM(CASE WHEN gap_s IS NULL OR gap_s >= {gap_minutes * 60} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {P.round4_sql('SUM(value)')} AS total_value
+FROM tagged
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def events_sessionize_sql(gap_minutes: int = 30) -> str:
     """Twin of :func:`neural_search_spark.pipeline.events.sessionize` —
     same lag + cumulative-sum session assignment, per-user ordinals."""

@@ -345,6 +345,84 @@ def neural_nested_scores(
     )
 
 
+def neural_semantic_query(
+    df: DataFrame,
+    field: str,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "docID",
+    semantic_info_field: str | None = None,
+) -> DataFrame:
+    """``neural`` query against a SEMANTIC field — the query names only the
+    raw field; model id, embedding location, and chunking mode resolve
+    from the mapping (``NeuralQueryBuilder.java:673-706`` resolving
+    ``NeuralQueryTargetFieldConfig`` from index metadata; here from the
+    corpus schema + the semantic-info column metadata stamped by
+    :func:`neural_search_spark.mapping.apply_semantic_mapping`).
+
+    Routing (the builder's rewrite): chunking enabled → nested query over
+    the stored per-chunk embeddings, parents ranked by best chunk
+    (``score_mode=max``) → ``(docID, score, best_chunk_idx)``; plain dense
+    → cosine over the stored doc embedding → ``(docID, score)``. Unmapped
+    or non-semantic targets raise, mirroring
+    ``NeuralQueryValidationUtil.validateTargetFieldConfig``.
+
+    Scale shape: embeddings are ingest-time artifacts read from the
+    corpus — no query-time model pass over documents; the chunked route is
+    one posexplode + groupBy(parent) shuffle with a TakeOrderedAndProject
+    cut, the dense route is a zero-shuffle projection + top-k."""
+    from neural_search_spark import stats as _stats
+    from neural_search_spark.mapping import (
+        semantic_info_field_name,
+        target_field_config,
+    )
+    from neural_search_spark.pipeline.ann import _dot
+
+    cfg = target_field_config(df.schema, field, semantic_info_field)
+    if cfg.is_unmapped_field:
+        raise ValueError(f"neural query target field '{field}' is not mapped")
+    if not cfg.is_semantic_field:
+        raise ValueError(
+            f"field '{field}' is not a semantic field — pass model_id and an "
+            "embedding column explicitly (NeuralQueryValidationUtil)"
+        )
+    from pyspark.sql import Window
+
+    _stats.record_event("neural_query_requests")
+    _stats.record_event("neural_query_against_semantic_dense_requests")
+    info = semantic_info_field_name(field, semantic_info_field)
+    qv = F.array(
+        *[F.lit(float(v)) for v in query_embedding_stub(query_text)]
+    )
+    if cfg.chunking_enabled:
+        ch = df.select(
+            F.col(id_col).cast("long").alias("docID"),
+            F.posexplode_outer(F.col(f"{info}.chunks")).alias("chunk_idx", "_c"),
+        ).where(F.col("_c").isNotNull())
+        scored = ch.select(
+            "docID",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            P.round6(_dot(F.col("_c.embedding"), qv)).alias("score"),
+        )
+        w = Window.partitionBy("docID").orderBy(F.desc("score"), F.asc("chunk_idx"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("docID", "score", F.col("chunk_idx").alias("best_chunk_idx"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+    return (
+        df.where(F.col(f"{info}.embedding").isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("docID"),
+            P.round6(_dot(F.col(f"{info}.embedding"), qv)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
 def cross_encoder_stub_scores(
     results: DataFrame,
     doc_embeddings: DataFrame,

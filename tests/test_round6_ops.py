@@ -499,3 +499,134 @@ class TestSettingsRound6:
                 tuple(r) for r in extract_binary_features(payload).collect()
             )
         assert base == small
+
+
+class TestSemanticFieldQuery:
+    """Query-time semantic-field resolution (NeuralQueryBuilder.java:
+    673-706 / query/dto/NeuralQueryTargetFieldConfig.java): the neural
+    query names only the raw field; model id, embedding path, and
+    chunking mode resolve from the mapping."""
+
+    def test_target_field_config_resolution(self, spark, tiny_corpus):
+        from neural_search_spark.mapping import (
+            apply_semantic_mapping,
+            target_field_config,
+        )
+
+        cfg = target_field_config(tiny_corpus.schema, "nope")
+        assert cfg.is_unmapped_field and not cfg.is_semantic_field
+
+        cfg = target_field_config(tiny_corpus.schema, "content")
+        assert not cfg.is_unmapped_field and not cfg.is_semantic_field
+
+        dense = apply_semantic_mapping(tiny_corpus, "content", "m-dense-1")
+        cfg = target_field_config(dense.schema, "content")
+        assert cfg.is_semantic_field and not cfg.chunking_enabled
+        assert cfg.search_model_id == "m-dense-1"
+        assert cfg.embedding_field_path == "content_semantic_info.embedding"
+        assert cfg.chunks_path is None
+
+        chunked = apply_semantic_mapping(
+            tiny_corpus, "content", "m-dense-2", chunking=True,
+            chunk_algorithm="fixed_token_length", token_limit=8,
+        )
+        cfg = target_field_config(chunked.schema, "content")
+        assert cfg.chunking_enabled
+        assert cfg.chunks_path == "content_semantic_info.chunks"
+        assert cfg.embedding_field_path == "content_semantic_info.chunks.embedding"
+        assert cfg.search_model_id == "m-dense-2"
+
+    def test_chunked_mapping_schema_and_order(self, spark, tiny_corpus):
+        from neural_search_spark.mapping import (
+            apply_semantic_mapping,
+            derive_semantic_schema,
+        )
+
+        out = apply_semantic_mapping(
+            tiny_corpus, "content", "m1", chunking=True,
+            chunk_algorithm="fixed_token_length", token_limit=8,
+        )
+        want = derive_semantic_schema(tiny_corpus.schema, "content", chunking=True)
+        assert [f.name for f in out.schema.fields] == [f.name for f in want.fields]
+        info = out.schema["content_semantic_info"].dataType
+        assert {f.name for f in info.fields} == {"model", "chunks"}
+        row = out.where(F.col("docID") == 0).select("content_semantic_info").first()[0]
+        # chunk texts in order re-join (offset-sliced round-trip) and every
+        # stored embedding is L2-normalized
+        assert row["model"]["id"] == "m1"
+        texts = [c["text"] for c in row["chunks"]]
+        orig = tiny_corpus.where(F.col("docID") == 0).first()["content"]
+        assert "".join(texts) == orig
+        for c in row["chunks"]:
+            n2 = sum(v * v for v in c["embedding"])
+            assert abs(n2 - 1.0) < 1e-9
+
+    def test_semantic_query_routes_and_errors(self, spark, tiny_corpus):
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import (
+            neural_clause_scores,
+            neural_semantic_query,
+            query_embedding_stub,
+        )
+
+        with pytest.raises(ValueError, match="not mapped"):
+            neural_semantic_query(tiny_corpus, "nope", "any query")
+        with pytest.raises(ValueError, match="not a semantic field"):
+            neural_semantic_query(tiny_corpus, "content", "any query")
+
+        q = "def ident return"
+        dense = apply_semantic_mapping(tiny_corpus, "content", "m1")
+        got = neural_semantic_query(dense, "content", q, k=5)
+        assert got.columns == ["docID", "score"]
+        # dense route == the explicit neural clause over the same stored
+        # embeddings (stub is deterministic)
+        from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+        want = neural_clause_scores(
+            text_embedding_stub(tiny_corpus), query_embedding_stub(q), k=5
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            (r["docID"], r["score"]) for r in want.orderBy(
+                F.desc("score"), F.asc("docID")).limit(5).collect()
+        ]
+
+    def test_semantic_chunked_matches_nested_query(self, spark, tiny_corpus):
+        """The chunked route over STORED embeddings must equal the
+        query-time-embedding nested query on the same chunking — the two
+        paths share the model stub, so scores are bit-identical."""
+        from neural_search_spark.analysis.chunking import chunk_table
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import (
+            neural_nested_scores,
+            neural_semantic_query,
+            query_embedding_stub,
+        )
+
+        q = "import ident1 value"
+        mapped = apply_semantic_mapping(
+            tiny_corpus, "content", "m1", chunking=True,
+            chunk_algorithm="fixed_token_length", token_limit=8,
+        )
+        got = neural_semantic_query(mapped, "content", q, k=8).collect()
+        chunks = chunk_table(
+            tiny_corpus, "content", "docID", "fixed_token_length", token_limit=8
+        )
+        want = neural_nested_scores(
+            chunks, query_embedding_stub(q), expand_nested=False, k=8
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_semantic_query_stats(self, spark, tiny_corpus):
+        from neural_search_spark import stats
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import neural_semantic_query
+
+        from neural_search_spark import settings
+
+        dense = apply_semantic_mapping(tiny_corpus, "content", "m1")
+        with settings.override(stats_enabled=True):
+            stats.reset()
+            neural_semantic_query(dense, "content", "def ident")
+            got = stats.snapshot()["events"]
+        assert got["neural_query_against_semantic_dense_requests"] == 1
+        assert got["neural_query_requests"] == 1

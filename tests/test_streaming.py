@@ -188,3 +188,143 @@ def test_streaming_dedup_filter_keeps_first(spark, tmp_path):
     drain()
     kept = sorted(r["docID"] for r in spark.read.parquet(out_dir).collect())
     assert kept == [1, 2, 5]  # 9 suppressed by state
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The declarative session_window plan is mode-agnostic: run it as a
+    real stream (two micro-batches, a session SPANNING the batch
+    boundary, complete-mode memory sink) and as a batch over the same
+    rows — identical sessions, including the cross-batch merge."""
+    from datetime import datetime
+
+    from neural_search_spark.streaming.sessions import session_window_stats
+
+    stream_dir = str(tmp_path / "sw")
+    ckpt = str(tmp_path / "sw_ckpt")
+    os.makedirs(stream_dir)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def t(hh, mm):
+        return datetime(2026, 1, 1, hh, mm, 0)
+
+    b1 = [(1, t(10, 0), 1, 1.0), (2, t(10, 10), 1, 2.0), (3, t(10, 0), 2, 5.0)]
+    b2 = [(4, t(10, 20), 1, 3.0), (5, t(11, 30), 2, 7.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        session_window_stats(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from sess_complete").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in session_window_stats(
+            spark.createDataFrame(b1 + b2, schema), gap_minutes=30
+        ).collect()
+    )
+    assert got == want
+    # the cross-batch merge happened: user 1's three events are ONE session
+    u1 = [r for r in got if r[0] == 1]
+    assert len(u1) == 1 and u1[0][3] == 3
+
+
+def test_sessionize_stateful_semantics(spark, tmp_path):
+    """Custom stateful sessionization: terminal-event close, max-events
+    cap (reached ACROSS a micro-batch boundary — state carried), and
+    event-time-timeout flush of open sessions, all checked against the
+    independent pure-Python fold."""
+    from datetime import datetime
+
+    from neural_search_spark.streaming.sessions import (
+        sessionize_fold_reference,
+        sessionize_stateful,
+    )
+
+    stream_dir = str(tmp_path / "st")
+    ckpt = str(tmp_path / "st_ckpt")
+    out_dir = str(tmp_path / "st_out")
+    os.makedirs(stream_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def t(hh, mm, d=1):
+        return datetime(2026, 1, d, hh, mm, 0)
+
+    b1 = [
+        (1, t(10, 0), 1, "view"), (2, t(10, 5), 1, "view"),
+        (3, t(10, 0), 2, "view"), (4, t(10, 2), 2, "logout"),   # terminal
+        (5, t(10, 0), 3, "view"), (6, t(10, 1), 3, "view"),
+        (7, t(10, 2), 3, "view"),                                # cap (3)
+        (8, t(10, 3), 3, "view"),                                # reopens
+    ]
+    b2 = [
+        (9, t(10, 20), 1, "view"),        # merges -> n=3 -> cap, cross-batch
+        (10, t(11, 30), 1, "view"),       # new open session
+        (11, t(0, 0, d=2), 99, "view"),   # sentinel: advances the watermark
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize_stateful(
+            stream, gap_minutes=30, max_events=3, terminal_types=("logout",)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [
+        (r["user_id"], r["session_start"], r["session_end_ts"], r["n_events"],
+         r["end_reason"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 99
+    ]
+    rows = [
+        (uid, eid, etype, ts.timestamp())
+        for (eid, ts, uid, etype) in b1 + b2
+        if uid != 99
+    ]
+    want = sessionize_fold_reference(
+        rows, gap_minutes=30, max_events=3, terminal_types=("logout",)
+    )
+    # sessions (sans reason) must match exactly; reasons: terminal/cap are
+    # deterministic, gap vs timeout may differ by watermark timing
+    assert sorted((u, s, e, n) for u, s, e, n, _ in emitted) == sorted(
+        (u, s, e, n) for u, s, e, n, _ in want
+    )
+    want_reasons = {(u, s): r for u, s, e, n, r in want}
+    for u, s, e, n, r in emitted:
+        wr = want_reasons[(u, s)]
+        if wr in ("terminal", "cap"):
+            assert r == wr, (u, s, r, wr)
+        else:
+            assert r in ("gap", "timeout"), (u, s, r)
