@@ -48,10 +48,11 @@ class TargetFieldConfig:
     is_semantic_field: bool
     is_unmapped_field: bool
     search_model_id: str | None = None
-    embedding_field_type: str | None = None  # "knn_vector" — dense stand-in
+    embedding_field_type: str | None = None  # "knn_vector" | "rank_features"
     embedding_field_path: str | None = None
     chunks_path: str | None = None
     chunking_enabled: bool = False
+    semantic_field_search_analyzer: str | None = None
 
 
 def target_field_config(
@@ -70,24 +71,32 @@ def target_field_config(
     info_name = semantic_info_field_name(field, semantic_info_field)
     if info_name not in names:
         return TargetFieldConfig(is_semantic_field=False, is_unmapped_field=False)
+    from pyspark.sql.types import MapType
+
     info = names[info_name]
     meta = info.metadata or {}
-    children = (
-        {f.name for f in info.dataType.fields}
+    child_fields = (
+        {f.name: f for f in info.dataType.fields}
         if isinstance(info.dataType, StructType)
-        else set()
+        else {}
     )
-    chunking = "chunks" in children
+    chunking = "chunks" in child_fields
+    if chunking:
+        emb_type = child_fields["chunks"].dataType.elementType["embedding"].dataType
+    else:
+        emb_type = child_fields["embedding"].dataType if "embedding" in child_fields else None
+    sparse = isinstance(emb_type, MapType)
     return TargetFieldConfig(
         is_semantic_field=True,
         is_unmapped_field=False,
         search_model_id=meta.get("model_id"),
-        embedding_field_type="knn_vector",
+        embedding_field_type="rank_features" if sparse else "knn_vector",
         embedding_field_path=(
             f"{info_name}.chunks.embedding" if chunking else f"{info_name}.embedding"
         ),
         chunks_path=f"{info_name}.chunks" if chunking else None,
         chunking_enabled=chunking,
+        semantic_field_search_analyzer=meta.get("search_analyzer"),
     )
 
 
@@ -97,12 +106,23 @@ def semantic_info_field_name(field: str, override: str | None = None) -> str:
     return override if override else field + SEMANTIC_INFO_SUFFIX
 
 
-def semantic_info_type(chunking: bool = False) -> StructType:
-    """The derived sub-tree: model metadata + embedding (or chunks)."""
+def semantic_info_type(chunking: bool = False, model_kind: str = "dense") -> StructType:
+    """The derived sub-tree: model metadata + embedding (or chunks).
+    ``model_kind="sparse"`` stores the rank_features analog — a
+    ``map<string,float>`` feature vector — under the same ``embedding``
+    child name (the reference types the child ``knn_vector`` or
+    ``rank_features`` by the model; the name is shared)."""
+    from pyspark.sql.types import FloatType, MapType
+
     model = StructType(
         [StructField("id", StringType(), False), StructField("type", StringType(), False)]
     )
-    emb = ArrayType(DoubleType())
+    if model_kind == "dense":
+        emb = ArrayType(DoubleType())
+    elif model_kind == "sparse":
+        emb = MapType(StringType(), FloatType())
+    else:
+        raise ValueError(f"model_kind must be dense or sparse, got {model_kind!r}")
     children = [StructField("model", model, False)]
     if chunking:
         chunk = StructType(
@@ -119,6 +139,7 @@ def derive_semantic_schema(
     field: str,
     semantic_info_field: str | None = None,
     chunking: bool = False,
+    model_kind: str = "dense",
 ) -> StructType:
     """Index-creation-time mapping transform: append the
     ``<field>_semantic_info`` struct column to the corpus schema.
@@ -132,7 +153,8 @@ def derive_semantic_schema(
     if info_name in names:
         raise ValueError(f"derived semantic-info field '{info_name}' already exists")
     return StructType(
-        list(schema.fields) + [StructField(info_name, semantic_info_type(chunking), True)]
+        list(schema.fields)
+        + [StructField(info_name, semantic_info_type(chunking, model_kind), True)]
     )
 
 
@@ -145,28 +167,59 @@ def apply_semantic_mapping(
     model_type: str = "text_embedding",
     chunking: bool = False,
     chunk_algorithm: str = "delimiter",
+    search_analyzer: str | None = None,
     **chunk_params,
 ) -> DataFrame:
     """Ingest-time population of the derived semantic-info column with the
-    stand-in dense embedding (docs with no tokens get a null embedding —
-    the mapper also skips empty values). With ``chunking=True`` the field
-    is chunked first (``SemanticFieldProcessor`` chains the chunker when
-    the mapping enables it) and the derived column holds the per-chunk
+    stand-in embedding (docs with no tokens get a null embedding — the
+    mapper also skips empty values). ``model_type`` picks the embedding
+    field type the way the reference's model config does
+    (``mappingtransformer/SemanticInfoConfigBuilder.java`` — dense model →
+    ``knn_vector`` child, sparse model → ``rank_features``):
+    ``text_embedding`` stores the dense ``array<double>`` stand-in,
+    ``sparse_encoding`` stores the ``map<string,float>`` feature vector
+    (weight = term frequency, exact under FeatureField quantization).
+    With ``chunking=True`` the field is chunked first
+    (``SemanticFieldProcessor`` chains the chunker when the mapping
+    enables it) and the derived column holds the per-chunk
     ``(text, embedding)`` array in chunk order; token-less chunks are
     skipped, like empty values at the doc level. The output schema equals
     :func:`derive_semantic_schema` of the input schema up to nullability
     flags (Spark derives those from the expressions; they are advisory),
-    and the derived column carries ``{model_id, model_type}`` in its field
+    and the derived column carries ``{model_id, model_type}`` (plus
+    ``search_analyzer`` when the mapping sets one —
+    ``SemanticParameters.getSemanticFieldSearchAnalyzer``) in its field
     METADATA — the index-metadata analog
     :func:`target_field_config` resolves at query time."""
     from neural_search_spark import stats as _stats
     from neural_search_spark.pipeline.embedding import text_embedding_stub
 
     _stats.record_event("semantic_field_executions")
+    sparse = model_type == "sparse_encoding"
     info_name = semantic_info_field_name(field, semantic_info_field)
     # validate via the schema transformer (same error surface)
-    derive_semantic_schema(df.schema, field, semantic_info_field, chunking=chunking)
+    derive_semantic_schema(
+        df.schema,
+        field,
+        semantic_info_field,
+        chunking=chunking,
+        model_kind="sparse" if sparse else "dense",
+    )
     meta = {"model_id": model_id, "model_type": model_type}
+    if search_analyzer is not None:
+        meta["search_analyzer"] = search_analyzer
+
+    def _embed(keyed: DataFrame, text_col: str, key_col: str) -> DataFrame:
+        """(key, embedding) for the chosen model kind; token-less rows are
+        dropped on both paths (empty values are skipped by the mapper)."""
+        if not sparse:
+            return text_embedding_stub(keyed, text_col=text_col, id_col=key_col)
+        from neural_search_spark.search.sparse import sparse_features_from_tf
+
+        feats = sparse_features_from_tf(keyed, text_col=text_col, id_col=key_col)
+        return feats.where(F.size("features") > 0).select(
+            "docID", F.col("features").alias("embedding")
+        )
     if chunking:
         from neural_search_spark.analysis.chunking import chunk_table
 
@@ -183,7 +236,7 @@ def apply_semantic_mapping(
         keyed = chunks.select(
             (F.col("_pid") * 100000 + F.col("chunk_idx")).alias("ckey"), "chunk"
         )
-        emb = text_embedding_stub(keyed, text_col="chunk", id_col="ckey").select(
+        emb = _embed(keyed, text_col="chunk", key_col="ckey").select(
             (F.col("docID") / 100000).cast("long").alias("_pid"),
             (F.col("docID") % 100000).cast("int").alias("chunk_idx"),
             F.col("embedding"),
@@ -192,8 +245,13 @@ def apply_semantic_mapping(
             chunks.join(emb, ["_pid", "chunk_idx"])  # inner: drop token-less
             .groupBy("_pid")
             .agg(
+                # explicit chunk_idx comparator: the struct holds a MAP on
+                # the sparse path, which default struct ordering rejects
                 F.array_sort(
-                    F.collect_list(F.struct("chunk_idx", "chunk", "embedding"))
+                    F.collect_list(F.struct("chunk_idx", "chunk", "embedding")),
+                    lambda a, b: F.when(a["chunk_idx"] < b["chunk_idx"], -1)
+                    .when(a["chunk_idx"] > b["chunk_idx"], 1)
+                    .otherwise(0),
                 ).alias("_raw")
             )
             .select(
@@ -218,7 +276,7 @@ def apply_semantic_mapping(
             ).alias(info_name, metadata=meta),
         )
         return out.drop("_pid", "_chunks")
-    emb = text_embedding_stub(df, text_col=field, id_col=id_col).select(
+    emb = _embed(df, text_col=field, key_col=id_col).select(
         F.col("docID").alias(id_col), F.col("embedding").alias("_emb")
     )
     out = df.join(emb, id_col, "left").withColumn(

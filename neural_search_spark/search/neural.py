@@ -352,25 +352,37 @@ def neural_semantic_query(
     k: int = 10,
     id_col: str = "docID",
     semantic_info_field: str | None = None,
+    query_tokens: dict[str, float] | None = None,
+    model_id: str | None = None,
 ) -> DataFrame:
     """``neural`` query against a SEMANTIC field — the query names only the
-    raw field; model id, embedding location, and chunking mode resolve
-    from the mapping (``NeuralQueryBuilder.java:673-706`` resolving
-    ``NeuralQueryTargetFieldConfig`` from index metadata; here from the
-    corpus schema + the semantic-info column metadata stamped by
+    raw field; model id, embedding location, embedding TYPE, and chunking
+    mode resolve from the mapping (``NeuralQueryBuilder.java:673-706``
+    resolving ``NeuralQueryTargetFieldConfig`` from index metadata; here
+    from the corpus schema + the semantic-info column metadata stamped by
     :func:`neural_search_spark.mapping.apply_semantic_mapping`).
 
-    Routing (the builder's rewrite): chunking enabled → nested query over
-    the stored per-chunk embeddings, parents ranked by best chunk
-    (``score_mode=max``) → ``(docID, score, best_chunk_idx)``; plain dense
-    → cosine over the stored doc embedding → ``(docID, score)``. Unmapped
-    or non-semantic targets raise, mirroring
-    ``NeuralQueryValidationUtil.validateTargetFieldConfig``.
+    Routing (the builder's ``rewriteQueryForSemanticField``,
+    ``NeuralQueryBuilder.java:731-800``): ``knn_vector`` embedding → dense
+    cosine over the stored embedding; ``rank_features`` embedding → a
+    ``neural_sparse`` execution whose query token-weight map comes from,
+    in the reference's priority order, (a) the model-generated encoding
+    when the query names a ``model_id`` explicitly OR supplies neither raw
+    ``query_tokens`` nor has a mapping-level search analyzer, (b) the
+    caller's raw ``query_tokens``, (c) the mapping's
+    ``semantic_field_search_analyzer`` applied to the query text
+    (payload-less → weight 1.0 per distinct token). Chunking enabled →
+    nested query over the stored per-chunk embeddings, parents ranked by
+    best chunk (``score_mode=max``) → ``(docID, score, best_chunk_idx)``;
+    plain → ``(docID, score)``. Unmapped or non-semantic targets raise,
+    mirroring ``NeuralQueryValidationUtil.validateTargetFieldConfig``.
 
     Scale shape: embeddings are ingest-time artifacts read from the
     corpus — no query-time model pass over documents; the chunked route is
-    one posexplode + groupBy(parent) shuffle with a TakeOrderedAndProject
-    cut, the dense route is a zero-shuffle projection + top-k."""
+    one posexplode + per-doc window with a TakeOrderedAndProject cut, the
+    doc-level routes are zero-shuffle projections + top-k (the sparse
+    score is a bounded per-token ``element_at`` fold, whole-stage
+    codegen)."""
     from neural_search_spark import stats as _stats
     from neural_search_spark.mapping import (
         semantic_info_field_name,
@@ -389,11 +401,60 @@ def neural_semantic_query(
     from pyspark.sql import Window
 
     _stats.record_event("neural_query_requests")
-    _stats.record_event("neural_query_against_semantic_dense_requests")
     info = semantic_info_field_name(field, semantic_info_field)
-    qv = F.array(
-        *[F.lit(float(v)) for v in query_embedding_stub(query_text)]
-    )
+    if cfg.embedding_field_type == "rank_features":
+        from functools import reduce
+        from operator import add
+
+        from neural_search_spark.search.sparse import (
+            sparse_query_encoding_stub,
+            sparse_query_tokens_from_analyzer,
+        )
+
+        _stats.record_event("neural_query_against_semantic_sparse_requests")
+        # NeuralQueryBuilder.java:763-766: an explicit model_id beats raw
+        # tokens; no tokens AND no mapping analyzer also means the model
+        toks = query_tokens
+        if model_id is not None or (
+            query_tokens is None and cfg.semantic_field_search_analyzer is None
+        ):
+            toks = sparse_query_encoding_stub(query_text)
+        if toks is None:
+            toks = sparse_query_tokens_from_analyzer(
+                query_text, cfg.semantic_field_search_analyzer
+            )
+        if not toks:
+            raise ValueError(
+                "neural query against sparse semantic field produced no "
+                "query tokens (empty embedding/tokenizer output)"
+            )
+
+        def _feat_score(emb):
+            return reduce(
+                add,
+                [
+                    F.coalesce(F.element_at(emb, F.lit(t)), F.lit(0.0)).cast(
+                        "double"
+                    )
+                    * F.lit(float(w))
+                    for t, w in sorted(toks.items())
+                ],
+            )
+
+        score_of = _feat_score
+        # Lucene's rank_features execution only MATCHES docs containing at
+        # least one query token — zero-overlap docs are absent, not 0.0
+        matched_only = True
+    else:
+        matched_only = False
+        _stats.record_event("neural_query_against_semantic_dense_requests")
+        qv = F.array(
+            *[F.lit(float(v)) for v in query_embedding_stub(query_text)]
+        )
+
+        def score_of(emb):
+            return _dot(emb, qv)
+
     if cfg.chunking_enabled:
         ch = df.select(
             F.col(id_col).cast("long").alias("docID"),
@@ -402,8 +463,10 @@ def neural_semantic_query(
         scored = ch.select(
             "docID",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            P.round6(_dot(F.col("_c.embedding"), qv)).alias("score"),
+            P.round6(score_of(F.col("_c.embedding"))).alias("score"),
         )
+        if matched_only:
+            scored = scored.where(F.col("score") != 0.0)
         w = Window.partitionBy("docID").orderBy(F.desc("score"), F.asc("chunk_idx"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
@@ -412,15 +475,13 @@ def neural_semantic_query(
             .orderBy(F.desc("score"), F.asc("docID"))
             .limit(k)
         )
-    return (
-        df.where(F.col(f"{info}.embedding").isNotNull())
-        .select(
-            F.col(id_col).cast("long").alias("docID"),
-            P.round6(_dot(F.col(f"{info}.embedding"), qv)).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("docID"))
-        .limit(k)
+    out = df.where(F.col(f"{info}.embedding").isNotNull()).select(
+        F.col(id_col).cast("long").alias("docID"),
+        P.round6(score_of(F.col(f"{info}.embedding"))).alias("score"),
     )
+    if matched_only:
+        out = out.where(F.col("score") != 0.0)
+    return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
 
 def cross_encoder_stub_scores(

@@ -630,3 +630,165 @@ class TestSemanticFieldQuery:
             got = stats.snapshot()["events"]
         assert got["neural_query_against_semantic_dense_requests"] == 1
         assert got["neural_query_requests"] == 1
+
+    def test_sparse_mapping_schema_and_config(self, spark, tiny_corpus):
+        """sparse_encoding model → rank_features child typed
+        map<string,float> (SemanticInfoConfigBuilder.java), stored weights
+        = term frequency, analyzer name stamped in field metadata."""
+        from pyspark.sql.types import MapType
+
+        from neural_search_spark.mapping import (
+            apply_semantic_mapping,
+            target_field_config,
+        )
+
+        out = apply_semantic_mapping(
+            tiny_corpus, "content", "m-sparse-1",
+            model_type="sparse_encoding", search_analyzer="whitespace",
+        )
+        info = out.schema["content_semantic_info"].dataType
+        assert isinstance(info["embedding"].dataType, MapType)
+        cfg = target_field_config(out.schema, "content")
+        assert cfg.embedding_field_type == "rank_features"
+        assert cfg.search_model_id == "m-sparse-1"
+        assert cfg.semantic_field_search_analyzer == "whitespace"
+        # dense mapping keeps knn_vector and no analyzer
+        dense_cfg = target_field_config(
+            apply_semantic_mapping(tiny_corpus, "content", "m1").schema, "content"
+        )
+        assert dense_cfg.embedding_field_type == "knn_vector"
+        assert dense_cfg.semantic_field_search_analyzer is None
+        # stored map is exactly the analyzed term-frequency vector
+        from collections import Counter
+
+        from neural_search_spark.analysis.tokenizer import tokenize_text
+
+        row = out.where(F.col("docID") == 0).select(
+            "content", "content_semantic_info.embedding"
+        ).first()
+        want = Counter(tokenize_text(row["content"]))
+        assert {t: int(w) for t, w in row["embedding"].items()} == dict(want)
+
+    def test_sparse_route_token_sources(self, spark, tiny_corpus):
+        """NeuralQueryBuilder.java:756-780 priority: explicit model_id →
+        model tokens (beats raw tokens); raw query_tokens next; mapping
+        analyzer last; matched docs only."""
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import neural_semantic_query
+        from neural_search_spark.search.sparse import (
+            neural_sparse_score,
+            sparse_features_from_tf,
+            sparse_postings,
+            sparse_query_encoding_stub,
+            sparse_query_tokens_from_analyzer,
+        )
+
+        q = "def def ident"  # duplicate token separates the two sources
+        postings = sparse_postings(sparse_features_from_tf(tiny_corpus)).cache()
+
+        def _want(toks, k=6):
+            return [
+                tuple(r)
+                for r in neural_sparse_score(spark, postings, toks)
+                .orderBy(F.desc("score"), F.asc("docID"))
+                .limit(k)
+                .collect()
+            ]
+
+        # no analyzer in the mapping → model route (query-tf stub)
+        plain = apply_semantic_mapping(
+            tiny_corpus, "content", "m-s", model_type="sparse_encoding"
+        )
+        got = neural_semantic_query(plain, "content", q, k=6)
+        assert got.columns == ["docID", "score"]
+        assert [tuple(r) for r in got.collect()] == _want(
+            sparse_query_encoding_stub(q)
+        )
+        # analyzer in the mapping → payload-less 1.0 tokens from it
+        analyzed = apply_semantic_mapping(
+            tiny_corpus, "content", "m-s", model_type="sparse_encoding",
+            search_analyzer="standard",
+        )
+        got = neural_semantic_query(analyzed, "content", q, k=6)
+        assert [tuple(r) for r in got.collect()] == _want(
+            sparse_query_tokens_from_analyzer(q, "standard")
+        )
+        # raw query_tokens beat the analyzer …
+        raw = {"ident": 3.0}
+        got = neural_semantic_query(analyzed, "content", q, k=6, query_tokens=raw)
+        assert [tuple(r) for r in got.collect()] == _want(raw)
+        # … but an explicit model_id beats raw tokens (java:763-766)
+        got = neural_semantic_query(
+            analyzed, "content", q, k=6, query_tokens=raw, model_id="m-s"
+        )
+        assert [tuple(r) for r in got.collect()] == _want(
+            sparse_query_encoding_stub(q)
+        )
+        # zero-overlap queries match nothing (rank_features term semantics)
+        assert (
+            neural_semantic_query(
+                plain, "content", "zzzznope", k=6, query_tokens={"zzzznope": 1.0}
+            ).count()
+            == 0
+        )
+
+    def test_sparse_chunked_route_scoremode_max(self, spark, tiny_corpus):
+        """Chunking + sparse → nested execution, parent score = best chunk
+        (ScoreMode.Max), token-less chunks skipped."""
+        from neural_search_spark.analysis.chunking import chunk_table
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import neural_semantic_query
+        from neural_search_spark.search.sparse import (
+            neural_sparse_score,
+            sparse_features_from_tf,
+            sparse_postings,
+            sparse_query_encoding_stub,
+        )
+
+        q = "return value"
+        mapped = apply_semantic_mapping(
+            tiny_corpus, "content", "m-s", model_type="sparse_encoding",
+            chunking=True, chunk_algorithm="fixed_token_length", token_limit=8,
+        )
+        got = neural_semantic_query(mapped, "content", q, k=8)
+        assert got.columns == ["docID", "score", "best_chunk_idx"]
+        # oracle: score each chunk independently, keep the per-doc max
+        chunks = chunk_table(
+            tiny_corpus, "content", "docID", "fixed_token_length", token_limit=8
+        ).select(
+            (F.col("docID") * 100000 + F.col("chunk_idx")).alias("ckey"), "chunk"
+        )
+        per_chunk = neural_sparse_score(
+            spark,
+            sparse_postings(sparse_features_from_tf(chunks, "chunk", "ckey")),
+            sparse_query_encoding_stub(q),
+        ).select(
+            (F.col("docID") / 100000).cast("long").alias("pid"),
+            F.col("score"),
+        )
+        want = (
+            per_chunk.groupBy("pid")
+            .agg(F.max("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("pid"))
+            .limit(8)
+            .collect()
+        )
+        assert [(r["docID"], r["score"]) for r in got.collect()] == [
+            tuple(r) for r in want
+        ]
+
+    def test_sparse_semantic_stats(self, spark, tiny_corpus):
+        from neural_search_spark import settings, stats
+        from neural_search_spark.mapping import apply_semantic_mapping
+        from neural_search_spark.search.neural import neural_semantic_query
+
+        sp = apply_semantic_mapping(
+            tiny_corpus, "content", "m-s", model_type="sparse_encoding"
+        )
+        with settings.override(stats_enabled=True):
+            stats.reset()
+            neural_semantic_query(sp, "content", "def ident")
+            got = stats.snapshot()["events"]
+        assert got["neural_query_against_semantic_sparse_requests"] == 1
+        assert got["neural_query_requests"] == 1
+        assert "neural_query_against_semantic_dense_requests" not in got
