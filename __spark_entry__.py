@@ -1682,6 +1682,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_doc_corpus(spark, sf_dir))
 
 
+from neural_search_spark.pipeline.textstats import (
+    QUALITY_THRESHOLDS as _QUALITY_THRESHOLDS,
+)
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration: doc/token keep-rates at a 9-rung
+    threshold ladder in ONE corpus pass (2·T+2 conditional sums in a
+    single map-side-partial aggregate) — the table a pipeline owner reads
+    to pick the cutoff that hits a token budget."""
+    from neural_search_spark.pipeline.textstats import quality_threshold_sweep
+
+    return quality_threshold_sweep(_doc_corpus(spark, sf_dir))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_search_spark.pipeline.textstats import fingerprints
 
@@ -2470,22 +2485,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 10 keys NEW or CHANGED in round 6 first (a never-
-    # driver-checked key outranks any re-fresh), then 40 of the 49 keys
+    # round): the 11 keys NEW or CHANGED in round 6 first (a never-
+    # driver-checked key outranks any re-fresh), then 39 of the 49 keys
     # whose freshest driver row is round 3 (the r5 verdict's rotation
-    # ask). 49 + 10 > 50, so nine UNCHANGED, deterministic r3 keys
-    # (mm_text_image_embedding, text_lang_id, text_quality,
-    # stream_window_stats_batch, text_token_counts, text_fingerprint,
-    # train_split_assign, ids_topk, match_all_filtered — pure
-    # projections/membership/mode-agnostic aggs or stub-model plumbing,
-    # pytest-covered and driver-green in r3) sit at positions 51-59 to
-    # lead the round-7 window; fresher keys rotate to the tail.
+    # ask). 49 + 11 > 50, so ten UNCHANGED, deterministic r3 keys
+    # (mm_frame_sample, mm_text_image_embedding, text_lang_id,
+    # text_quality, stream_window_stats_batch, text_token_counts,
+    # text_fingerprint, train_split_assign, ids_topk, match_all_filtered
+    # — pure projections/membership/mode-agnostic aggs or stub-model
+    # plumbing, pytest-covered and driver-green in r3) sit at positions
+    # 51-60 to lead the round-7 window; fresher keys rotate to the tail.
     return {
         # -- new in round 6 --
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "neural_semantic_topk": q_neural_semantic_topk,
         "semantic_sparse_topk": q_semantic_sparse_topk,
         "semantic_sparse_analyzer_topk": q_semantic_sparse_analyzer_topk,
+        "quality_threshold_sweep": q_quality_threshold_sweep,
         "hybrid_ann_dense": q_hybrid_ann_dense,
         "rerank_context": q_rerank_context,
         "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
@@ -2958,6 +2974,9 @@ LIMIT 10
         "text_token_counts": psql.text_token_counts_sql(),
         "text_lang_id": psql.text_lang_id_sql(),
         "text_quality": psql.text_quality_sql(),
+        "quality_threshold_sweep": psql.quality_threshold_sweep_sql(
+            _QUALITY_THRESHOLDS
+        ),
         "text_fingerprint": psql.text_fingerprint_sql(),
         "text_repetition": psql.text_repetition_sql(CHUNK_DELIM),
         "text_decontaminate": psql.text_decontaminate_sql(

@@ -60,15 +60,31 @@ def decode_image_stub(payload: bytes) -> "object":
 
 
 def rechunk_ingest_batches(
-    batches: Iterator[pd.DataFrame], batch_size: int
+    batches: Iterator[pd.DataFrame],
+    batch_size: int,
+    sort_by_length: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Re-chunk Arrow batches into model micro-batches of at most
     ``batch_size`` rows — the Spark analog of the reference's ingest
     sub-batching (``processor/InferenceProcessor.java:199-229`` cuts the
     doc list into ``semantic_ingest_batch_size`` slices per model call).
     Arrow hands `mapInPandas` ~10k-row batches; a model server has its own
-    max batch, so the loop slices before each "inference" call."""
+    max batch, so the loop slices before each "inference" call.
+
+    ``sort_by_length``: name of a text/bytes column to STABLY sort each
+    Arrow batch by element length before slicing — the reference's
+    padding-waste optimization
+    (``InferenceProcessor.sortByLengthAndReturnOriginalOrder``,
+    ``doSubBatchExecute`` at ``InferenceProcessor.java:217-229``): every
+    model call then sees similar-length inputs, so a real batched model
+    pads far less. The reference restores original list order afterwards
+    (``restoreToOriginalOrder``) because ingest-document lists are
+    positional; DataFrame rows are unordered and every result row carries
+    its id, so no restore step exists to get wrong here."""
     for pdf in batches:
+        if sort_by_length is not None and len(pdf) > 1:
+            order = pdf[sort_by_length].map(len).argsort(kind="stable")
+            pdf = pdf.iloc[order]
         for start in range(0, len(pdf), batch_size):
             yield pdf.iloc[start : start + batch_size]
 
@@ -89,7 +105,7 @@ def extract_binary_features(binary_df: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in rechunk_ingest_batches(batches, batch_size):
+        for pdf in rechunk_ingest_batches(batches, batch_size, sort_by_length="payload"):
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {

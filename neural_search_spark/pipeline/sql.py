@@ -616,6 +616,44 @@ FROM r
 """
 
 
+def quality_threshold_sweep_sql(thresholds: tuple[float, ...]) -> str:
+    """Keep-rate twin of ``textstats.quality_threshold_sweep``: the same
+    round4 quality per doc, conditional doc/token sums per ladder rung."""
+    stop = _in_list(P.QUALITY_STOPWORDS)
+    vals = ", ".join(f"({float(t)!r})" for t in thresholds)
+    return f"""
+WITH {_DOC_TOKS.strip()},
+m AS (
+    SELECT docID,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct
+    FROM toks
+),
+q AS (
+    SELECT n_tokens,
+           round(
+               (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END)
+               * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
+               * least(n_tokens / 64.0, 1.0), 4) AS quality
+    FROM m
+),
+thr(threshold) AS (VALUES {vals})
+SELECT threshold,
+       CAST(COUNT(*) FILTER (WHERE quality >= threshold) AS BIGINT) AS docs_kept,
+       round(COUNT(*) FILTER (WHERE quality >= threshold) * 1.0 / COUNT(*), 4)
+           AS doc_keep_rate,
+       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE quality >= threshold), 0) AS BIGINT)
+           AS tokens_kept,
+       round(COALESCE(SUM(n_tokens) FILTER (WHERE quality >= threshold), 0) * 1.0
+             / SUM(n_tokens), 4) AS token_keep_rate
+FROM q CROSS JOIN thr
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
 def text_fingerprint_sql() -> str:
     return f"""
 WITH {_DOC_TOKS.strip()}

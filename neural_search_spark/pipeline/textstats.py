@@ -91,6 +91,66 @@ def quality_scores(df: DataFrame, text_col: str = "content", id_col: str = "docI
     )
 
 
+#: default calibration ladder for quality_threshold_sweep
+QUALITY_THRESHOLDS = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = QUALITY_THRESHOLDS,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Keep-rate calibration table for the quality filter: for each
+    candidate threshold, how many documents and how many tokens survive
+    ``quality >= t`` → (threshold, docs_kept, doc_keep_rate, tokens_kept,
+    token_keep_rate). This is the table a pipeline owner reads to pick the
+    cutoff that hits a token budget — sweeping thresholds by re-running
+    the filter is T corpus passes; this is ONE.
+
+    Scale shape: a single aggregate with 2·T+2 conditional sums (map-side
+    partial, one exchange to a 1-row result), then a driver-side
+    posexplode of the bounded ladder — never a per-threshold pass and
+    never a row blowup before the aggregate."""
+    if not thresholds or list(thresholds) != sorted(set(thresholds)):
+        raise ValueError("thresholds must be non-empty, strictly increasing")
+    q = quality_scores(df, text_col, id_col).select("n_tokens", "quality")
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum("n_tokens").alias("_tok"),
+    ]
+    for i, t in enumerate(thresholds):
+        keep = F.col("quality") >= F.lit(float(t))
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_d{i}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_t{i}")
+        )
+    row = q.agg(*aggs)
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"_d{i}").alias("docs_kept"),
+                F.col(f"_t{i}").alias("tokens_kept"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        row.select("_n", "_tok", F.explode(ladder).alias("_e"))
+        .select(
+            F.col("_e.threshold").alias("threshold"),
+            F.col("_e.docs_kept").alias("docs_kept"),
+            P.round4(F.col("_e.docs_kept") / F.col("_n")).alias("doc_keep_rate"),
+            F.col("_e.tokens_kept").alias("tokens_kept"),
+            P.round4(F.col("_e.tokens_kept") / F.col("_tok")).alias("token_keep_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
     """(docID, fingerprint): rolling polynomial hash over analyzed tokens,
     acc = (acc*31 + hash32(token)) mod P. Order-sensitive (unlike the

@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 REQUIRED_COLUMNS = ("repo", "path", "commit", "lang", "content")
 
+#: canonical corpus schema for self-describing-less formats (jsonl/csv):
+#: passing an explicit schema avoids Spark's inference pass — a full extra
+#: scan of the input at 100 TB — and pins types across engines.
+CORPUS_DDL = "repo string, path string, commit string, lang string, content string"
+
 
 def _has_iceberg(spark: SparkSession) -> bool:
     try:
@@ -40,10 +45,15 @@ def read_corpus_table(
 ) -> DataFrame:
     """Load the corpus as a DataFrame with a stable ``docID``.
 
-    ``source``: an Iceberg table identifier (contains no ``/``) or a
-    parquet directory/file path. ``docID`` is derived deterministically as
-    ``xxhash64(repo, path, commit)`` when absent — content-addressed, so
-    re-ingesting the same snapshot yields identical ids on any cluster.
+    ``source``: an Iceberg table identifier (contains no ``/``), a
+    parquet directory/file path, or a ``.jsonl``/``.json``/``.csv`` path
+    (common raw-dump interchange formats; read with the pinned
+    :data:`CORPUS_DDL` schema — no inference pass — and, for csv,
+    RFC-4180 quoting with multiline records so code content with
+    newlines/commas round-trips). ``docID`` is derived deterministically
+    as ``xxhash64(repo, path, commit)`` when absent — content-addressed,
+    so re-ingesting the same snapshot yields identical ids on any
+    cluster.
 
     ``semantic_field``: when set, the column is treated as the reference's
     ``semantic`` field type — the schema gains the derived
@@ -53,8 +63,15 @@ def read_corpus_table(
     load, exactly :func:`neural_search_spark.mapping.derive_semantic_schema`
     of the base schema.
     """
+    low = source.lower()
     if "/" not in source and _has_iceberg(spark):
         df = spark.read.table(source)
+    elif low.endswith((".jsonl", ".json")):
+        df = spark.read.schema(CORPUS_DDL).json(source)
+    elif low.endswith(".csv"):
+        df = spark.read.schema(CORPUS_DDL).csv(
+            source, header=True, quote='"', escape='"', multiLine=True
+        )
     else:
         df = spark.read.parquet(source)
     if validate:

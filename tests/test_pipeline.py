@@ -251,6 +251,43 @@ def test_quality_empty_doc(spark):
     assert 0 < got[1]["alpha_ratio"] <= 1.0
 
 
+def test_quality_threshold_sweep(spark):
+    from neural_search_spark.pipeline.textstats import (
+        quality_scores,
+        quality_threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["", "good clean text here", "x!!!", "the quick brown fox " * 20]
+        )],
+        "docID long, content string",
+    )
+    got = quality_threshold_sweep(df, thresholds=(0.0, 0.5, 0.9))
+    rows = got.collect()
+    assert [r["threshold"] for r in rows] == [0.0, 0.5, 0.9]
+    # threshold 0.0 keeps everything; rates are monotone non-increasing
+    assert rows[0]["docs_kept"] == 4 and rows[0]["doc_keep_rate"] == 1.0
+    assert rows[0]["token_keep_rate"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a["docs_kept"] >= b["docs_kept"]
+        assert a["tokens_kept"] >= b["tokens_kept"]
+    # cross-check one rung against the per-doc scores
+    q = {r["docID"]: r for r in quality_scores(df).collect()}
+    want_docs = sum(1 for r in q.values() if r["quality"] >= 0.5)
+    want_toks = sum(r["n_tokens"] for r in q.values() if r["quality"] >= 0.5)
+    assert rows[1]["docs_kept"] == want_docs
+    assert rows[1]["tokens_kept"] == want_toks
+    # one corpus pass: corpus rows cross exactly one exchange (the 1-row
+    # aggregate); the second exchange is the final sort of the T-row ladder
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count(") Exchange") <= 2
+    with pytest.raises(ValueError):
+        quality_threshold_sweep(df, thresholds=(0.5, 0.1))
+
+
 def test_fingerprint_matches_python(docs):
     from neural_search_spark.pipeline.textstats import fingerprints
 

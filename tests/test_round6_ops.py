@@ -500,6 +500,43 @@ class TestSettingsRound6:
             )
         assert base == small
 
+    def test_ingest_batches_sorted_by_length(self, spark, tiny_corpus):
+        """Padding-waste optimization: each Arrow batch is stably sorted by
+        input length BEFORE slicing into model micro-batches
+        (InferenceProcessor.sortByLengthAndReturnOriginalOrder /
+        doSubBatchExecute, InferenceProcessor.java:217-229), so every model
+        call sees similar-length inputs; results are unchanged (row ids
+        carry identity — no positional restore step needed in Spark)."""
+        import pandas as pd
+
+        from neural_search_spark.pipeline.multimodal import (
+            extract_binary_features,
+            rechunk_ingest_batches,
+            with_binary_payload,
+        )
+
+        pdf = pd.DataFrame(
+            {"i": range(6), "t": ["aaaa", "a", "aaa", "aa", "aaaaa", "a"]}
+        )
+        chunks = list(rechunk_ingest_batches(iter([pdf]), 2, sort_by_length="t"))
+        flat = pd.concat(chunks)
+        # globally length-sorted across the micro-batch sequence …
+        assert flat["t"].map(len).tolist() == sorted(len(s) for s in pdf["t"])
+        # … with a STABLE tie-break (the two 'a' rows keep input order)
+        assert flat["i"].tolist()[:2] == [1, 5]
+        assert [len(c) for c in chunks] == [2, 2, 2]
+        # end-to-end: the sorted path still yields one row per doc with the
+        # correct per-doc n_bytes (identity travels with the row, not the
+        # list position)
+        payload = with_binary_payload(tiny_corpus)
+        feats = extract_binary_features(payload)
+        want_bytes = {
+            r["docID"]: r["n"]
+            for r in payload.select("docID", F.col("meta.n_bytes").alias("n")).collect()
+        }
+        got_bytes = {r["docID"]: r["n_bytes"] for r in feats.collect()}
+        assert got_bytes == want_bytes
+
 
 class TestSemanticFieldQuery:
     """Query-time semantic-field resolution (NeuralQueryBuilder.java:

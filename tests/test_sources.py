@@ -26,6 +26,50 @@ def test_read_corpus_parquet_with_derived_ids(spark, tiny_corpus, tmp_path):
     assert bad == 0
 
 
+def test_read_corpus_jsonl_and_csv(spark, tiny_corpus, tmp_path):
+    """Raw-dump interchange formats resolve to the same corpus: identical
+    derived docIDs and content hashes as the parquet path, including code
+    content with embedded newlines/quotes/commas (csv multiline quoting)."""
+    base = tiny_corpus.drop("docID", "content_sha256")
+    pq = str(tmp_path / "c_pq")
+    base.write.parquet(pq)
+    want = {
+        (r["docID"], r["content_sha256"])
+        for r in read_corpus_table(spark, pq).select("docID", "content_sha256").collect()
+    }
+    assert want  # non-empty corpus
+
+    jd = str(tmp_path / "c_jsonl")
+    base.write.json(jd)
+    jl = str(tmp_path / "c.jsonl")
+    import glob
+    import shutil
+
+    with open(jl, "wb") as out:
+        for part in sorted(glob.glob(jd + "/part-*")):
+            with open(part, "rb") as f:
+                shutil.copyfileobj(f, out)
+    got_j = {
+        (r["docID"], r["content_sha256"])
+        for r in read_corpus_table(spark, jl).select("docID", "content_sha256").collect()
+    }
+    assert got_j == want
+
+    cd = str(tmp_path / "c_csvdir")
+    # single-file csv so header handling is unambiguous
+    base.coalesce(1).write.option("header", True).option("quote", '"').option(
+        "escape", '"'
+    ).csv(cd)
+    cf = sorted(glob.glob(cd + "/part-*.csv"))
+    cpath = str(tmp_path / "c.csv")
+    shutil.copyfile(cf[0], cpath)
+    got_c = {
+        (r["docID"], r["content_sha256"])
+        for r in read_corpus_table(spark, cpath).select("docID", "content_sha256").collect()
+    }
+    assert got_c == want
+
+
 def test_read_corpus_validates_schema(spark, tmp_path):
     p = str(tmp_path / "bad_pq")
     spark.range(3).write.parquet(p)
