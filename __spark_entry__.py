@@ -80,6 +80,39 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEXES[key]
 
 
+_UPDATED_INDEXES: dict[tuple[int, str], "object"] = {}
+
+
+def _updated_index(spark: SparkSession, sf_dir: str):
+    """Incremental-maintenance artifact: an index FIRST built over the even
+    half of the corpus, then brought up to the FULL corpus by
+    ``update_index`` (sync mode — the odd half classifies as 'added'),
+    cached per (session, corpus) like :func:`_index`. Querying it must be
+    rank- and score-identical to a from-scratch full build (the
+    inference-skip contract, ``processor/optimization/InferenceFilter.java``:
+    unchanged docs are never re-tokenized, only dirty shards re-encode) —
+    at 100 TB this delta-build-then-update path IS how a corpus refresh
+    ships without re-indexing the world. On a dir left complete by a
+    previous process the build resumes as a no-op and the update finds
+    zero dirty docs (idempotent by docmap)."""
+    import hashlib
+    import os
+
+    from neural_search_spark.index.builder import build_index, update_index
+    from neural_search_spark.index.codec import FORMAT_VERSION
+    from neural_search_spark.search.wand import BlockMaxIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _UPDATED_INDEXES:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        d = os.path.join("/tmp", f"nss_index_upd_v{FORMAT_VERSION}_{tag}")
+        corpus = corpus_from_documents(spark, sf_dir)
+        build_index(spark, corpus.where(F.col("docID") % 2 == 0), d, n_shards=8)
+        update_index(spark, corpus, d)
+        _UPDATED_INDEXES[key] = BlockMaxIndex(spark, d).cache()
+    return _UPDATED_INDEXES[key]
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
     """One cached engine per (session, corpus): the index is built once and
     queried many times — the reference's index/query split."""
@@ -386,6 +419,15 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be rank- and score-identical to the DataFrame path, so it shares
     bm25_match_topk's oracle."""
     return _round_score(_index(spark, sf_dir).match_topk(Q_MATCH, k=10))
+
+
+def q_bm25_updated_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same match query through the INCREMENTALLY-MAINTAINED index (built
+    over half the corpus, then ``update_index`` adds the rest — the
+    inference-skip / delta-refresh path): must be rank- and score-identical
+    to the from-scratch build and the DataFrame path, so it shares
+    bm25_match_topk's oracle."""
+    return _round_score(_updated_index(spark, sf_dir).match_topk(Q_MATCH, k=10))
 
 
 def q_doclen_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2114,6 +2156,22 @@ def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_ppl(_doc_corpus(spark, sf_dir)).orderBy("docID")
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): per-language
+    unigram-LM perplexity rank cut into thirds; bucket arithmetic
+    floor((rank−1)·3 / n_lang) is the contract shared verbatim with the
+    oracle. Rank is a two-stage distributed prefix-sum scan — no
+    per-language single-reducer sort (see textstats.ccnet_ppl_buckets)."""
+    from neural_search_spark.pipeline.textstats import ccnet_ppl_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docID"),
+        F.col("text").alias("content"),
+        "lang",
+    )
+    return ccnet_ppl_buckets(docs)
+
+
 def q_hybrid_agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_text under hybrid (§2.7): TERMS over-represented in the
     hit set vs the whole index (JLH, like significant_terms but over the
@@ -2485,18 +2543,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 11 keys NEW or CHANGED in round 6 first (a never-
-    # driver-checked key outranks any re-fresh), then 39 of the 49 keys
+    # round): the 13 keys NEW or CHANGED in round 6 first (a never-
+    # driver-checked key outranks any re-fresh), then 37 of the 49 keys
     # whose freshest driver row is round 3 (the r5 verdict's rotation
-    # ask). 49 + 11 > 50, so ten UNCHANGED, deterministic r3 keys
-    # (mm_frame_sample, mm_text_image_embedding, text_lang_id,
-    # text_quality, stream_window_stats_batch, text_token_counts,
-    # text_fingerprint, train_split_assign, ids_topk, match_all_filtered
-    # — pure projections/membership/mode-agnostic aggs or stub-model
-    # plumbing, pytest-covered and driver-green in r3) sit at positions
-    # 51-60 to lead the round-7 window; fresher keys rotate to the tail.
+    # ask). 49 + 13 > 50, so the UNCHANGED, deterministic r3 keys
+    # (constant_score_topk, mm_image_meta, mm_frame_sample,
+    # mm_text_image_embedding,
+    # text_lang_id, text_quality, stream_window_stats_batch,
+    # text_token_counts, text_fingerprint, train_split_assign, ids_topk,
+    # match_all_filtered — pure projections/membership/mode-agnostic aggs
+    # or stub-model plumbing, pytest-covered and driver-green in r3) sit
+    # right after position 50 to lead the round-7 window; fresher keys
+    # rotate to the tail.
     return {
         # -- new in round 6 --
+        "bm25_updated_index_topk": q_bm25_updated_index_topk,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "neural_semantic_topk": q_neural_semantic_topk,
         "semantic_sparse_topk": q_semantic_sparse_topk,
@@ -2526,7 +2588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": q_range_topk,
         "dis_max_topk": q_dis_max_topk,
         "boosting_topk": q_boosting_topk,
-        "constant_score_topk": q_constant_score_topk,
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
         "hybrid_sort_field": q_hybrid_sort_field,
@@ -2548,12 +2609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
+        # ---- driver window boundary (first 50 keys end here) ----
+        # -- r3-stale spill (lead the round-7 window) --
+        "constant_score_topk": q_constant_score_topk,  # constant-score wrap; siblings boosting/dis_max stay in-window
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_text_image_embedding": q_mm_text_image_embedding,
         "text_lang_id": q_text_lang_id,
-        # ---- driver window boundary (first 50 keys end here) ----
-        # -- r3-stale spill (lead the round-7 window) --
         "text_quality": q_text_quality,
         "stream_window_stats_batch": q_stream_window_stats_batch,
         "text_token_counts": q_text_token_counts,
@@ -2760,6 +2822,8 @@ LIMIT 10
             tt(Q_FILTERED), k=10, doc_filter=FILTER_PRED
         ),
         "bm25_wand_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
+        # incrementally-updated index must score identically to a full build
+        "bm25_updated_index_topk": osql.bm25_topk_sql(tt(Q_MATCH), k=10),
         "doclen_quantized": osql.doclen_quantized_sql(),
         "corpus_adapter": osql.corpus_adapter_sql(),
         "hybrid_minmax_arith": osql.hybrid_topk_sql(h2, "min_max", "arithmetic_mean", depth=HYBRID_DEPTH),
@@ -3017,6 +3081,7 @@ LIMIT 10
             tt(MPP_QUERY)[:-1], tt(MPP_QUERY)[-1], k=10
         ),
         "text_unigram_ppl": psql.unigram_ppl_sql(),
+        "ccnet_ppl_buckets": psql.ccnet_ppl_buckets_sql(),
         "mix_report": psql.mix_report_sql(),
         "hybrid_fields_fetch": osql.hybrid_fields_fetch_sql(h2, k=10, depth=HYBRID_DEPTH),
         "hybrid_agg_composite": osql.hybrid_agg_composite_sql(

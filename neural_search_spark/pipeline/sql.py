@@ -1493,10 +1493,11 @@ ORDER BY docID
 """
 
 
-def unigram_ppl_sql() -> str:
-    """Twin of :func:`neural_search_spark.pipeline.textstats.unigram_ppl`."""
-    return f"""
-WITH tk AS (
+#: shared CTE chain for the unigram-LM perplexity signal (tokenize →
+#: per-doc tf → corpus unigram model → per-doc mass); used by both
+#: :func:`unigram_ppl_sql` and :func:`ccnet_ppl_buckets_sql`.
+_PPL_CTES = f"""
+tk AS (
     SELECT CAST(doc_id AS BIGINT) AS docID,
            unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
     FROM documents
@@ -1512,12 +1513,52 @@ per AS (
            SUM(f.tf * -log2(c.cnt / t.t)) AS mass
     FROM tf f JOIN cnt c USING (term) CROSS JOIN tot t
     GROUP BY f.docID
-)
+)"""
+
+
+def unigram_ppl_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.unigram_ppl`."""
+    return f"""
+WITH {_PPL_CTES}
 SELECT docID, n_tokens,
        ROUND(mass / n_tokens, 4) AS avg_nll,
        ROUND(POWER(2.0, mass / n_tokens), 4) AS ppl
 FROM per
 ORDER BY docID
+"""
+
+
+def ccnet_ppl_buckets_sql() -> str:
+    """Twin of :func:`neural_search_spark.pipeline.textstats.ccnet_ppl_buckets`.
+
+    Shares the bucket contract verbatim: 1-indexed (ppl, docID) rank r
+    within the language, bucket index = (r−1)·3 // c (integer floor
+    division), 0 = head / 1 = middle / 2 = tail.
+    """
+    return f"""
+WITH {_PPL_CTES},
+ppl AS (
+    SELECT docID, ROUND(POWER(2.0, mass / n_tokens), 4) AS ppl FROM per
+),
+sc AS (
+    SELECT p.docID, p.ppl, d.lang
+    FROM ppl p JOIN documents d ON p.docID = CAST(d.doc_id AS BIGINT)
+),
+r AS (
+    SELECT lang, ppl,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl, docID) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS c
+    FROM sc
+)
+SELECT lang,
+       CASE ((rn - 1) * 3) // c WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(ppl) AS ppl_lo,
+       MAX(ppl) AS ppl_hi
+FROM r
+GROUP BY lang, bucket
+ORDER BY lang, bucket
 """
 
 

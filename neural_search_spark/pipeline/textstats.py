@@ -622,6 +622,80 @@ def unigram_ppl(
     )
 
 
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """(lang, bucket, n_docs, ppl_lo, ppl_hi): the CCNet head/middle/tail
+    corpus split (Wenzek et al. 2020) — rank every document within its
+    language by :func:`unigram_ppl` perplexity (ascending: lowest-ppl
+    third = ``head``, the highest-quality slice CCNet trains on first)
+    and cut the ranking into thirds.
+
+    Bucket contract (shared verbatim with the DuckDB oracle): with r the
+    1-indexed (ppl, docID)-ordered rank within the language and c the
+    language's doc count, bucket index = floor((r−1)·3 / c) — thirds that
+    differ by at most one doc, deterministic under ties because docID
+    breaks them.
+
+    Scale shape: NO per-language single-reducer sort. The rank is the
+    two-stage distributed scan used by :func:`training.pack_plan`:
+    range-partition by (lang, ppl, docID), per-partition local
+    row_numbers, then a tiny (partition × lang) count table is collected,
+    prefix-summed driver-side, and broadcast back as base offsets —
+    O(n_ranges · n_langs) driver rows regardless of corpus size. (CCNet
+    itself computes per-language ppl *thresholds* once per release from a
+    sample; the rank formulation is the exact, artifact-free equivalent.)
+    """
+    from pyspark.sql import Window
+
+    ppl = unigram_ppl(df, text_col=text_col, id_col=id_col).select("docID", "ppl")
+    langs = df.select(F.col(id_col).alias("docID"), F.col(lang_col).alias("lang"))
+    scored = ppl.join(langs, "docID")
+    parts = scored.repartitionByRange(32, "lang", "ppl", "docID").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid", "lang").orderBy("ppl", "docID")
+    local = parts.withColumn("_lr", F.row_number().over(w)).persist()
+    counts = (
+        local.groupBy("_pid", "lang").agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy("lang", "_pid")
+        .collect()
+    )
+    offsets: list[tuple[int, str, int]] = []
+    totals: dict[str, int] = {}
+    for r in counts:  # rows arrive (lang, _pid)-sorted: running base per lang
+        base = totals.get(r["lang"], 0)
+        offsets.append((int(r["_pid"]), r["lang"], base))
+        totals[r["lang"]] = base + int(r["_c"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, lang string, _off long")
+    )
+    tot_df = F.broadcast(
+        spark.createDataFrame(sorted(totals.items()), "lang string, _n long")
+    )
+    rank = F.col("_lr") + F.col("_off")  # 1-indexed rank within lang
+    bidx = F.floor((rank - 1) * 3 / F.col("_n"))
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (bidx + 1).cast("int"),
+    )
+    return (
+        local.join(off_df, ["_pid", "lang"])
+        .join(tot_df, "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("ppl_lo"),
+            F.max("ppl").alias("ppl_hi"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_expr: str,

@@ -56,8 +56,8 @@ _REGISTRY: dict[str, tuple[Any, Callable[[Any], Any]]] = {
     # (default FALSE — stats calls 403 and event increments no-op when off)
     "stats_enabled": (False, _bool),
     # NeuralSearchSettings.java: index.neural_search.semantic_ingest_batch_size
-    # (intSetting default 10, min 1, max 100) — consumed by the embedding
-    # ingest path (pipeline/embedding.py) as the model micro-batch size.
+    # (intSetting default 10, min 1, max 100) — consumed by the ingest
+    # inference path (pipeline/multimodal.py) as the model micro-batch size.
     "semantic_ingest_batch_size": (10, _bounded_int(1, 100)),
     # Spark analog of BooleanQuery.maxClauseCount: the cap on BROADCASTING
     # a multi-term expansion before the semi-join falls back to a shuffle

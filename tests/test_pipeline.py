@@ -723,3 +723,32 @@ def test_shuffle_order_dense_deterministic_and_seeded(spark):
     # a different seed re-deals
     c = {r["docID"]: r["pos"] for r in shuffle_order(df, seed="shuffle-v2").collect()}
     assert c != a and sorted(c.values()) == list(range(97))
+
+
+def test_ccnet_ppl_buckets_sizes_and_order(spark):
+    """CCNet head/middle/tail: per-lang bucket sizes follow the shared
+    floor((r-1)*3/c) arithmetic, buckets partition the corpus, and ppl
+    ranges are non-overlapping in bucket order (head = lowest ppl)."""
+    from neural_search_spark.pipeline.textstats import ccnet_ppl_buckets
+
+    rows = []
+    # lang 'a': 7 docs with increasingly rare vocabulary (common word
+    # 'the' repeated vs singleton terms) -> strictly ordered ppl
+    for i in range(7):
+        rows.append((i, " ".join(["the"] * (7 - i) + [f"rare{i}x{j}" for j in range(i)]), "a"))
+    # lang 'b': 5 docs, same construction
+    for i in range(5):
+        rows.append((100 + i, " ".join(["the"] * (5 - i) + [f"odd{i}y{j}" for j in range(i)]), "b"))
+    df = spark.createDataFrame(rows, "docID long, content string, lang string")
+    got = ccnet_ppl_buckets(df).collect()
+
+    sizes = {(r["lang"], r["bucket"]): r["n_docs"] for r in got}
+    # c=7: floor((r-1)*3/7) for r=1..7 -> [0,0,0,1,1,2,2]
+    assert sizes[("a", "head")] == 3 and sizes[("a", "middle")] == 2 and sizes[("a", "tail")] == 2
+    # c=5: floor((r-1)*3/5) for r=1..5 -> [0,0,1,1,2]
+    assert sizes[("b", "head")] == 2 and sizes[("b", "middle")] == 2 and sizes[("b", "tail")] == 1
+    assert sum(sizes.values()) == 12
+    for lang in ("a", "b"):
+        by = {r["bucket"]: r for r in got if r["lang"] == lang}
+        assert by["head"]["ppl_hi"] <= by["middle"]["ppl_lo"]
+        assert by["middle"]["ppl_hi"] <= by["tail"]["ppl_lo"]
