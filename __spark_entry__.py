@@ -669,6 +669,38 @@ def q_hybrid_lex_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+def q_hybrid_trimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-modal hybrid with NO corpus-linear clause: match + neural_sparse
+    + IVF-probed dense through one normalize/combine pass — the scale twin
+    of hybrid_lex_sparse_dense, whose dense clause is deliberately the
+    brute-force oracle-exact baseline. Here every clause is index-bounded
+    (BM25 postings, rank_features postings, probed IVF lists), so the
+    composed plan stays sublinear at any corpus size. The oracle recomputes
+    the identical deterministic probe + candidate set."""
+    from neural_search_spark.pipeline import params as P
+    from neural_search_spark.search.neural import (
+        neural_clause_scores_ann,
+        query_embedding_stub,
+    )
+    from neural_search_spark.search.sparse import neural_sparse_score
+
+    eng = _engine(spark, sf_dir)
+    emb = _doc_embeddings(spark, sf_dir)
+    cents, asg = _doc_ivf_artifacts(spark, sf_dir)
+    sparse = neural_sparse_score(spark, _sparse_postings(spark, sf_dir), SPARSE_QTOK)
+    sparse = sparse.select("docID", P.round6(F.col("score")).alias("score"))
+    dense = neural_clause_scores_ann(
+        emb, query_embedding_stub(NEURAL_QUERY), method="ivf",
+        k=HYBRID_DEPTH, n_lists=8, nprobe=2, centroids=cents, assigned=asg,
+    )
+    out = hybrid_search(
+        [eng.match(Q_MATCH), sparse, dense],
+        "min_max", "arithmetic_mean", weights=[0.5, 0.2, 0.3],
+        k=10, depth=HYBRID_DEPTH,
+    )
+    return _round_score(out)
+
+
 def q_neural_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone dense neural query: k + min_score (the
     NeuralKNNQueryBuilder.java:33-41 rewrite surface)."""
@@ -2543,11 +2575,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 13 keys NEW or CHANGED in round 6 first (a never-
-    # driver-checked key outranks any re-fresh), then 37 of the 49 keys
+    # round): the 14 keys NEW or CHANGED in round 6 first (a never-
+    # driver-checked key outranks any re-fresh), then 36 of the 49 keys
     # whose freshest driver row is round 3 (the r5 verdict's rotation
-    # ask). 49 + 13 > 50, so the UNCHANGED, deterministic r3 keys
-    # (constant_score_topk, mm_image_meta, mm_frame_sample,
+    # ask). 49 + 14 > 50, so the UNCHANGED-or-subsumed, deterministic r3
+    # keys (hybrid_explain — subsumed by hybrid_explain_full in-window —
+    # constant_score_topk, mm_image_meta, mm_frame_sample,
     # mm_text_image_embedding,
     # text_lang_id, text_quality, stream_window_stats_batch,
     # text_token_counts, text_fingerprint, train_split_assign, ids_topk,
@@ -2565,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sparse_analyzer_topk": q_semantic_sparse_analyzer_topk,
         "quality_threshold_sweep": q_quality_threshold_sweep,
         "hybrid_ann_dense": q_hybrid_ann_dense,
+        "hybrid_trimodal_ann": q_hybrid_trimodal_ann,
         "rerank_context": q_rerank_context,
         "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
@@ -2591,7 +2625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
         "hybrid_sort_field": q_hybrid_sort_field,
-        "hybrid_explain": q_hybrid_explain,
         "hybrid_explain_full": q_hybrid_explain_full,
         "hybrid_spec_full": q_hybrid_spec_full,
         "highlight_semantic": q_highlight_semantic,
@@ -2611,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # ---- driver window boundary (first 50 keys end here) ----
         # -- r3-stale spill (lead the round-7 window) --
+        "hybrid_explain": q_hybrid_explain,  # subsumed by hybrid_explain_full (in-window)
         "constant_score_topk": q_constant_score_topk,  # constant-score wrap; siblings boosting/dis_max stay in-window
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -2750,6 +2784,24 @@ def oracle_sql() -> dict[str, str]:
                     "nprobe": 2,
                 },
             ],
+            k=10,
+            depth=HYBRID_DEPTH,
+        ),
+        "hybrid_trimodal_ann": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {"kind": "sparse", "tokens": SPARSE_QTOK},
+                {
+                    "kind": "neural_ann",
+                    "qvec": _neural_qv(),
+                    "k": HYBRID_DEPTH,
+                    "n_lists": 8,
+                    "nprobe": 2,
+                },
+            ],
+            "min_max",
+            "arithmetic_mean",
+            weights=[0.5, 0.2, 0.3],
             k=10,
             depth=HYBRID_DEPTH,
         ),
