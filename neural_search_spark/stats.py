@@ -87,6 +87,154 @@ EVENT_CATALOG: dict[str, str] = {
 _EXTENSION_PATHS = {"query.core"}
 
 
+#: Info stat catalog — name → (path, type), mirroring the reference's
+#: ``stats/info/InfoStatName.java`` verbatim (all 21 entries). Unlike the
+#: event counters these are not incremented at run time: they are COMPUTED
+#: from pipeline CONFIGURATIONS on demand (``InfoStatsManager`` scans the
+#: cluster's ingest/search pipeline configs; :func:`info_stats` scans the
+#: config dicts it is given).
+INFO_CATALOG: dict[str, tuple[str, str]] = {
+    "cluster_version": ("", "string"),
+    "text_embedding_processors_in_pipelines": ("processors.ingest", "counter"),
+    "skip_existing_processors": ("processors.ingest", "counter"),
+    "text_chunking_processors": ("processors.ingest", "counter"),
+    "text_chunking_delimiter_processors": ("processors.ingest", "counter"),
+    "text_chunking_fixed_token_length_processors": ("processors.ingest", "counter"),
+    "text_chunking_fixed_char_length_processors": ("processors.ingest", "counter"),
+    "normalization_processors": ("processors.search.hybrid", "counter"),
+    "norm_l2_processors": ("processors.search.hybrid", "counter"),
+    "norm_minmax_processors": ("processors.search.hybrid", "counter"),
+    "norm_zscore_processors": ("processors.search.hybrid", "counter"),
+    "comb_arithmetic_processors": ("processors.search.hybrid", "counter"),
+    "comb_geometric_processors": ("processors.search.hybrid", "counter"),
+    "comb_harmonic_processors": ("processors.search.hybrid", "counter"),
+    "rank_based_normalization_processors": ("processors.search.hybrid", "counter"),
+    "comb_rrf_processors": ("processors.search.hybrid", "counter"),
+    "text_image_embedding_processors": ("processors.ingest", "counter"),
+    "sparse_encoding_processors": ("processors.ingest", "counter"),
+    "neural_query_enricher_processors": ("processors.search", "counter"),
+    "neural_sparse_two_phase_processors": ("processors.search", "counter"),
+    "rerank_by_field_processors": ("processors.search", "counter"),
+    "rerank_ml_processors": ("processors.search", "counter"),
+}
+
+_NORM_TECHNIQUE_STATS = {
+    "l2": "norm_l2_processors",
+    "min_max": "norm_minmax_processors",
+    "z_score": "norm_zscore_processors",
+}
+_COMB_TECHNIQUE_STATS = {
+    "arithmetic_mean": "comb_arithmetic_processors",
+    "geometric_mean": "comb_geometric_processors",
+    "harmonic_mean": "comb_harmonic_processors",
+    "rrf": "comb_rrf_processors",
+}
+_CHUNK_ALGORITHM_STATS = {
+    "delimiter": "text_chunking_delimiter_processors",
+    "fixed_token_length": "text_chunking_fixed_token_length_processors",
+    "fixed_char_length": "text_chunking_fixed_char_length_processors",
+}
+#: ingest processors whose ``skip_existing: true`` config counts toward
+#: skip_existing_processors (InfoStatsManager.java:262,278,294)
+_SKIP_EXISTING_TYPES = ("text_embedding", "text_image_embedding", "sparse_encoding")
+
+
+def info_stats(
+    ingest_pipelines: list[dict] | None = None,
+    search_pipelines: list[dict] | None = None,
+) -> dict[str, object]:
+    """Info stats computed from pipeline configs (``InfoStatsManager``
+    analog): counters over CONFIGURED processors — how many pipelines
+    declare a text_embedding / chunking / normalization / rerank
+    processor — as opposed to the event counters' executions.
+
+    ``ingest_pipelines``: configs shaped ``{"processors": [{type: cfg}]}``;
+    ``search_pipelines``: ``{"request_processors": [...],
+    "phase_results_processors": [...], "response_processors": [...]}`` —
+    the exact pipeline-JSON shapes the reference scans. Counting rules
+    mirror ``InfoStatsManager.java``: chunking with an unrecognized or
+    absent algorithm counts as fixed_token_length (the default case, line
+    313-316); normalization/RRF processors also count their declared
+    technique (missing technique counts nothing extra); a rerank processor
+    counts by whichever of ``ml_opensearch`` / ``by_field`` it configures;
+    ``skip_existing: true`` on the three embedding ingest types counts
+    toward ``skip_existing_processors``. ``cluster_version`` is the engine
+    version string (the settable INFO_STRING stat)."""
+    from neural_search_spark import __version__
+
+    out: dict[str, object] = {
+        name: 0 for name, (_p, t) in INFO_CATALOG.items() if t == "counter"
+    }
+    out["cluster_version"] = __version__
+
+    def _inc(name: str) -> None:
+        out[name] += 1  # type: ignore[operator]
+
+    for pipe in ingest_pipelines or []:
+        for proc in pipe.get("processors") or []:
+            for ptype, cfg in proc.items():
+                cfg = cfg or {}
+                if ptype == "text_embedding":
+                    _inc("text_embedding_processors_in_pipelines")
+                elif ptype == "text_image_embedding":
+                    _inc("text_image_embedding_processors")
+                elif ptype == "sparse_encoding":
+                    _inc("sparse_encoding_processors")
+                elif ptype == "text_chunking":
+                    _inc("text_chunking_processors")
+                    alg = cfg.get("algorithm") or {}
+                    key = next(iter(alg), None)
+                    _inc(_CHUNK_ALGORITHM_STATS.get(
+                        key, "text_chunking_fixed_token_length_processors"
+                    ))
+                if ptype in _SKIP_EXISTING_TYPES and cfg.get("skip_existing") is True:
+                    _inc("skip_existing_processors")
+    for pipe in search_pipelines or []:
+        for proc in pipe.get("request_processors") or []:
+            for ptype in proc:
+                if ptype == "neural_query_enricher":
+                    _inc("neural_query_enricher_processors")
+                elif ptype == "neural_sparse_two_phase_processor":
+                    _inc("neural_sparse_two_phase_processors")
+        for proc in pipe.get("phase_results_processors") or []:
+            for ptype, cfg in proc.items():
+                cfg = cfg or {}
+                comb = (cfg.get("combination") or {}).get("technique")
+                if ptype == "normalization-processor":
+                    _inc("normalization_processors")
+                    norm = (cfg.get("normalization") or {}).get("technique")
+                    if norm in _NORM_TECHNIQUE_STATS:
+                        _inc(_NORM_TECHNIQUE_STATS[norm])
+                    if comb in _COMB_TECHNIQUE_STATS:
+                        _inc(_COMB_TECHNIQUE_STATS[comb])
+                elif ptype == "score-ranker-processor":
+                    _inc("rank_based_normalization_processors")
+                    if comb in _COMB_TECHNIQUE_STATS:
+                        _inc(_COMB_TECHNIQUE_STATS[comb])
+        for proc in pipe.get("response_processors") or []:
+            for ptype, cfg in proc.items():
+                if ptype == "rerank":
+                    cfg = cfg or {}
+                    if "ml_opensearch" in cfg:
+                        _inc("rerank_ml_processors")
+                    elif "by_field" in cfg:
+                        _inc("rerank_by_field_processors")
+    return out
+
+
+def info_stats_by_path(
+    ingest_pipelines: list[dict] | None = None,
+    search_pipelines: list[dict] | None = None,
+) -> dict[str, dict[str, object]]:
+    """Info stats nested under their catalog paths (the stats API response
+    shape; the root-path ``cluster_version`` sits under ``""``)."""
+    flat = info_stats(ingest_pipelines, search_pipelines)
+    out: dict[str, dict[str, object]] = {}
+    for name, v in flat.items():
+        out.setdefault(INFO_CATALOG[name][0], {})[name] = v
+    return out
+
+
 def record_event(name: str, n: int = 1) -> None:
     """Increment an event counter (EventStatsManager.increment analog).
     A no-op while the ``stats_enabled`` setting is off
@@ -148,11 +296,18 @@ def event_counts_by_path() -> dict[str, dict[str, int]]:
     return out
 
 
-def snapshot(index_dir: str | None = None) -> dict:
+def snapshot(
+    index_dir: str | None = None,
+    ingest_pipelines: list[dict] | None = None,
+    search_pipelines: list[dict] | None = None,
+) -> dict:
     """Stats API response analog; refuses (the API's 403) while the
     ``stats_enabled`` setting is off. ``events`` is the flat counter map;
     ``events_by_path`` nests counters under their EventStatName path, with
-    engine-extension families flagged."""
+    engine-extension families flagged. ``info`` carries the InfoStatName
+    families — always present like the reference's response (zeroed
+    counters + cluster_version when no pipeline configs are registered),
+    computed from the given pipeline config dicts."""
     from neural_search_spark import settings
 
     if not settings.get("stats_enabled"):
@@ -163,6 +318,7 @@ def snapshot(index_dir: str | None = None) -> dict:
         "events": event_counts(),
         "events_by_path": event_counts_by_path(),
         "extension_paths": sorted(_EXTENSION_PATHS),
+        "info": info_stats_by_path(ingest_pipelines, search_pipelines),
     }
     if index_dir is not None:
         out["build"] = build_metrics(index_dir)

@@ -829,3 +829,92 @@ class TestSemanticFieldQuery:
         assert got["neural_query_against_semantic_sparse_requests"] == 1
         assert got["neural_query_requests"] == 1
         assert "neural_query_against_semantic_dense_requests" not in got
+
+
+class TestInfoStats:
+    """InfoStatName catalog analog (stats/info/InfoStatName.java +
+    InfoStatsManager.java): counters over CONFIGURED pipeline processors,
+    computed from the pipeline config dicts, not incremented at run time."""
+
+    INGEST = [
+        {
+            "processors": [
+                {"text_embedding": {"model_id": "m1", "skip_existing": True}},
+                {"text_chunking": {"algorithm": {"delimiter": {"delimiter": "\n\n"}}}},
+                {"sparse_encoding": {"model_id": "m2"}},
+            ]
+        },
+        {
+            "processors": [
+                {"text_embedding": {"model_id": "m3"}},
+                # no algorithm key -> default case counts fixed_token_length
+                # (InfoStatsManager.java:313-316)
+                {"text_chunking": {}},
+                {"text_image_embedding": {"model_id": "m4", "skip_existing": True}},
+            ]
+        },
+    ]
+    SEARCH = [
+        {
+            "request_processors": [{"neural_query_enricher": {"default_model_id": "m1"}}],
+            "phase_results_processors": [
+                {
+                    "normalization-processor": {
+                        "normalization": {"technique": "min_max"},
+                        "combination": {"technique": "arithmetic_mean"},
+                    }
+                }
+            ],
+            "response_processors": [{"rerank": {"ml_opensearch": {"model_id": "x"}}}],
+        },
+        {
+            "phase_results_processors": [
+                {"score-ranker-processor": {"combination": {"technique": "rrf"}}}
+            ],
+            "response_processors": [{"rerank": {"by_field": {"target_field": "f"}}}],
+        },
+    ]
+
+    def test_counters_match_configs(self):
+        from neural_search_spark import stats
+
+        got = stats.info_stats(self.INGEST, self.SEARCH)
+        assert got["text_embedding_processors_in_pipelines"] == 2
+        assert got["skip_existing_processors"] == 2  # text_embedding + text_image
+        assert got["text_chunking_processors"] == 2
+        assert got["text_chunking_delimiter_processors"] == 1
+        assert got["text_chunking_fixed_token_length_processors"] == 1  # default case
+        assert got["text_chunking_fixed_char_length_processors"] == 0
+        assert got["sparse_encoding_processors"] == 1
+        assert got["text_image_embedding_processors"] == 1
+        assert got["normalization_processors"] == 1
+        assert got["norm_minmax_processors"] == 1
+        assert got["comb_arithmetic_processors"] == 1
+        assert got["rank_based_normalization_processors"] == 1
+        assert got["comb_rrf_processors"] == 1
+        assert got["neural_query_enricher_processors"] == 1
+        assert got["rerank_ml_processors"] == 1
+        assert got["rerank_by_field_processors"] == 1
+        from neural_search_spark import __version__
+
+        assert got["cluster_version"] == __version__
+
+    def test_catalog_paths_and_snapshot_shape(self):
+        from neural_search_spark import settings, stats
+
+        by_path = stats.info_stats_by_path(self.INGEST, self.SEARCH)
+        assert set(by_path[""]) == {"cluster_version"}
+        assert "normalization_processors" in by_path["processors.search.hybrid"]
+        assert "rerank_ml_processors" in by_path["processors.search"]
+        # every catalog name appears exactly once across paths
+        names = [n for d in by_path.values() for n in d]
+        assert sorted(names) == sorted(stats.INFO_CATALOG)
+        with settings.override(stats_enabled=True):
+            snap = stats.snapshot(
+                ingest_pipelines=self.INGEST, search_pipelines=self.SEARCH
+            )
+        assert snap["info"][""]["cluster_version"]
+        # info present (zeroed) even with no pipelines, like the reference
+        with settings.override(stats_enabled=True):
+            empty = stats.snapshot()
+        assert empty["info"]["processors.ingest"]["text_chunking_processors"] == 0
