@@ -354,6 +354,62 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def _sparse_two_phase_clause_ctes(
+    i: int,
+    hi: dict[str, float],
+    lo: dict[str, float],
+    window: int,
+    depth: int | None,
+    doc_filter: str | None,
+) -> str:
+    """Two-phase neural_sparse clause — the spec-path twin of the
+    ``neural_sparse_two_phase_processor`` rewrite
+    (``search/spec.py apply_two_phase_processor``): round6 heavy-token
+    phase-1 scores select the top-``window`` candidates (score desc,
+    docID asc); the light tokens rescore ONLY that window; docs outside
+    the window keep their phase-1 score. All three roundings (phase 1,
+    light sum, final sum) mirror the Spark plan exactly."""
+    filt = (
+        f"AND tf.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    limit = f"ORDER BY score DESC, docID LIMIT {depth}" if depth is not None else ""
+    hvals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(hi.items()))
+    ctes = f"""
+qh{i}(term, qw) AS (VALUES {hvals}),
+p{i} AS (
+    SELECT tf.docID, {round6_sql(f"SUM(qh{i}.qw * tf.tf)")} AS score
+    FROM tf JOIN qh{i} USING (term)
+    WHERE 1=1 {filt}
+    GROUP BY tf.docID
+),
+w{i} AS (
+    SELECT docID, score,
+           row_number() OVER (ORDER BY score DESC, docID) AS rn
+    FROM p{i}
+)"""
+    if not lo:
+        return f"""{ctes},
+sc{i} AS (SELECT docID, score FROM p{i}),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+    lvals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(lo.items()))
+    return f"""{ctes},
+ql{i}(term, qw) AS (VALUES {lvals}),
+l{i} AS (
+    SELECT tf.docID, {round6_sql(f"SUM(ql{i}.qw * tf.tf)")} AS score
+    FROM tf JOIN ql{i} USING (term)
+    WHERE tf.docID IN (SELECT docID FROM w{i} WHERE rn <= {int(window)})
+    GROUP BY tf.docID
+),
+sc{i} AS (
+    SELECT w.docID,
+           {round6_sql("(w.score + COALESCE(l.score, 0.0))")} AS score
+    FROM w{i} w LEFT JOIN l{i} l USING (docID)
+),
+cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
+
+
 def prefix_topk_sql(prefix: str, k: int = 10) -> str:
     """Constant-score prefix query: docs containing any term with the
     prefix score 1.0; top-k by docID asc (the deterministic tie-break)."""
@@ -948,6 +1004,10 @@ def _mixed_clause_ctes(
         )
     if kind == "sparse":
         return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
+    if kind == "sparse_two_phase":
+        return _sparse_two_phase_clause_ctes(
+            i, spec["hi"], spec["lo"], spec["window"], depth, doc_filter
+        )
     if kind == "phrase":
         return _phrase_clause_ctes(i, spec["terms"], k1, b, depth, doc_filter)
     if kind == "prefix":

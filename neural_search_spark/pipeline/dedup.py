@@ -556,7 +556,7 @@ def embedding_bucket_expr(vec_col: str) -> Column:
 
 def semantic_dedup(
     emb: DataFrame,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     threshold: float = P.COSINE_DUP_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -577,9 +577,19 @@ def semantic_dedup(
     the scan shape is identical — a self-join keyed by ``list_id``, never
     all-pairs; at 100 TB the table is partitioned by ``list_id`` so each
     cluster's pair block is partition-local.
+
+    ``n_lists=None`` (the default) sizes the cluster count from the corpus
+    via :func:`neural_search_spark.pipeline.params.semantic_dedup_n_lists`
+    — ``max(8, ceil(sqrt(N)), ceil(N / 1024))`` — so the EXPECTED cluster
+    width stays constant as the corpus grows and total pair work stays
+    linear (a fixed list count decays into all-pairs-divided-by-a-constant
+    at 100 TB). The one extra ``count()`` is ingest-time work: clustering
+    is a write-time artifact, not a per-query cost.
     """
     from neural_search_spark.pipeline.ann import _dot, ivf_assign, ivf_centroids
 
+    if n_lists is None and centroids is None:
+        n_lists = P.semantic_dedup_n_lists(emb.count())
     cents = (
         centroids
         if centroids is not None

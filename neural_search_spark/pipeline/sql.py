@@ -328,12 +328,14 @@ LIMIT {k}
 """
 
 
-def _ivf_ctes(src: str, n_lists: int) -> str:
+def _ivf_ctes(src: str, n_lists: int | str) -> str:
     """The deterministic IVF coarse-quantizer CTE chain (seeds = lowest
     ids, one Lloyd step with 6-dp per-dim means, argmax ties to the
     smaller list_id) over an arbitrary (vec_id, v) source CTE — shared by
     the batch-ANN and SemDeDup oracles (same contract as
-    :func:`ann_ivf_topk_sql`'s inline chain)."""
+    :func:`ann_ivf_topk_sql`'s inline chain). ``n_lists`` may be an int or
+    a scalar-subquery string (e.g. ``"(SELECT n FROM nl)"``) for
+    data-adaptive cluster counts."""
     return f"""
 seeds AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c0
@@ -405,16 +407,25 @@ ORDER BY qid, score DESC, vec_id
 """
 
 
-def semantic_dedup_sql(n_lists: int = 8) -> str:
+def semantic_dedup_sql(n_lists: int | None = None) -> str:
     """SemDeDup twin of
     :func:`neural_search_spark.pipeline.dedup.semantic_dedup` over the
     dup-injected vector table: IVF-cluster buckets, within-cluster pair
-    cosine (round4) against the shared threshold, keeper = lowest id."""
+    cosine (round4) against the shared threshold, keeper = lowest id.
+    ``n_lists=None`` applies the corpus-scaled cluster-count rule
+    (:func:`neural_search_spark.pipeline.params.semantic_dedup_n_lists`)
+    IN SQL, so the oracle adapts to whatever sf the driver runs."""
     cos = P.round4_sql(_cos_sql("x.v", "y.v"))
+    if n_lists is None:
+        nl_cte = f"nl AS (SELECT {P.semantic_dedup_n_lists_sql('COUNT(*)')} AS n FROM e),\n"
+        n_arg: int | str = "(SELECT n FROM nl)"
+    else:
+        nl_cte = ""
+        n_arg = n_lists
     return f"""
 WITH {DUPVECS_CTE.strip()},
 e AS (SELECT vec_id, embedding AS v FROM dupvecs),
-{_ivf_ctes('e', n_lists).strip()},
+{nl_cte}{_ivf_ctes('e', n_arg).strip()},
 dropped AS (
     SELECT DISTINCT y.vec_id
     FROM assigned x JOIN assigned y

@@ -72,6 +72,64 @@ def enrich_spec(spec: dict, defaults: dict[str, Any] | None = None) -> dict:
     return out
 
 
+def apply_two_phase_processor(spec: dict, config: dict, k: int) -> dict:
+    """``neural_sparse_two_phase_processor`` — the search-pipeline REQUEST
+    processor (``processor/NeuralSparseTwoPhaseProcessor.java:38-57,89-135``):
+    transparently rewrites every ``neural_sparse`` clause in the request
+    into its two-phase form. The token map (explicit ``query_tokens`` or
+    the analyzer-mode tokens) splits by the configured prune strategy; the
+    clause keeps the HEAVY set as its main query and carries the LIGHT set
+    plus the rescore window (``window_size = size × expansion_rate``,
+    capped at 10000 — the processor's rescore-context shape) for
+    :func:`_score_clause_impl` to apply as a window-only rescore. Returns
+    a new spec; the input is not mutated. Config keys mirror the
+    processor factory: ``enabled`` (default true), ``two_phase_parameter``
+    ``prune_type`` / ``prune_ratio`` / ``expansion_rate``."""
+    from neural_search_spark import stats as _stats
+    from neural_search_spark.search.sparse import (
+        DEFAULT_EXPANSION_RATE,
+        DEFAULT_PRUNE_RATIO,
+        DEFAULT_PRUNE_TYPE,
+        MAX_WINDOW_SIZE,
+        prune_vector,
+        sparse_query_tokens_from_analyzer,
+    )
+
+    if not config.get("enabled", True):
+        return spec
+    prune_type = config.get("prune_type", DEFAULT_PRUNE_TYPE)
+    prune_ratio = float(config.get("prune_ratio", DEFAULT_PRUNE_RATIO))
+    expansion = float(config.get("expansion_rate", DEFAULT_EXPANSION_RATE))
+    if expansion <= 0:
+        raise ValueError("expansion_rate must be positive")
+    window = min(int(k * expansion), MAX_WINDOW_SIZE)
+    out = {**spec, "queries": []}
+    rewrote = False
+    for clause in spec.get("queries", []):
+        (ctype, body), = clause.items()
+        if ctype != "neural_sparse":
+            out["queries"].append(clause)
+            continue
+        tokens = body.get("query_tokens")
+        if tokens is None:
+            tokens = sparse_query_tokens_from_analyzer(
+                body["query"], body.get("analyzer")
+            )
+        hi, lo = prune_vector(dict(tokens), prune_type, prune_ratio)
+        nb = {
+            kk: v
+            for kk, v in body.items()
+            if kk not in ("query_tokens", "query", "analyzer")
+        }
+        nb["query_tokens"] = hi
+        nb["_two_phase"] = {"light_tokens": lo, "window": window}
+        out["queries"].append({"neural_sparse": nb})
+        rewrote = True
+    if rewrote:
+        _stats.record_event("neural_sparse_two_phase_executions")
+    return out
+
+
 def _members(engine, filter_expr: str | None) -> DataFrame | None:
     """The pushed filter's membership set (docID only) — a semi-join
     target; per Lucene semantics it never changes stats."""
@@ -370,6 +428,36 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
                 F.col(engine.id_col).alias("docID")
             )
             scored = scored.join(members, "docID", "semi")
+        tp = body.get("_two_phase")
+        if tp is not None:
+            # two-phase rescore (the processor rewrite's rescore context,
+            # NeuralSparseTwoPhaseProcessor.java:89-135): the heavy-token
+            # phase-1 scores select a window; the light tokens rescore
+            # ONLY that window; docs outside the window keep their
+            # phase-1 score (a rescorer never touches them). Clause
+            # scores round to 6 dp (shared params.round6) so the window
+            # membership — and therefore everything downstream — is
+            # bit-identical across engines.
+            from neural_search_spark.pipeline import params as P
+
+            scored = scored.select("docID", P.round6(F.col("score")).alias("score"))
+            window = int(tp["window"])
+            lo = tp.get("light_tokens") or {}
+            if lo:
+                cand = (
+                    scored.orderBy(F.desc("score"), F.asc("docID"))
+                    .limit(window)
+                    .select("docID")
+                )
+                light = neural_sparse_score(
+                    engine.spark, postings, lo, candidate_docs=cand
+                ).select("docID", P.round6(F.col("score")).alias("_ls"))
+                scored = scored.join(light, "docID", "left").select(
+                    "docID",
+                    P.round6(
+                        F.col("score") + F.coalesce(F.col("_ls"), F.lit(0.0))
+                    ).alias("score"),
+                )
         return scored
     text = body["query"] if isinstance(body, dict) else body
     if ctype == "match_phrase":
@@ -623,6 +711,11 @@ def parse_hybrid_spec(
     if "hybrid" in spec:
         spec = spec["hybrid"]
     spec = enrich_spec(spec, enricher_defaults)
+    two_phase_cfg = (pipeline or {}).get("neural_sparse_two_phase_processor")
+    if two_phase_cfg is not None:
+        # search-pipeline request processor: rewrite neural_sparse
+        # clauses BEFORE scoring (NeuralSparseTwoPhaseProcessor.java)
+        spec = apply_two_phase_processor(spec, two_phase_cfg, k)
     clauses = spec.get("queries", [])
     if not 1 <= len(clauses) <= MAX_SUB_QUERIES:
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
