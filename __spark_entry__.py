@@ -800,6 +800,52 @@ def q_neural_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neural_semantic_query(mapped, "content", SEMANTIC_QUERY, k=10)
 
 
+def q_semantic_raw_match_only_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-field DELEGATE raw type, match_only_text route
+    (SemanticFieldMapper.java:263-270 SUPPORTED_RAW_FIELD_TYPE): the
+    mapping wraps a match_only_text delegate, so a match against the raw
+    field scores constant-1.0 per term — count of distinct analyzed query
+    terms present (no freqs, no norms indexed). The config resolves from
+    the MAPPED SCHEMA's metadata (driver-side; the semantic-info ingest
+    plan is declared but never executed — query-only shape)."""
+    from neural_search_spark.mapping import (
+        apply_semantic_mapping,
+        semantic_raw_query,
+        target_field_config,
+    )
+
+    c = corpus_from_documents(spark, sf_dir)
+    mapped = apply_semantic_mapping(
+        c, "content", model_id="standin-dense-v1",
+        raw_field_type="match_only_text",
+    )
+    cfg = target_field_config(mapped.schema, "content")
+    eng = _engine(spark, sf_dir)
+    scored = semantic_raw_query(eng, cfg.raw_field_type, Q_MATCH)
+    return _round_score(topk(scored, 10))
+
+
+def q_semantic_raw_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-field DELEGATE raw type, token_count route: the raw field
+    indexes the ANALYZED token count (TokenCountFieldMapper delegate), so
+    a numeric range query is the raw surface; matches score constant 1.0.
+    Reuses the engine's per-doc length artifact — zero extra scans."""
+    from neural_search_spark.mapping import (
+        apply_semantic_mapping,
+        semantic_raw_query,
+        target_field_config,
+    )
+
+    c = corpus_from_documents(spark, sf_dir)
+    mapped = apply_semantic_mapping(
+        c, "content", model_id="standin-dense-v1", raw_field_type="token_count"
+    )
+    cfg = target_field_config(mapped.schema, "content")
+    eng = _engine(spark, sf_dir)
+    scored = semantic_raw_query(eng, cfg.raw_field_type, {"gte": 60, "lte": 70})
+    return scored.orderBy("docID")
+
+
 #: sparse-semantic query texts carry a DUPLICATE token so the two token
 #: sources observably differ: the model stand-in weights it tf=2.0, a
 #: payload-less analyzer collapses it to 1.0
@@ -1722,6 +1768,19 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_quantized_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+def q_ann_quantized_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched quantized-rescore ANN: three coarse int8 passes share ONE
+    byte-table scan, each qid keeps its own k×oversample window, the
+    exact float rescore touches only the window union — the batch twin
+    of ``neural_rescored_topk`` / ``ann_quantized_rescore_topk``,
+    completing the batch family (bm25/dense/hybrid/ivf shipped r5-r6)."""
+    from neural_search_spark.pipeline.ann import ann_quantized_batch_topk
+
+    return ann_quantized_batch_topk(
+        _embeddings(spark, sf_dir), ANN_BATCH_QUERY_IDS, k=5
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -2628,6 +2687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 7 --
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
+        "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
+        "semantic_raw_match_only_topk": q_semantic_raw_match_only_topk,
+        "semantic_raw_token_count": q_semantic_raw_token_count,
         # -- new in round 6 --
         "bm25_updated_index_topk": q_bm25_updated_index_topk,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
@@ -2856,6 +2918,9 @@ def oracle_sql() -> dict[str, str]:
             tt(Q_MATCH), _qv_of(Q_MATCH), RERANK_WINDOW, 10
         ),
         "ann_ivf_batch_topk": psql.ann_ivf_batch_topk_sql(ANN_BATCH_QUERY_IDS, k=5),
+        "ann_quantized_batch_topk": psql.ann_quantized_batch_topk_sql(
+            ANN_BATCH_QUERY_IDS, k=5
+        ),
         "dedup_semantic": psql.semantic_dedup_sql(),  # corpus-scaled n_lists
         # scan-path exhibit shares the default key's oracle: the positional
         # index is score-identical to the scan by contract
@@ -3050,6 +3115,10 @@ LIMIT 10
             SPARSE_ANALYZER_QUERY, k=10
         ),
         "sparse_score_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
+        "semantic_raw_match_only_topk": osql.match_only_text_topk_sql(
+            tt(Q_MATCH), k=10
+        ),
+        "semantic_raw_token_count": osql.token_count_range_sql(60, 70),
         "sparse_two_phase_topk": osql.sparse_score_topk_sql(SPARSE_QTOK, k=10),
         "sparse_two_phase_spec": osql.hybrid_mixed_topk_sql(
             [

@@ -35,6 +35,21 @@ from pyspark.sql.types import (
 #: SemanticFieldConstants.DEFAULT_SEMANTIC_INFO_FIELD_NAME_SUFFIX
 SEMANTIC_INFO_SUFFIX = "_semantic_info"
 
+#: ``SemanticFieldMapper.TypeParser.SUPPORTED_RAW_FIELD_TYPE``
+#: (``mapper/SemanticFieldMapper.java:263-270``): the delegate mappers the
+#: semantic field may wrap for its RAW side. The derived semantic-info
+#: sub-tree is identical for all of them; the delegate type changes only
+#: how direct (non-neural) queries against the raw field behave — see
+#: :func:`semantic_raw_query`.
+SEMANTIC_RAW_FIELD_TYPES = (
+    "text",
+    "keyword",
+    "match_only_text",
+    "wildcard",
+    "token_count",
+    "binary",
+)
+
 
 @dataclass(frozen=True)
 class TargetFieldConfig:
@@ -53,6 +68,9 @@ class TargetFieldConfig:
     chunks_path: str | None = None
     chunking_enabled: bool = False
     semantic_field_search_analyzer: str | None = None
+    #: the delegate mapper's type (SemanticParameters.rawFieldType;
+    #: default text — SemanticFieldMapper.java TypeParser.parse)
+    raw_field_type: str = "text"
 
 
 def target_field_config(
@@ -97,6 +115,7 @@ def target_field_config(
         chunks_path=f"{info_name}.chunks" if chunking else None,
         chunking_enabled=chunking,
         semantic_field_search_analyzer=meta.get("search_analyzer"),
+        raw_field_type=meta.get("raw_field_type", "text"),
     )
 
 
@@ -168,6 +187,7 @@ def apply_semantic_mapping(
     chunking: bool = False,
     chunk_algorithm: str = "delimiter",
     search_analyzer: str | None = None,
+    raw_field_type: str = "text",
     **chunk_params,
 ) -> DataFrame:
     """Ingest-time population of the derived semantic-info column with the
@@ -195,6 +215,12 @@ def apply_semantic_mapping(
     from neural_search_spark.pipeline.embedding import text_embedding_stub
 
     _stats.record_event("semantic_field_executions")
+    if raw_field_type not in SEMANTIC_RAW_FIELD_TYPES:
+        # SemanticFieldMapper.TypeParser.validateRawFieldType
+        raise ValueError(
+            f"raw_field_type [{raw_field_type}] is not supported; expected one "
+            f"of {list(SEMANTIC_RAW_FIELD_TYPES)}"
+        )
     sparse = model_type == "sparse_encoding"
     info_name = semantic_info_field_name(field, semantic_info_field)
     # validate via the schema transformer (same error surface)
@@ -208,6 +234,8 @@ def apply_semantic_mapping(
     meta = {"model_id": model_id, "model_type": model_type}
     if search_analyzer is not None:
         meta["search_analyzer"] = search_analyzer
+    if raw_field_type != "text":
+        meta["raw_field_type"] = raw_field_type
 
     def _embed(keyed: DataFrame, text_col: str, key_col: str) -> DataFrame:
         """(key, embedding) for the chosen model kind; token-less rows are
@@ -289,3 +317,64 @@ def apply_semantic_mapping(
         ).alias(info_name, metadata=meta),
     )
     return out.drop("_emb")
+
+
+def semantic_raw_query(engine, raw_field_type: str, query) -> DataFrame:
+    """Query the semantic field's RAW side per its delegate mapper type —
+    the Spark analog of ``SemanticFieldMapper`` delegating non-neural
+    queries to the wrapped mapper (``SemanticFieldMapper.java:263-270``
+    delegate set; parsing of the raw value is the delegate's). Returns
+    ``(docID, score)``.
+
+    - ``text`` — the engine's analyzed BM25 ``match`` (the default
+      delegate; the engine's whole §2.2 lexical surface applies).
+    - ``match_only_text`` — freqs and norms are not indexed, so every
+      matched term contributes a CONSTANT 1.0 (the repo's documented
+      constant-score-rewrite treatment inside bool); score = count of
+      distinct query terms present. See
+      :func:`neural_search_spark.search.bm25.match_only_text_scores`.
+    - ``token_count`` — the indexed value is the ANALYZED token count
+      (TokenCountFieldMapper); ``query`` is a numeric range dict
+      (``{"gte": a, "lte": b}``), matches score 1.0. The count reuses the
+      engine's doc-length artifact — at 100 TB this is the same persisted
+      per-doc statistic, no extra scan.
+    - ``keyword`` — exact whole-value equality, constant 1.0.
+    - ``wildcard`` — whole-value ``*``/``?`` glob, constant 1.0.
+    - ``binary`` — stored, not searchable (BinaryFieldMapper): raises.
+    """
+    from pyspark.sql import functions as F
+
+    if raw_field_type not in SEMANTIC_RAW_FIELD_TYPES:
+        raise ValueError(f"raw_field_type [{raw_field_type}] is not supported")
+    if raw_field_type == "text":
+        return engine.match(query)
+    if raw_field_type == "match_only_text":
+        from neural_search_spark.search.bm25 import match_only_text_scores
+
+        return match_only_text_scores(engine, query)
+    if raw_field_type == "token_count":
+        cond = F.lit(True)
+        if "gte" in query:
+            cond = cond & (F.col("dl") >= int(query["gte"]))
+        if "lte" in query:
+            cond = cond & (F.col("dl") <= int(query["lte"]))
+        return engine.doclens.where(cond).select(
+            "docID", F.lit(1.0).alias("score")
+        )
+    if raw_field_type == "keyword":
+        return engine.corpus.where(F.col(engine.text_col) == query).select(
+            F.col(engine.id_col).alias("docID"), F.lit(1.0).alias("score")
+        )
+    if raw_field_type == "wildcard":
+        import re
+
+        # (?s): the whole VALUE is the match target (keyword-family
+        # semantics), so the glob must cross newlines inside it
+        rx = "(?s)^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in query
+        ) + "$"
+        return engine.corpus.where(F.col(engine.text_col).rlike(rx)).select(
+            F.col(engine.id_col).alias("docID"), F.lit(1.0).alias("score")
+        )
+    raise ValueError("binary raw field is stored only, not searchable")

@@ -410,6 +410,32 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i} {limit})"""
 
 
+def match_only_text_topk_sql(terms: list[str], k: int = 10) -> str:
+    """match against a ``match_only_text`` delegate raw field: docs-only
+    index → constant 1.0 per matched term; score = count of distinct
+    analyzed query terms present (twin of
+    :func:`neural_search_spark.search.bm25.match_only_text_scores`)."""
+    return f"""{_PRELUDE}
+SELECT docID, ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS score
+FROM tf
+WHERE term IN (SELECT unnest({_term_list(terms)}))
+GROUP BY docID
+ORDER BY score DESC, docID
+LIMIT {int(k)}
+"""
+
+
+def token_count_range_sql(gte: int, lte: int) -> str:
+    """Numeric range over the ANALYZED token count — the ``token_count``
+    delegate raw field (TokenCountFieldMapper); matches score 1.0."""
+    return f"""{_PRELUDE}
+SELECT docID, 1.0 AS score
+FROM dls
+WHERE dl BETWEEN {int(gte)} AND {int(lte)}
+ORDER BY docID
+"""
+
+
 def prefix_topk_sql(prefix: str, k: int = 10) -> str:
     """Constant-score prefix query: docs containing any term with the
     prefix score 1.0; top-k by docID asc (the deterministic tie-break)."""

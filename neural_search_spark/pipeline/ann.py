@@ -372,6 +372,68 @@ def ann_quantized_rescore_topk(
     )
 
 
+def ann_quantized_batch_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = P.ANN_K,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, score): MANY quantized-rescore ANN queries through ONE
+    int8 scan — the batch twin of :func:`ann_quantized_rescore_topk`,
+    completing the batch family (bm25 / dense / hybrid / ivf are done).
+
+    All Q coarse passes share a single pass over the byte table (the Q
+    dequantized query vectors broadcast against it), each qid keeping its
+    own ``k × oversample`` window (round4 coarse cosine, vec_id-asc
+    tie-break — the single-query contract per qid); the exact float
+    rescore then touches ONLY the union of the windows via one semi-join
+    on (qid, vec_id), so the raw float table is never fully read. Scores
+    round4 BEFORE the per-qid cut (round-then-cut, the batch-path
+    convention), self excluded. Amortization is the batch win: Q queries
+    cost one byte-table scan + Q × k × oversample exact rescores instead
+    of Q scans."""
+    ids = [int(q) for q in query_ids]
+    mn, mx = quantization_stats(emb, vec_col)
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+    qt = quantize_int8(emb, mn, mx, id_col, vec_col)
+    deq = F.transform(
+        F.col("qvec"), lambda x: F.lit(mn) + x.cast("double") * F.lit(scale)
+    )
+    d = qt.select("vec_id", deq.alias("v"))
+    qb = F.broadcast(
+        d.where(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    ww = Window.partitionBy("qid").orderBy(F.desc("cscore"), F.asc("vec_id"))
+    window = (
+        d.crossJoin(qb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", P.round4(_cosine("v", "qv")).alias("cscore"))
+        .withColumn("_rn", F.row_number().over(ww))
+        .where(F.col("_rn") <= int(k) * int(oversample))
+        .select("qid", "vec_id")
+    )
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    rq = F.broadcast(
+        e.where(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        e.join(window, "vec_id")
+        .join(rq, "qid")
+        .select("qid", "vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "vec_id", "score")
+        .orderBy("qid", F.desc("score"), F.asc("vec_id"))
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_id: int,

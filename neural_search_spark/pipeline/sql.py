@@ -526,6 +526,71 @@ LIMIT {k}
 """
 
 
+def ann_quantized_batch_topk_sql(
+    query_ids: list[int], k: int, oversample: int = 3
+) -> str:
+    """Batch twin of :func:`ann_quantized_rescore_topk_sql`: every query's
+    coarse dequantized-int8 window in one pass (per-qid row_number over
+    round4 coarse cosine), exact float cosine over the window union only,
+    round4-then-cut per qid."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    cdot = P.pairwise_dot_sql("d.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    cna = P.pairwise_dot_sql("d.v", "d.v", P.EMBEDDING_DIM, one_based=True)
+    cnb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    coarse_expr = P.round4_sql(f"{cdot} / (sqrt({cna}) * sqrt({cnb}))")
+    edot = P.pairwise_dot_sql("e.v", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    ena = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    enb = P.pairwise_dot_sql("r.qv", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    exact_expr = P.round4_sql(f"{edot} / (sqrt({ena}) * sqrt({enb}))")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+st AS (
+    SELECT CAST(MIN(list_min(v)) AS DOUBLE) AS mn,
+           CAST(MAX(list_max(v)) AS DOUBLE) AS mx
+    FROM e
+),
+sc AS (
+    SELECT mn, mx,
+           CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+    FROM st
+),
+qt AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor((CAST(x AS DOUBLE) - s.mn) / s.scale + 0.5) AS INT)) AS qv
+    FROM e, sc s
+),
+d AS (
+    SELECT vec_id, list_transform(qv, x -> s.mn + CAST(x AS DOUBLE) * s.scale) AS v
+    FROM qt, sc s
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id IN ({ids})),
+cw AS (
+    SELECT q.qid, d.vec_id, {coarse_expr} AS cscore,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {coarse_expr} DESC, d.vec_id ASC
+           ) AS rn
+    FROM d, q
+    WHERE d.vec_id != q.qid
+),
+win AS (SELECT qid, vec_id FROM cw WHERE rn <= {int(k) * int(oversample)}),
+r AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids})),
+ex AS (
+    SELECT w.qid, e.vec_id, {exact_expr} AS score
+    FROM e JOIN win w USING (vec_id)
+    JOIN r ON r.qid = w.qid
+),
+fr AS (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+    FROM ex
+)
+SELECT qid, vec_id, score FROM fr
+WHERE rn <= {int(k)}
+ORDER BY qid, score DESC, vec_id
+"""
+
+
 def ann_lsh_topk_sql(query_id: int, k: int) -> str:
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)

@@ -152,6 +152,33 @@ def bm25_clause_scores(
     return agg.select("docID", "score")
 
 
+def match_only_text_scores(engine: "BM25Engine", query_text: str) -> DataFrame:
+    """``match`` against a ``match_only_text`` delegate raw field
+    (``SemanticFieldMapper.java:263-270`` delegate set): the type indexes
+    docs only — no freqs, no norms — so per-term scoring collapses to a
+    CONSTANT 1.0 (the repo's documented constant-score-rewrite treatment
+    for unscored multi-term/docs-only matches inside bool); the match
+    query's bool-SHOULD sum is then the count of DISTINCT analyzed query
+    terms present in the doc. Membership-only postings access — the same
+    plan shape as a term query, no doc-length join, no idf broadcast."""
+    from neural_search_spark.analysis.tokenizer import tokenize_text
+
+    terms = sorted(set(tokenize_text(query_text)))
+    if not terms:
+        return engine.spark.range(0).select(
+            F.col("id").alias("docID"), F.lit(0.0).alias("score")
+        )
+    qt = F.broadcast(
+        engine.spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    # postings rows are distinct (term, docID) → count(*) = distinct terms
+    return (
+        engine.postings.join(qt, "term")
+        .groupBy("docID")
+        .agg(F.count("*").cast("double").alias("score"))
+    )
+
+
 def match_bool_prefix_scores(engine: "BM25Engine", query_text: str) -> DataFrame:
     """``match_bool_prefix`` (search-as-you-type's non-positional sibling
     of ``match_phrase_prefix``): the analyzed terms become a bool SHOULD —
