@@ -2671,26 +2671,171 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 14 keys NEW or CHANGED in round 6 first (a never-
-    # driver-checked key outranks any re-fresh), then 36 of the 49 keys
-    # whose freshest driver row is round 3 (the r5 verdict's rotation
-    # ask). 49 + 14 > 50, so the UNCHANGED-or-subsumed, deterministic r3
-    # keys (hybrid_explain — subsumed by hybrid_explain_full in-window —
-    # constant_score_topk, mm_image_meta, mm_frame_sample,
-    # mm_text_image_embedding,
-    # text_lang_id, text_quality, stream_window_stats_batch,
-    # text_token_counts, text_fingerprint, train_split_assign, ids_topk,
-    # match_all_filtered — pure projections/membership/mode-agnostic aggs
-    # or stub-model plumbing, pytest-covered and driver-green in r3) sit
-    # right after position 50 to lead the round-7 window; fresher keys
-    # rotate to the tail.
+    # round): the 4 keys NEW in round 7 plus the CHANGED dedup_semantic
+    # first (a never-driver-checked or changed key outranks any
+    # re-fresh), then the 13 keys whose freshest driver row is round 3
+    # (the r6 verdict's freshness tail), then 32 of the 45 round-4-stale
+    # keys. The remaining 13 r4 keys sit right after position 50 to lead
+    # the round-8 window; r5/r6-fresh keys rotate to the tail.
     return {
-        # -- new in round 7 --
+        # -- new in round 7 (never driver-checked: outrank any re-fresh) --
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
         "semantic_raw_match_only_topk": q_semantic_raw_match_only_topk,
         "semantic_raw_token_count": q_semantic_raw_token_count,
-        # -- new in round 6 --
+        # -- changed in round 7: corpus-scaled n_lists (r6 verdict fix) --
+        "dedup_semantic": q_dedup_semantic,
+        # -- freshest row r3 (the 13-key freshness tail the r6 verdict names) --
+        "hybrid_explain": q_hybrid_explain,
+        "constant_score_topk": q_constant_score_topk,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_text_image_embedding": q_mm_text_image_embedding,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "stream_window_stats_batch": q_stream_window_stats_batch,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "train_split_assign": q_train_split_assign,
+        "ids_topk": q_ids_topk,
+        "match_all_filtered": q_match_all_filtered,
+        # -- freshest row r4 (32 of 45; the rest lead round 8) --
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_percentiles": q_events_percentiles,
+        "bool_query_topk": q_bool_query_topk,
+        "pack_plan": q_pack_plan,
+        "dedup_substring": q_dedup_substring,
+        "mlt_topk": q_mlt_topk,
+        "simple_query_string": q_simple_query_string,
+        "rank_feature_topk": q_rank_feature_topk,
+        "function_score_topk": q_function_score_topk,
+        "events_retention": q_events_retention,
+        "text_unigram_ppl": q_text_unigram_ppl,
+        "hybrid_fields_fetch": q_hybrid_fields_fetch,
+        "hybrid_agg_composite": q_hybrid_agg_composite,
+        "hybrid_agg_global": q_hybrid_agg_global,
+        "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
+        "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
+        "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
+        "hybrid_agg_histogram": q_hybrid_agg_histogram,
+        "hybrid_agg_percentiles": q_hybrid_agg_percentiles,
+        "hybrid_agg_cardinality": q_hybrid_agg_cardinality,
+        "hybrid_agg_extended_stats": q_hybrid_agg_extended_stats,
+        "hybrid_agg_terms_subagg": q_hybrid_agg_terms_subagg,
+        "text_line_dedup": q_text_line_dedup,
+        "text_gopher_rules": q_text_gopher_rules,
+        "highlight_spec": q_highlight_spec,
+        "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
+        "bm25_rescored_topk": q_bm25_rescored_topk,
+        "text_pii": q_text_pii,
+        "events_funnel": q_events_funnel,
+        # ---- driver window boundary (first 50 keys end here) ----
+        # -- r4-stale spill (lead the round-8 window): deterministic
+        # -- projections/membership cuts, pytest-covered --
+        "vocab_oov_rate": q_vocab_oov,
+        "doc_keywords": q_doc_keywords,
+        "length_buckets": q_length_buckets,
+        "contrastive_pairs": q_contrastive_pairs,
+        "doc_token_ids": q_doc_token_ids,
+        "mix_report": q_mix_report,
+        "events_json_prop": q_events_json_prop,
+        "vocab_topk": q_vocab_topk,
+        "doc_shuffle_order": q_doc_shuffle_order,
+        "domain_mixture": q_domain_mixture,
+        "sample_stratified": q_sample_stratified,
+        "events_date_histogram": q_events_date_histogram,
+        "term_suggest": q_term_suggest,
+        # -- green in round 5 (rotated to the tail) --
+        "bm25_filtered_topk": q_bm25_filtered_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "doclen_quantized": q_doclen_quantized,
+        "corpus_adapter": q_corpus_adapter,
+        "hybrid_minmax_arith": q_hybrid_minmax_arith,
+        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+        "hybrid_post_filter": q_hybrid_post_filter,
+        "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
+        "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
+        "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
+        "hybrid_agg_metrics": q_hybrid_agg_metrics,
+        "hybrid_agg_pipeline": q_hybrid_agg_pipeline,
+        "nested_inner_hits": q_nested_inner_hits,
+        "chunk_delimiter": q_chunk_delimiter,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
+        "sparse_score_topk": q_sparse_score_topk,
+        "sparse_two_phase_topk": q_sparse_two_phase_topk,
+        "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
+        "highlight_match": q_highlight_match,
+        "text_embedding": q_text_embedding,
+        "rerank_by_field": q_rerank_by_field,
+        "sort_search_after": q_sort_search_after,
+        "hybrid_paginated": q_hybrid_paginated,
+        "hybrid_collapse_lang": q_hybrid_collapse_lang,
+        "hybrid_neural_dense": q_hybrid_neural_dense,
+        "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
+        "hybrid_phrase_lex": q_hybrid_phrase_lex,
+        "hybrid_bool_lex": q_hybrid_bool_lex,
+        "neural_topk": q_neural_topk,
+        "rerank_ml": q_rerank_ml,
+        "hybrid_max_score": q_hybrid_max_score,
+        "hybrid_spec_enriched": q_hybrid_spec_enriched,
+        "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
+        "text_entropy_quality": q_text_entropy,
+        "regexp_topk": q_regexp_topk,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
+        "hybrid_agg_filters": q_hybrid_agg_filters,
+        "sparse_analyzer_topk": q_sparse_analyzer_topk,
+        "bm25_batch_topk": q_bm25_batch_topk,
+        "neural_batch_topk": q_neural_batch_topk,
+        "dsir_weights": q_dsir_weights,
+        "pack_efficiency": q_pack_efficiency,
+        "dedup_canonical": q_dedup_canonical,
+        "events_anomaly": q_events_anomaly,
+        "match_bool_prefix_topk": q_match_bool_prefix_topk,
+        # -- green in round 6 (freshest, tail) --
+        "bm25_match_topk": q_bm25_match_topk,
+        "bm25_term_topk": q_bm25_term_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_multi_match_topk": q_bm25_multi_match_topk,
+        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
+        "span_near_topk": q_span_near_topk,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "terms_topk": q_terms_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "hybrid_sort_field": q_hybrid_sort_field,
+        "hybrid_explain_full": q_hybrid_explain_full,
+        "hybrid_spec_full": q_hybrid_spec_full,
+        "neural_max_distance": q_neural_max_distance,
+        "neural_rescored_topk": q_neural_rescored_topk,
+        "neural_nested_topk": q_neural_nested_topk,
+        "neural_nested_expand": q_neural_nested_expand,
+        "highlight_semantic": q_highlight_semantic,
+        "dedup_clusters": q_dedup_clusters,
+        "bm25_match_and_topk": q_bm25_match_and_topk,
+        "bm25_match_msm_topk": q_bm25_match_msm_topk,
+        "hybrid_bool_boosted": q_hybrid_bool_boosted,
+        "hybrid_agg_range": q_hybrid_agg_range,
+        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "wildcard_topk": q_wildcard_topk,
+        "range_topk": q_range_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "hybrid_batch_topk": q_hybrid_batch_topk,
         "bm25_updated_index_topk": q_bm25_updated_index_topk,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "stream_sessionize_batch": q_stream_sessionize_batch,
@@ -2703,157 +2848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_context": q_rerank_context,
         "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
-        "dedup_semantic": q_dedup_semantic,
-        # -- changed in round 6 (round-then-cut window fix, ADVICE r5) --
-        "hybrid_batch_topk": q_hybrid_batch_topk,
-        # -- last driver-checked in round 3 (44 of 49) --
-        "bm25_phrase_topk": q_bm25_phrase_topk,  # changed: indexed default
-        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
-        "bm25_match_topk": q_bm25_match_topk,
-        "bm25_term_topk": q_bm25_term_topk,
-        "bm25_multi_match_topk": q_bm25_multi_match_topk,
-        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
-        "bm25_match_and_topk": q_bm25_match_and_topk,
-        "bm25_match_msm_topk": q_bm25_match_msm_topk,
-        "span_near_topk": q_span_near_topk,
-        "prefix_topk": q_prefix_topk,
-        "fuzzy_topk": q_fuzzy_topk,
-        "terms_topk": q_terms_topk,
-        "wildcard_topk": q_wildcard_topk,
-        "range_topk": q_range_topk,
-        "dis_max_topk": q_dis_max_topk,
-        "boosting_topk": q_boosting_topk,
-        "hybrid_bool_boosted": q_hybrid_bool_boosted,
-        "hybrid_agg_range": q_hybrid_agg_range,
-        "hybrid_sort_field": q_hybrid_sort_field,
-        "hybrid_explain_full": q_hybrid_explain_full,
-        "hybrid_spec_full": q_hybrid_spec_full,
-        "highlight_semantic": q_highlight_semantic,
-        "neural_max_distance": q_neural_max_distance,
-        "neural_rescored_topk": q_neural_rescored_topk,
-        "neural_nested_topk": q_neural_nested_topk,
-        "neural_nested_expand": q_neural_nested_expand,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_clusters": q_dedup_clusters,
-        # ---- driver window boundary (first 50 keys end here) ----
-        # -- r3-stale spill (lead the round-7 window) --
-        "hybrid_explain": q_hybrid_explain,  # subsumed by hybrid_explain_full (in-window)
-        "constant_score_topk": q_constant_score_topk,  # constant-score wrap; siblings boosting/dis_max stay in-window
-        "mm_image_meta": q_mm_image_meta,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_text_image_embedding": q_mm_text_image_embedding,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "stream_window_stats_batch": q_stream_window_stats_batch,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
-        "train_split_assign": q_train_split_assign,
-        "ids_topk": q_ids_topk,
-        "match_all_filtered": q_match_all_filtered,
-        # -- green in round 5 (freshest, rotated to the tail) --
-        "sparse_analyzer_topk": q_sparse_analyzer_topk,
-        "bm25_batch_topk": q_bm25_batch_topk,
-        "neural_batch_topk": q_neural_batch_topk,
-        "dsir_weights": q_dsir_weights,
-        "pack_efficiency": q_pack_efficiency,
-        "dedup_canonical": q_dedup_canonical,
-        "events_anomaly": q_events_anomaly,
-        "match_bool_prefix_topk": q_match_bool_prefix_topk,
-        "match_phrase_prefix_topk": q_match_phrase_prefix_topk,
-        "regexp_topk": q_regexp_topk,
-        "text_entropy_quality": q_text_entropy,
-        "hybrid_agg_filters": q_hybrid_agg_filters,
-        "chunk_fixed_token_counts": q_chunk_fixed_token_counts,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "bm25_filtered_topk": q_bm25_filtered_topk,
-        "bm25_wand_topk": q_bm25_wand_topk,
-        "doclen_quantized": q_doclen_quantized,
-        "corpus_adapter": q_corpus_adapter,
-        "hybrid_minmax_arith": q_hybrid_minmax_arith,
-        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
-        "hybrid_post_filter": q_hybrid_post_filter,
-        "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
-        "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
-        "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
-        "hybrid_rrf": q_hybrid_rrf,
-        "hybrid_neural_dense": q_hybrid_neural_dense,
-        "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
-        "hybrid_phrase_lex": q_hybrid_phrase_lex,
-        "hybrid_bool_lex": q_hybrid_bool_lex,
-        "neural_topk": q_neural_topk,
-        "rerank_ml": q_rerank_ml,
-        "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
-        "hybrid_agg_metrics": q_hybrid_agg_metrics,
-        "hybrid_agg_pipeline": q_hybrid_agg_pipeline,
-        "nested_inner_hits": q_nested_inner_hits,
-        "chunk_delimiter": q_chunk_delimiter,
-        "chunk_fixed_char": q_chunk_fixed_char,
-        "sparse_score_topk": q_sparse_score_topk,
-        "sparse_two_phase_topk": q_sparse_two_phase_topk,
-        "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
-        "highlight_match": q_highlight_match,
-        "text_embedding": q_text_embedding,
-        "rerank_by_field": q_rerank_by_field,
-        "sort_search_after": q_sort_search_after,
-        "hybrid_paginated": q_hybrid_paginated,
-        "hybrid_collapse_lang": q_hybrid_collapse_lang,
-        "hybrid_max_score": q_hybrid_max_score,
-        "hybrid_spec_enriched": q_hybrid_spec_enriched,
-        "hybrid_collapse_per_clause": q_hybrid_collapse_per_clause,
-        # -- green in round 4 (rotated to the tail) --
-        "vocab_oov_rate": q_vocab_oov,
-        "dedup_substring": q_dedup_substring,
-        "rank_feature_topk": q_rank_feature_topk,
-        "function_score_topk": q_function_score_topk,
-        "doc_keywords": q_doc_keywords,
-        "term_suggest": q_term_suggest,
-        "events_retention": q_events_retention,
-        "length_buckets": q_length_buckets,
-        "contrastive_pairs": q_contrastive_pairs,
-        "doc_token_ids": q_doc_token_ids,
-        "text_unigram_ppl": q_text_unigram_ppl,
-        "mix_report": q_mix_report,
-        "hybrid_fields_fetch": q_hybrid_fields_fetch,
-        "hybrid_agg_composite": q_hybrid_agg_composite,
-        "hybrid_agg_global": q_hybrid_agg_global,
-        "events_date_histogram": q_events_date_histogram,
-        "hybrid_agg_significant_terms": q_hybrid_agg_significant_terms,
-        "hybrid_agg_significant_text": q_hybrid_agg_significant_text,
-        "hybrid_agg_top_hits": q_hybrid_agg_top_hits,
-        "hybrid_agg_histogram": q_hybrid_agg_histogram,
-        "hybrid_agg_percentiles": q_hybrid_agg_percentiles,
-        "hybrid_agg_cardinality": q_hybrid_agg_cardinality,
-        "hybrid_agg_extended_stats": q_hybrid_agg_extended_stats,
-        "hybrid_agg_terms_subagg": q_hybrid_agg_terms_subagg,
-        "text_line_dedup": q_text_line_dedup,
-        "vocab_topk": q_vocab_topk,
-        "text_gopher_rules": q_text_gopher_rules,
-        "doc_shuffle_order": q_doc_shuffle_order,
-        "highlight_spec": q_highlight_spec,
-        "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
-        "text_repetition": q_text_repetition,
-        "text_decontaminate": q_text_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "bm25_rescored_topk": q_bm25_rescored_topk,
-        "text_pii": q_text_pii,
-        "domain_mixture": q_domain_mixture,
-        "events_funnel": q_events_funnel,
-        "pack_plan": q_pack_plan,
-        "events_window_agg": q_events_window_agg,
-        "events_sessionize": q_events_sessionize,
-        "events_json_prop": q_events_json_prop,
-        "events_percentiles": q_events_percentiles,
-        "bool_query_topk": q_bool_query_topk,
-        "mlt_topk": q_mlt_topk,
-        "simple_query_string": q_simple_query_string,
     }
 
 

@@ -52,29 +52,67 @@ KEYS = [
 
 
 def make_sf1() -> None:
-    if os.path.exists(os.path.join(SF1, "documents.parquet")):
-        return
     import duckdb
 
     os.makedirs(SF1, exist_ok=True)
     con = duckdb.connect()
     reps = ", ".join(str(k) for k in range(REPLICAS))
-    con.execute(
-        f"""
-        COPY (
-            SELECT d.doc_id + r.k * 100000 AS doc_id,
-                   CASE WHEN r.k = 0 THEN d.text
-                        ELSE d.text || ' repvar' || r.k END AS text,
-                   d.lang, d.source,
-                   CASE WHEN r.k = 0 THEN d.n_chars
-                        ELSE d.n_chars + 8 END AS n_chars
-            FROM '{SF01}/documents.parquet' d
-            CROSS JOIN (SELECT unnest([{reps}]) AS k) r
-        ) TO '{SF1}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    n = con.execute(f"SELECT COUNT(*) FROM '{SF1}/documents.parquet'").fetchone()[0]
-    print(f"# built {SF1}/documents.parquet: {n} docs", file=sys.stderr)
+    if not os.path.exists(os.path.join(SF1, "documents.parquet")):
+        con.execute(
+            f"""
+            COPY (
+                SELECT d.doc_id + r.k * 100000 AS doc_id,
+                       CASE WHEN r.k = 0 THEN d.text
+                            ELSE d.text || ' repvar' || r.k END AS text,
+                       d.lang, d.source,
+                       CASE WHEN r.k = 0 THEN d.n_chars
+                            ELSE d.n_chars + 8 END AS n_chars
+                FROM '{SF01}/documents.parquet' d
+                CROSS JOIN (SELECT unnest([{reps}]) AS k) r
+            ) TO '{SF1}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM '{SF1}/documents.parquet'").fetchone()[0]
+        print(f"# built {SF1}/documents.parquet: {n} docs", file=sys.stderr)
+    if not os.path.exists(os.path.join(SF1, "embeddings.parquet")):
+        # replica k>0: ids shifted far past inject_vector_duplicates'
+        # +100000 offset; the vector circular-shifts by k positions so
+        # replicas are NOT near-dups of the original (cosine of a random
+        # vector vs its rotation ≈ 0) — the sf1 dedup wall measures the
+        # PLAN at 10x rows, not an artificial 10x dup-density blowup.
+        branches = ["SELECT vec_id, embedding, label FROM e"]
+        for k in range(1, REPLICAS):
+            branches.append(
+                f"SELECT vec_id + {k} * 10000000 AS vec_id, "
+                f"embedding[{k + 1}:] || embedding[1:{k}] AS embedding, label FROM e"
+            )
+        union = " UNION ALL ".join(branches)
+        con.execute(
+            f"""
+            COPY (
+                WITH e AS (SELECT * FROM '{SF01}/embeddings.parquet')
+                {union}
+            ) TO '{SF1}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM '{SF1}/embeddings.parquet'").fetchone()[0]
+        print(f"# built {SF1}/embeddings.parquet: {n} vectors", file=sys.stderr)
+    if not os.path.exists(os.path.join(SF1, "events.parquet")):
+        # replica k>0 = a disjoint user population with the same activity
+        # shape: sessions/funnels scale linearly in users
+        con.execute(
+            f"""
+            COPY (
+                SELECT e.event_id + r.k * 100000000 AS event_id, e.ts,
+                       e.user_id + r.k * 10000000 AS user_id,
+                       e.event_type, e.value, e.props
+                FROM '{SF01}/events.parquet' e
+                CROSS JOIN (SELECT unnest([{reps}]) AS k) r
+            ) TO '{SF1}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM '{SF1}/events.parquet'").fetchone()[0]
+        print(f"# built {SF1}/events.parquet: {n} events", file=sys.stderr)
 
 
 def warm(entry_mod, spark, sf_dir: str) -> float:
