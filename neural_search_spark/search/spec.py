@@ -444,14 +444,20 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
             window = int(tp["window"])
             lo = tp.get("light_tokens") or {}
             if lo:
-                cand = (
+                # the window table is ≤ window rows (≤10000 by the cap):
+                # broadcast BOTH the candidate restriction and the light
+                # rescore result so neither side ever sort-merge-joins
+                # the corpus-sized phase-1 table
+                cand = F.broadcast(
                     scored.orderBy(F.desc("score"), F.asc("docID"))
                     .limit(window)
                     .select("docID")
                 )
-                light = neural_sparse_score(
-                    engine.spark, postings, lo, candidate_docs=cand
-                ).select("docID", P.round6(F.col("score")).alias("_ls"))
+                light = F.broadcast(
+                    neural_sparse_score(
+                        engine.spark, postings, lo, candidate_docs=cand
+                    ).select("docID", P.round6(F.col("score")).alias("_ls"))
+                )
                 scored = scored.join(light, "docID", "left").select(
                     "docID",
                     P.round6(

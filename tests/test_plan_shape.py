@@ -61,3 +61,38 @@ def test_phrase_default_routes_through_positional_index(spark, entry):
     assert "TakeOrderedAndProject" in default
     scan = _plan(qmap["bm25_phrase_scan_topk"](spark, SF_DIR))
     assert "SortMergeJoin" in scan  # the exhibit keeps the scan shape
+
+
+def test_delegate_raw_routes_are_artifact_bounded(spark, entry):
+    """The delegate raw-type routes never join the corpus against itself:
+    token_count is a filter over the per-doc length artifact (its one
+    exchange is the output sort), match_only_text is one broadcast join +
+    one agg ending in TakeOrderedAndProject."""
+    qmap = entry.queries()
+    p = _plan(qmap["semantic_raw_token_count"](spark, SF_DIR))
+    assert p.count(") Exchange") <= 1
+    assert "Join" not in p
+    p = _plan(qmap["semantic_raw_match_only_topk"](spark, SF_DIR))
+    assert p.count(") Exchange") <= 1
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_batched_quantized_ann_is_two_window_cuts(spark, entry):
+    """ann_quantized_batch_topk: one byte-table scan feeding Q broadcast
+    query vectors — the only exchanges are the two per-qid window cuts
+    (coarse window, final cut); no sort-merge join at any size."""
+    p = _plan(entry.queries()["ann_quantized_batch_topk"](spark, SF_DIR))
+    assert p.count(") Exchange") <= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_two_phase_spec_rescore_broadcasts_the_window(spark, entry):
+    """The spec-path two-phase rescore joins the corpus-sized phase-1
+    table only against BROADCAST window tables (≤ 10000 rows by the
+    processor cap) — a sort-merge join here would re-sort the corpus per
+    query."""
+    for key in ("sparse_two_phase_spec", "sparse_two_phase_topk"):
+        p = _plan(entry.queries()[key](spark, SF_DIR))
+        assert "SortMergeJoin" not in p, key
+        assert "TakeOrderedAndProject" in p, key
