@@ -1781,6 +1781,55 @@ def q_ann_quantized_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CODEBOOKS: dict = {}
+
+
+def _pq_codebook_artifacts(spark: SparkSession, sf_dir: str):
+    """Ingest-time PQ codebooks per (session, corpus): trained once (the
+    write-time step of the Faiss/OpenSearch-kNN `pq` encoder); queries
+    only collect the O(M·K) table for the ADC literals."""
+    from neural_search_spark.pipeline.ann import pq_codebooks
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CODEBOOKS:
+        cents = pq_codebooks(_embeddings(spark, sf_dir)).cache()
+        cents.count()
+        _PQ_CODEBOOKS[key] = cents
+    return _PQ_CODEBOOKS[key]
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; the reference k-NN
+    engine's `pq` encoder on the IVF method): vectors compress to PQ_M
+    byte codes (64× vs float32), the coarse pass scores codes via a
+    driver-built M×K ADC lookup table in ONE zero-shuffle codegen scan,
+    then the exact float cosine rescores only the k×oversample window."""
+    from neural_search_spark.pipeline.ann import ann_pq_topk
+
+    return ann_pq_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_ID, k=10, oversample=3,
+        codebooks=_pq_codebook_artifacts(spark, sf_dir),
+    )
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the Faiss ``IVF,PQ`` architecture and the sublinear twin
+    of ``ann_pq_topk``: the IVF probe prunes the scan to nprobe/n_lists of
+    the corpus (static partition pruning on the list-partitioned table at
+    scale), ADC scores only the probed candidates, exact rescore touches
+    only the k×oversample window. Completes the quantized family's scale
+    story: flat PQ/int8 coarse passes are corpus-linear by definition;
+    the IVF composition is the plan the 100-TB deployment runs."""
+    from neural_search_spark.pipeline.ann import ann_ivfpq_topk
+
+    cents, assigned = _ivf_artifacts(spark, sf_dir)
+    return ann_ivfpq_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_ID, k=10, oversample=3,
+        centroids=cents, assigned=assigned,
+        codebooks=_pq_codebook_artifacts(spark, sf_dir),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -2671,14 +2720,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 4 keys NEW in round 7 plus the CHANGED dedup_semantic
+    # round): the 6 keys NEW in round 7 plus the CHANGED dedup_semantic
     # first (a never-driver-checked or changed key outranks any
     # re-fresh), then the 13 keys whose freshest driver row is round 3
-    # (the r6 verdict's freshness tail), then 32 of the 45 round-4-stale
-    # keys. The remaining 13 r4 keys sit right after position 50 to lead
+    # (the r6 verdict's freshness tail), then 30 of the 45 round-4-stale
+    # keys. The remaining 15 r4 keys sit right after position 50 to lead
     # the round-8 window; r5/r6-fresh keys rotate to the tail.
     return {
         # -- new in round 7 (never driver-checked: outrank any re-fresh) --
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
         "semantic_raw_match_only_topk": q_semantic_raw_match_only_topk,
@@ -2915,6 +2966,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_batch_topk": psql.ann_quantized_batch_topk_sql(
             ANN_BATCH_QUERY_IDS, k=5
         ),
+        "ann_pq_topk": psql.ann_pq_topk_sql(ANN_QUERY_ID, k=10, oversample=3),
+        "ann_ivfpq_topk": psql.ann_ivfpq_topk_sql(ANN_QUERY_ID, k=10, oversample=3),
         "dedup_semantic": psql.semantic_dedup_sql(),  # corpus-scaled n_lists
         # scan-path exhibit shares the default key's oracle: the positional
         # index is score-identical to the scan by contract

@@ -44,6 +44,7 @@ def main() -> None:
     entry_mod._doc_embeddings(spark, sf_dir)  # ingest-time embedding column
     entry_mod._doc_ivf_artifacts(spark, sf_dir)  # doc-embedding IVF (hybrid_ann_dense)
     entry_mod._sparse_postings(spark, sf_dir).count()  # sparse ingest artifact
+    entry_mod._pq_codebook_artifacts(spark, sf_dir)  # PQ codebooks (ann_pq / ivfpq)
     entry_mod._updated_index(spark, sf_dir)  # incremental-maintenance artifact
     for fld in entry_mod.MULTI_MATCH_FIELDS:  # per-field indexes (multi_match)
         p, _d, _s = eng.field_artifacts(fld)

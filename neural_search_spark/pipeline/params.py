@@ -124,6 +124,26 @@ IVF_N_LISTS = 8
 IVF_NPROBE = 2
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ — Jégou et al. 2011, the Faiss IVF,PQ storage
+# path; OpenSearch k-NN ships it as the `pq` encoder on the IVF engine).
+# The 64-dim vector splits into PQ_M subspaces of PQ_SUBDIM dims; each
+# subspace gets a PQ_K-entry codebook (same deterministic training recipe
+# as the IVF coarse quantizer: seeds = the PQ_K lowest-id subvectors, one
+# Lloyd step with 6-dp means — but L2 argmin, PQ's native metric). A
+# vector stores only PQ_M 1-byte codes: 64 float32 dims → 4 bytes, 64×
+# compression (int8 SQ is 4×). Query-time scoring is ADC (asymmetric
+# distance computation): a driver-built M×K lookup table of per-subspace
+# partial dots / squared norms — O(M·K·SUBDIM) doubles, always
+# broadcastable — turns the coarse pass into ONE codegen scan of the code
+# table with no float I/O at all; an exact float rescore then touches only
+# the k×oversample window.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M
+PQ_K = 16
+
+# ---------------------------------------------------------------------------
 # SemDeDup cluster sizing (pipeline/dedup.py semantic_dedup). The within-
 # cluster compare is O(|cluster|²), so the cluster COUNT must grow with the
 # corpus or the "never all-pairs" claim decays (the r6 verdict's flag):

@@ -591,6 +591,213 @@ ORDER BY qid, score DESC, vec_id
 """
 
 
+def _l2_sub_sql(a: str, b: str, subdim: int) -> str:
+    """Unrolled left-associated squared-L2 chain over two subdim-length
+    lists (1-based) — bit-identical to the engine's zip_with/aggregate
+    fold in :func:`neural_search_spark.pipeline.ann._l2`."""
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_pq_topk_sql(
+    query_id: int,
+    k: int,
+    oversample: int = 3,
+    n_sub: int = P.PQ_M,
+    n_codes: int = P.PQ_K,
+    subdim: int = P.PQ_SUBDIM,
+) -> str:
+    """PQ twin of :func:`neural_search_spark.pipeline.ann.ann_pq_topk` —
+    per-subspace codebooks (lowest-id seeds, one Lloyd step with 6-dp
+    means, L2 argmin ties to the smaller code), ADC coarse score from the
+    per-(m, code) partial dots / squared norms, k×oversample window, exact
+    float rescore. Every sum is an explicit left-associated chain so the
+    engine's driver-side Python folds produce the same bits."""
+    sub_dot = "(" + " + ".join(
+        f"(CAST(qs.qsv[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    cc_dot = "(" + " + ".join(
+        f"(CAST(ct.c[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN code END) AS c{mm}" for mm in range(n_sub)
+    )
+    adc_joins = "\n    ".join(
+        f"JOIN adc x{mm} ON x{mm}.m = {mm} AND x{mm}.code = cd.c{mm}"
+        for mm in range(n_sub)
+    )
+    adot = " + ".join(f"x{mm}.pdot" for mm in range(n_sub))
+    an2 = " + ".join(f"x{mm}.pn2" for mm in range(n_sub))
+    qn = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    edot = P.pairwise_dot_sql("e.v", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    ena = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    enb = P.pairwise_dot_sql("r.qv", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    exact_expr = P.round4_sql(f"{edot} / (sqrt({ena}) * sqrt({enb}))")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+sub AS (SELECT vec_id, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS sv FROM e, ms),
+sd AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+seeds AS (SELECT code, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS c0 FROM sd, ms),
+a0 AS (
+    SELECT s.vec_id, s.m, sd2.code, s.sv,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'sd2.c0', subdim)} ASC, sd2.code ASC
+           ) AS rn
+    FROM sub s JOIN seeds sd2 USING (m)
+),
+dims AS (
+    SELECT m, code, i, {P.round6_sql('avg(CAST(sv[i] AS DOUBLE))')} AS mu
+    FROM (SELECT m, code, sv, unnest(generate_series(1, {subdim})) AS i
+          FROM a0 WHERE rn = 1)
+    GROUP BY m, code, i
+),
+cents AS (SELECT m, code, list(mu ORDER BY i) AS c FROM dims GROUP BY m, code),
+a1 AS (
+    SELECT s.vec_id, s.m, ct.code,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'ct.c', subdim)} ASC, ct.code ASC
+           ) AS rn
+    FROM sub s JOIN cents ct USING (m)
+),
+codes AS (SELECT vec_id, {code_cols} FROM a1 WHERE rn = 1 GROUP BY vec_id),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+qsub AS (SELECT m, qv[m*{subdim}+1 : (m+1)*{subdim}] AS qsv FROM q, ms),
+adc AS (
+    SELECT ct.m, ct.code, {sub_dot} AS pdot, {cc_dot} AS pn2
+    FROM cents ct JOIN qsub qs USING (m)
+),
+qn AS (SELECT sqrt({qn}) AS qnorm FROM q),
+coarse AS (
+    SELECT cd.vec_id,
+           {P.round4_sql(f'({adot}) / (qn.qnorm * sqrt({an2}))')} AS cscore
+    FROM codes cd
+    {adc_joins}, qn
+    WHERE cd.vec_id != {query_id}
+    ORDER BY cscore DESC, cd.vec_id ASC
+    LIMIT {int(k) * int(oversample)}
+),
+r AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id AS vec_id, {exact_expr} AS score
+FROM e JOIN coarse USING (vec_id), r
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_ivfpq_topk_sql(
+    query_id: int,
+    k: int,
+    oversample: int = 3,
+    n_lists: int = P.IVF_N_LISTS,
+    nprobe: int = P.IVF_NPROBE,
+    n_sub: int = P.PQ_M,
+    n_codes: int = P.PQ_K,
+    subdim: int = P.PQ_SUBDIM,
+) -> str:
+    """IVF×PQ twin of :func:`neural_search_spark.pipeline.ann.ann_ivfpq_topk`:
+    the shared IVF coarse chain (:func:`_ivf_ctes`) prunes candidates to
+    the probed lists, the PQ chain (same recipe as
+    :func:`ann_pq_topk_sql`, pq-prefixed CTEs) scores ONLY those via ADC,
+    exact float rescore over the k×oversample window."""
+    sub_dot = "(" + " + ".join(
+        f"(CAST(qs.qsv[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    cc_dot = "(" + " + ".join(
+        f"(CAST(ct.c[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN code END) AS c{mm}" for mm in range(n_sub)
+    )
+    adc_joins = "\n    ".join(
+        f"JOIN adc x{mm} ON x{mm}.m = {mm} AND x{mm}.code = cd.c{mm}"
+        for mm in range(n_sub)
+    )
+    adot = " + ".join(f"x{mm}.pdot" for mm in range(n_sub))
+    an2 = " + ".join(f"x{mm}.pn2" for mm in range(n_sub))
+    qn = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    edot = P.pairwise_dot_sql("e.v", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    ena = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    enb = P.pairwise_dot_sql("r.qv", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    exact_expr = P.round4_sql(f"{edot} / (sqrt({ena}) * sqrt({enb}))")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+{_ivf_ctes('e', n_lists).strip()},
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+probe AS (
+    SELECT list_id FROM cents, q
+    ORDER BY {_cos_sql('c', 'qv')} DESC, list_id ASC LIMIT {nprobe}
+),
+cand AS (
+    SELECT a.vec_id, a.v FROM assigned a JOIN probe USING (list_id)
+    WHERE a.vec_id != {query_id}
+),
+ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+sub AS (SELECT vec_id, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS sv FROM e, ms),
+pqsd AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+pqseeds AS (SELECT code, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS c0 FROM pqsd, ms),
+pqa0 AS (
+    SELECT s.vec_id, s.m, sd2.code, s.sv,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'sd2.c0', subdim)} ASC, sd2.code ASC
+           ) AS rn
+    FROM sub s JOIN pqseeds sd2 USING (m)
+),
+pqdims AS (
+    SELECT m, code, i, {P.round6_sql('avg(CAST(sv[i] AS DOUBLE))')} AS mu
+    FROM (SELECT m, code, sv, unnest(generate_series(1, {subdim})) AS i
+          FROM pqa0 WHERE rn = 1)
+    GROUP BY m, code, i
+),
+pqcents AS (SELECT m, code, list(mu ORDER BY i) AS c FROM pqdims GROUP BY m, code),
+pqa1 AS (
+    SELECT s.vec_id, s.m, ct.code,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'ct.c', subdim)} ASC, ct.code ASC
+           ) AS rn
+    FROM sub s JOIN pqcents ct USING (m)
+),
+codes AS (SELECT vec_id, {code_cols} FROM pqa1 WHERE rn = 1 GROUP BY vec_id),
+qsub AS (SELECT m, qv[m*{subdim}+1 : (m+1)*{subdim}] AS qsv FROM q, ms),
+adc AS (
+    SELECT ct.m, ct.code, {sub_dot} AS pdot, {cc_dot} AS pn2
+    FROM pqcents ct JOIN qsub qs USING (m)
+),
+qn AS (SELECT sqrt({qn}) AS qnorm FROM q),
+coarse AS (
+    SELECT cd.vec_id,
+           {P.round4_sql(f'({adot}) / (qn.qnorm * sqrt({an2}))')} AS cscore
+    FROM cand JOIN codes cd USING (vec_id)
+    {adc_joins}, qn
+    ORDER BY cscore DESC, cd.vec_id ASC
+    LIMIT {int(k) * int(oversample)}
+),
+r AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id AS vec_id, {exact_expr} AS score
+FROM e JOIN coarse USING (vec_id), r
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def ann_lsh_topk_sql(query_id: int, k: int) -> str:
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)

@@ -412,3 +412,274 @@ class TestFormatVersionDiscipline:
         # migration every version must score identically, doc for doc
         vals = list(seen.values())
         assert all(v == vals[0] for v in vals[1:])
+
+
+class TestAnnPQ:
+    """ann_pq_topk — product-quantization ANN (Jégou et al. 2011; the
+    reference k-NN engine's `pq` encoder on the IVF method): per-subspace
+    L2 codebooks, ADC coarse scoring from a driver-built M×K lookup
+    table, exact rescore over the k×oversample window."""
+
+    N_SUB, N_CODES, SUBDIM, DIM = 4, 8, 4, 16
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(31)
+        rows = [
+            (i, [float(round(x, 6)) for x in rng.randn(self.DIM)])
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+
+    def _ref(self, rows, query_id, k, oversample):
+        """Pure-Python reference of the full PQ contract (same recipe,
+        same left-folds, same rounding, same tie-breaks)."""
+        import math
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def l2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        def r4(x):
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        def r6(x):
+            return math.floor(x * 1000000 + 0.5) / 1000000
+
+        vecs = dict(rows)
+        ids = sorted(vecs)
+        M, K, S = self.N_SUB, self.N_CODES, self.SUBDIM
+        sub = lambda v, m: v[m * S : (m + 1) * S]
+        seeds = {(m, c): sub(vecs[ids[c]], m) for m in range(M) for c in range(K)}
+        # one Lloyd step: L2 argmin (ties to smaller code), 6-dp means
+        cb = {}
+        for m in range(M):
+            members = {c: [] for c in range(K)}
+            for i in ids:
+                d = [(l2(sub(vecs[i], m), seeds[(m, c)]), c) for c in range(K)]
+                members[min(d)[1]].append(sub(vecs[i], m))
+            for c in range(K):
+                pts = members[c]
+                cb[(m, c)] = [
+                    r6(sum(p[j] for p in pts) / len(pts)) for j in range(S)
+                ] if pts else None
+        q = vecs[query_id]
+        qnorm = fold_dot(q, q) ** 0.5
+        scored = []
+        for i in ids:
+            if i == query_id:
+                continue
+            adot = an2 = 0.0
+            for m in range(M):
+                d = [
+                    (l2(sub(vecs[i], m), cb[(m, c)]), c)
+                    for c in range(K)
+                    if cb[(m, c)] is not None
+                ]
+                c = min(d)[1]
+                adot = adot + fold_dot(sub(q, m), cb[(m, c)])
+                an2 = an2 + fold_dot(cb[(m, c)], cb[(m, c)])
+            scored.append((i, r4(adot / (qnorm * math.sqrt(an2)))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        window = [i for i, _ in scored[: k * oversample]]
+        exact = []
+        for i in window:
+            v = vecs[i]
+            cos = fold_dot(v, q) / (
+                math.sqrt(fold_dot(v, v)) * math.sqrt(fold_dot(q, q))
+            )
+            exact.append((i, r4(cos)))
+        exact.sort(key=lambda t: (-t[1], t[0]))
+        return exact[:k]
+
+    def test_matches_python_reference(self, spark, emb):
+        from neural_search_spark.pipeline.ann import ann_pq_topk
+
+        rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+        for qid in (0, 17, 111):
+            got = [
+                (r["vec_id"], r["score"])
+                for r in ann_pq_topk(
+                    emb, qid, k=5, oversample=3,
+                    n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+                ).collect()
+            ]
+            want = [(i, pytest.approx(s, abs=1e-12)) for i, s in
+                    self._ref(rows, qid, k=5, oversample=3)]
+            assert got == want, qid
+
+    def test_codebook_shape_and_determinism(self, spark, emb):
+        from neural_search_spark.pipeline.ann import pq_codebooks
+
+        a = pq_codebooks(emb, self.N_SUB, self.N_CODES, self.SUBDIM).collect()
+        b = pq_codebooks(emb, self.N_SUB, self.N_CODES, self.SUBDIM).collect()
+        key = lambda r: (r["m"], r["code"])
+        assert sorted(map(key, a)) == [
+            (m, c) for m in range(self.N_SUB) for c in range(self.N_CODES)
+        ]
+        assert {key(r): r["centroid"] for r in a} == {
+            key(r): r["centroid"] for r in b
+        }
+        assert all(len(r["centroid"]) == self.SUBDIM for r in a)
+
+    def test_recall_against_exact(self, spark, emb):
+        """PQ at 4 bytes/vector still lands most of the true neighbors —
+        and the exact-rescore phase orders whatever it recalls exactly."""
+        from neural_search_spark.pipeline.ann import ann_pq_topk, cosine_topk
+
+        qid = 42
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, k=10).collect()}
+        pq = [
+            (r["vec_id"], r["score"])
+            for r in ann_pq_topk(
+                emb, qid, k=10, oversample=3,
+                n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+            ).collect()
+        ]
+        assert len({i for i, _ in pq} & exact) >= 5
+        truth = {
+            r["vec_id"]: r["score"]
+            for r in cosine_topk(emb, qid, k=199).collect()
+        }
+        # recalled ids carry their EXACT cosine (the rescore contract)
+        assert all(truth[i] == s for i, s in pq)
+
+    def test_plan_is_scan_plus_broadcast_window(self, spark, emb):
+        """With codebooks passed as the ingest artifact (collected to ADC
+        literals, never joined), the WHOLE query is: one coarse scan cut
+        by TakeOrderedAndProject + a broadcast semi-join for the rescore —
+        zero shuffle exchanges, no SortMergeJoin, at any corpus size."""
+        from neural_search_spark.pipeline.ann import ann_pq_topk, pq_codebooks
+
+        cents = pq_codebooks(emb, self.N_SUB, self.N_CODES, self.SUBDIM)
+        df = ann_pq_topk(
+            emb, 0, k=5, oversample=3,
+            n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+            codebooks=cents,
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count(") Exchange") == 0
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestAnnIVFPQ:
+    """ann_ivfpq_topk — the Faiss IVF,PQ composition: probe-pruned
+    candidate set, ADC scoring, exact rescore window."""
+
+    N_SUB, N_CODES, SUBDIM, DIM = 4, 8, 4, 16
+    N_LISTS, NPROBE = 6, 2
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(47)
+        rows = [
+            (i, [float(round(x, 6)) for x in rng.randn(self.DIM)])
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+
+    def test_equals_pq_restricted_to_probed_lists(self, spark, emb):
+        """IVFPQ ≡ (probe-filter ∘ PQ): scoring the probed candidates with
+        the flat-PQ contract must reproduce the composed operator row for
+        row — the probe only PRUNES, it never changes a survivor's score."""
+        from neural_search_spark.pipeline.ann import (
+            ann_ivfpq_topk,
+            ann_pq_topk,
+            ann_ivf_topk,
+            ivf_assign,
+            ivf_centroids,
+        )
+        from pyspark.sql import functions as F
+
+        qid = 13
+        cents = ivf_centroids(emb, self.N_LISTS)
+        assigned = ivf_assign(emb, cents)
+        got = [
+            (r["vec_id"], r["score"])
+            for r in ann_ivfpq_topk(
+                emb, qid, k=5, oversample=3,
+                n_lists=self.N_LISTS, nprobe=self.NPROBE,
+                n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+                centroids=cents, assigned=assigned,
+            ).collect()
+        ]
+        # independent probe-list derivation (the ann_ivf_topk contract)
+        from neural_search_spark.pipeline.ann import _cosine
+
+        q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+        probe = [
+            r["list_id"]
+            for r in cents.crossJoin(F.broadcast(q))
+            .orderBy(F.desc(_cosine("centroid", "qv")), F.asc("list_id"))
+            .limit(self.NPROBE)
+            .collect()
+        ]
+        member_ids = {
+            r["vec_id"]
+            for r in assigned.where(F.col("list_id").isin(probe)).collect()
+        }
+        restricted = emb.where(
+            F.col("vec_id").isin([qid] + sorted(member_ids))
+        )
+        want = [
+            (r["vec_id"], r["score"])
+            for r in ann_pq_topk(
+                restricted, qid, k=5, oversample=3,
+                n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+                codebooks=__import__(
+                    "neural_search_spark.pipeline.ann", fromlist=["pq_codebooks"]
+                ).pq_codebooks(emb, self.N_SUB, self.N_CODES, self.SUBDIM),
+            ).collect()
+        ]
+        assert got == want
+
+    def test_probe_bounds_candidates(self, spark, emb):
+        """Every returned id must belong to a probed list — the scan is
+        probe-pruned, never corpus-wide."""
+        from neural_search_spark.pipeline.ann import (
+            ann_ivfpq_topk,
+            ivf_assign,
+            ivf_centroids,
+            _cosine,
+        )
+        from pyspark.sql import functions as F
+
+        qid = 91
+        cents = ivf_centroids(emb, self.N_LISTS)
+        assigned = ivf_assign(emb, cents)
+        out = ann_ivfpq_topk(
+            emb, qid, k=10, oversample=2,
+            n_lists=self.N_LISTS, nprobe=self.NPROBE,
+            n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+            centroids=cents, assigned=assigned,
+        ).collect()
+        q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+        probe = {
+            r["list_id"]
+            for r in cents.crossJoin(F.broadcast(q))
+            .orderBy(F.desc(_cosine("centroid", "qv")), F.asc("list_id"))
+            .limit(self.NPROBE)
+            .collect()
+        }
+        lists = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+        assert out and all(lists[r["vec_id"]] in probe for r in out)
+        assert all(r["vec_id"] != qid for r in out)
