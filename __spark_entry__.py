@@ -600,6 +600,56 @@ def q_hybrid_ann_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_score(out)
 
 
+_DOC_PQ_CODEBOOKS: dict = {}
+
+
+def _doc_pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Ingest-time PQ codebooks over the DOC embeddings (8-dim stand-in:
+    2 subspaces × 4 dims, 8 codes) — the write-time artifact of the k-NN
+    `pq` encoder; queries only collect the O(M·K) LUT."""
+    from neural_search_spark.pipeline.ann import pq_codebooks
+
+    key = (id(spark), sf_dir)
+    if key not in _DOC_PQ_CODEBOOKS:
+        cb = pq_codebooks(
+            _doc_embeddings(spark, sf_dir), n_sub=2, n_codes=8, subdim=4,
+            id_col="docID", vec_col="embedding",
+        ).cache()
+        cb.count()
+        _DOC_PQ_CODEBOOKS[key] = cb
+    return _DOC_PQ_CODEBOOKS[key]
+
+
+def q_hybrid_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + IVF×PQ dense hybrid: the dense clause runs the composed
+    Faiss ``IVF,PQ`` shape (`knn_method: ivfpq` — the k-NN IVF method
+    with the `pq` encoder): probe-pruned candidate set, PQ-ADC coarse
+    scoring from the collected codebook LUT (no float I/O), exact round6
+    dot rescore over the k×oversample window. Together with
+    `hybrid_ann_dense` (IVF + int8-rescore) this closes the dense-clause
+    method-param surface at every compression tier."""
+    from neural_search_spark.search.neural import (
+        neural_clause_scores_ann,
+        query_embedding_stub,
+    )
+
+    eng = _engine(spark, sf_dir)
+    emb = _doc_embeddings(spark, sf_dir)
+    cents, asg = _doc_ivf_artifacts(spark, sf_dir)
+    qv = query_embedding_stub(NEURAL_QUERY)
+    dense = neural_clause_scores_ann(
+        emb, qv, method="ivfpq", k=HYBRID_DEPTH, n_lists=8, nprobe=2,
+        oversample=3, pq_m=2, pq_codes=8,
+        centroids=cents, assigned=asg,
+        codebooks=_doc_pq_codebooks(spark, sf_dir),
+    )
+    out = hybrid_search(
+        [eng.match(Q_MATCH), dense], "min_max", "arithmetic_mean",
+        k=10, depth=HYBRID_DEPTH,
+    )
+    return _round_score(out)
+
+
 def q_hybrid_phrase_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase + match in one hybrid query: the positional clause's
     sparse, high-scoring candidate set against a broad OR clause — another
@@ -2720,16 +2770,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 6 keys NEW in round 7 plus the CHANGED dedup_semantic
+    # round): the 7 keys NEW in round 7 plus the CHANGED dedup_semantic
     # first (a never-driver-checked or changed key outranks any
     # re-fresh), then the 13 keys whose freshest driver row is round 3
-    # (the r6 verdict's freshness tail), then 30 of the 45 round-4-stale
-    # keys. The remaining 15 r4 keys sit right after position 50 to lead
+    # (the r6 verdict's freshness tail), then 29 of the 45 round-4-stale
+    # keys. The remaining 16 r4 keys sit right after position 50 to lead
     # the round-8 window; r5/r6-fresh keys rotate to the tail.
     return {
         # -- new in round 7 (never driver-checked: outrank any re-fresh) --
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "hybrid_ann_pq": q_hybrid_ann_pq,
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
         "semantic_raw_match_only_topk": q_semantic_raw_match_only_topk,
@@ -2936,6 +2987,23 @@ def oracle_sql() -> dict[str, str]:
                     "k": HYBRID_DEPTH,
                     "n_lists": 8,
                     "nprobe": 2,
+                },
+            ],
+            k=10,
+            depth=HYBRID_DEPTH,
+        ),
+        "hybrid_ann_pq": osql.hybrid_mixed_topk_sql(
+            [
+                {"kind": "match", "terms": tt(Q_MATCH)},
+                {
+                    "kind": "neural_ivfpq",
+                    "qvec": _neural_qv(),
+                    "k": HYBRID_DEPTH,
+                    "n_lists": 8,
+                    "nprobe": 2,
+                    "oversample": 3,
+                    "pq_m": 2,
+                    "pq_codes": 8,
                 },
             ],
             k=10,

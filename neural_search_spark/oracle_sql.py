@@ -323,6 +323,153 @@ sc{i} AS (
 cut{i} AS (SELECT docID, score FROM sc{i})"""
 
 
+def _neural_ivfpq_clause_ctes(
+    i: int,
+    qvec: list[float],
+    depth: int | None,
+    doc_filter: str | None,
+    kq: int,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    oversample: int = 3,
+    pq_m: int = 2,
+    pq_codes: int = 8,
+    n_dims: int = 8,
+) -> str:
+    """IVF×PQ dense clause twin of
+    :func:`neural_search_spark.search.neural.neural_clause_scores_ann`
+    (method="ivfpq"): the IVF chain of :func:`_neural_ann_clause_ctes`
+    prunes candidates to the probed lists, the PQ chain (per-subspace L2
+    codebooks, lowest-docID seeds, one Lloyd step with 6-dp means, argmin
+    ties to the smaller code — the ann_pq oracle recipe) ADC-scores ONLY
+    those into a k×oversample window (round4, docID-asc tie-break), and
+    the exact round6 dot rescores the window, cut to the clause k."""
+    from neural_search_spark.pipeline.params import (
+        dot_sql,
+        pairwise_dot_sql,
+        round4_sql,
+    )
+    from neural_search_spark.pipeline.sql import _l2_sub_sql
+
+    subdim = n_dims // pq_m
+    qd = [float(v) for v in qvec]
+    qq = " + ".join(f"{v!r} * {v!r}" for v in qd)
+    vdims = ", ".join(f"d{j}" for j in range(n_dims))
+    cq_dot = dot_sql("c", qd, one_based=True)
+    qsub_rows = " UNION ALL ".join(
+        f"SELECT {mm} AS m, ["
+        + ", ".join(f"{v!r}" for v in qd[mm * subdim : (mm + 1) * subdim])
+        + "] AS qsv"
+        for mm in range(pq_m)
+    )
+    sub_dot = pairwise_dot_sql("qs.qsv", "ct.c", subdim, one_based=True)
+    cc_dot = pairwise_dot_sql("ct.c", "ct.c", subdim, one_based=True)
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN code END) AS c{mm}" for mm in range(pq_m)
+    )
+    adc_joins = "\n    ".join(
+        f"JOIN adc{i} x{mm} ON x{mm}.m = {mm} AND x{mm}.code = cd.c{mm}"
+        for mm in range(pq_m)
+    )
+    adot = " + ".join(f"x{mm}.pdot" for mm in range(pq_m))
+    an2 = " + ".join(f"x{mm}.pn2" for mm in range(pq_m))
+    filt = (
+        f"WHERE e2.docID IN (SELECT docID FROM corpus WHERE {doc_filter})"
+        if doc_filter
+        else ""
+    )
+    cut_k = kq if depth is None else min(kq, depth)
+    return f"""
+ev{i} AS (SELECT docID, [{vdims}] AS v FROM edim),
+seeds{i} AS (
+    SELECT row_number() OVER (ORDER BY docID) - 1 AS list_id, v AS c
+    FROM (SELECT * FROM ev{i} ORDER BY docID LIMIT {n_lists})
+),
+a0_{i} AS (
+    SELECT docID, v, list_id,
+           row_number() OVER (
+               PARTITION BY docID
+               ORDER BY {_cos8_sql('v', 'c', n_dims)} DESC, list_id ASC
+           ) AS rn
+    FROM ev{i}, seeds{i}
+),
+dims{i} AS (
+    SELECT list_id, di, {round6_sql('avg(CAST(v[di] AS DOUBLE))')} AS m
+    FROM (SELECT list_id, v, unnest(generate_series(1, {n_dims})) AS di
+          FROM a0_{i} WHERE rn = 1)
+    GROUP BY list_id, di
+),
+cents{i} AS (SELECT list_id, list(m ORDER BY di) AS c FROM dims{i} GROUP BY list_id),
+a1_{i} AS (
+    SELECT docID, v, list_id,
+           row_number() OVER (
+               PARTITION BY docID
+               ORDER BY {_cos8_sql('v', 'c', n_dims)} DESC, list_id ASC
+           ) AS rn
+    FROM ev{i}, cents{i}
+),
+assigned{i} AS (SELECT docID, v, list_id FROM a1_{i} WHERE rn = 1),
+probe{i} AS (
+    SELECT list_id FROM cents{i}
+    ORDER BY ({cq_dot}) / (sqrt({pairwise_dot8(n_dims)('c')}) * sqrt({qq})) DESC,
+             list_id ASC
+    LIMIT {nprobe}
+),
+cand{i} AS (SELECT a.docID FROM assigned{i} a JOIN probe{i} USING (list_id)),
+pqms{i} AS (SELECT unnest(generate_series(0, {pq_m - 1})) AS m),
+pqsub{i} AS (SELECT docID, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS sv FROM ev{i}, pqms{i}),
+pqsd{i} AS (
+    SELECT row_number() OVER (ORDER BY docID) - 1 AS code, v
+    FROM (SELECT * FROM ev{i} ORDER BY docID LIMIT {pq_codes})
+),
+pqseeds{i} AS (SELECT code, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS c0 FROM pqsd{i}, pqms{i}),
+pqa0{i} AS (
+    SELECT s.docID, s.m, sd2.code, s.sv,
+           row_number() OVER (
+               PARTITION BY s.docID, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'sd2.c0', subdim)} ASC, sd2.code ASC
+           ) AS rn
+    FROM pqsub{i} s JOIN pqseeds{i} sd2 USING (m)
+),
+pqdims{i} AS (
+    SELECT m, code, si, {round6_sql('avg(CAST(sv[si] AS DOUBLE))')} AS mu
+    FROM (SELECT m, code, sv, unnest(generate_series(1, {subdim})) AS si
+          FROM pqa0{i} WHERE rn = 1)
+    GROUP BY m, code, si
+),
+pqcents{i} AS (SELECT m, code, list(mu ORDER BY si) AS c FROM pqdims{i} GROUP BY m, code),
+pqa1{i} AS (
+    SELECT s.docID, s.m, ct.code,
+           row_number() OVER (
+               PARTITION BY s.docID, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'ct.c', subdim)} ASC, ct.code ASC
+           ) AS rn
+    FROM pqsub{i} s JOIN pqcents{i} ct USING (m)
+),
+pqcodes{i} AS (SELECT docID, {code_cols} FROM pqa1{i} WHERE rn = 1 GROUP BY docID),
+qsub{i} AS ({qsub_rows}),
+adc{i} AS (
+    SELECT ct.m, ct.code, {sub_dot} AS pdot, {cc_dot} AS pn2
+    FROM pqcents{i} ct JOIN qsub{i} qs USING (m)
+),
+win{i} AS (
+    SELECT cd.docID,
+           {round4_sql(f'({adot}) / (sqrt({qq}) * sqrt({an2}))')} AS cscore
+    FROM cand{i} JOIN pqcodes{i} cd USING (docID)
+    {adc_joins}
+    ORDER BY cscore DESC, cd.docID ASC
+    LIMIT {int(kq) * int(oversample)}
+),
+sc{i} AS (
+    SELECT e2.docID, {round6_sql(dot_sql('e2.v', qd, one_based=True))} AS score
+    FROM ev{i} e2 JOIN win{i} USING (docID)
+    {filt}
+    ORDER BY score DESC, docID ASC
+    LIMIT {cut_k}
+),
+cut{i} AS (SELECT docID, score FROM sc{i})"""
+
+
 def pairwise_dot8(n_dims: int):
     """self-dot renderer for a list column (unrolled, left-associated)."""
     from neural_search_spark.pipeline.params import pairwise_dot_sql
@@ -1028,6 +1175,19 @@ def _mixed_clause_ctes(
             n_lists=spec.get("n_lists", 8),
             nprobe=spec.get("nprobe", 2),
         )
+    if kind == "neural_ivfpq":
+        return _neural_ivfpq_clause_ctes(
+            i,
+            spec["qvec"],
+            depth,
+            doc_filter,
+            kq=spec["k"],
+            n_lists=spec.get("n_lists", 8),
+            nprobe=spec.get("nprobe", 2),
+            oversample=spec.get("oversample", 3),
+            pq_m=spec.get("pq_m", 2),
+            pq_codes=spec.get("pq_codes", 8),
+        )
     if kind == "sparse":
         return _sparse_clause_ctes(i, spec["tokens"], depth, doc_filter)
     if kind == "sparse_two_phase":
@@ -1062,7 +1222,9 @@ def hybrid_mixed_topk_sql(
     "tokens": {...}}``."""
     n = len(clauses)
     w = weights or [1.0] * n
-    needs_emb = any(c["kind"] in ("neural", "neural_ann") for c in clauses)
+    needs_emb = any(
+        c["kind"] in ("neural", "neural_ann", "neural_ivfpq") for c in clauses
+    )
     prelude = _PRELUDE + ("," + _neural_prelude() if needs_emb else "")
     clause_sql = ",".join(
         _mixed_clause_ctes(i, c, k1, b, depth, doc_filter) for i, c in enumerate(clauses)

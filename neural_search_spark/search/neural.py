@@ -114,6 +114,9 @@ def neural_clause_scores_ann(
     min_score: float | None = None,
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    pq_m: int = 2,
+    pq_codes: int = 8,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN-backed dense clause — the ``knn_method`` surface of the kNN
@@ -132,6 +135,12 @@ def neural_clause_scores_ann(
     - ``method="quantized_rescore"``: int8-dequantized coarse cosine cuts
       a ``k×oversample`` window (4× less I/O than float32), the exact
       float cosine rescores only that window.
+    - ``method="ivfpq"``: the composed Faiss ``IVF,PQ`` shape (the k-NN
+      IVF method with the `pq` encoder): the IVF probe prunes candidates
+      to the probed lists, PQ-ADC scores ONLY those (``pq_m`` subspaces ×
+      ``pq_codes`` codes over the collected ``codebooks`` — a bounded
+      driver LUT, no float I/O in the coarse pass), and the exact float
+      pass rescores the ``k×oversample`` window.
 
     Deterministic contract (oracle-checkable): probe lists = top-nprobe
     centroids by (cosine desc, list_id asc); final rank by (round6 score
@@ -207,6 +216,72 @@ def neural_clause_scores_ann(
         window = (
             qt.select("vec_id", deq.alias("v"))
             .select("vec_id", P.round4(_cosine(F.col("v"), cqv)).alias("cscore"))
+            .orderBy(F.desc("cscore"), F.asc("vec_id"))
+            .limit(int(k) * int(oversample))
+            .select("vec_id")
+        )
+        scored = (
+            doc_embeddings.select(
+                F.col("docID").alias("vec_id"), F.col(vec_col).alias("v")
+            )
+            .join(F.broadcast(window), "vec_id", "semi")
+            .select(
+                F.col("vec_id").alias("docID"),
+                P.round6(_dot(F.col("v"), qv)).alias("score"),
+            )
+        )
+    elif method == "ivfpq":
+        # IVF probe (driver-side literal isin, as in "ivf") prunes the
+        # candidate scan; PQ-ADC scores only the probed rows from the
+        # collected codebook LUT; exact round6 dot rescores the window.
+        from neural_search_spark.pipeline.ann import _adc_exprs, pq_codebooks
+
+        n_lists = n_lists if n_lists is not None else P.IVF_N_LISTS
+        nprobe = nprobe if nprobe is not None else P.IVF_NPROBE
+        dim = len(query_vector)
+        if dim % int(pq_m):
+            raise ValueError(f"pq_m {pq_m} must divide the embedding dim {dim}")
+        subdim = dim // int(pq_m)
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(doc_embeddings, n_lists, id_col="docID", vec_col=vec_col)
+        )
+        asg = (
+            assigned
+            if assigned is not None
+            else ivf_assign(doc_embeddings, cents, id_col="docID", vec_col=vec_col)
+        )
+        pq = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(
+                doc_embeddings, int(pq_m), int(pq_codes), subdim,
+                id_col="docID", vec_col=vec_col,
+            )
+        )
+        cb = {
+            (int(r["m"]), int(r["code"])): [float(x) for x in r["centroid"]]
+            for r in pq.collect()  # O(M·K) rows — bounded by design
+        }
+        probe_ids = [
+            r["list_id"]
+            for r in cents.orderBy(
+                F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id")
+            )
+            .limit(int(nprobe))
+            .select("list_id")
+            .collect()
+        ]
+        adot, an2, qnorm = _adc_exprs(
+            cb, [float(v) for v in query_vector], int(pq_m), subdim
+        )
+        window = (
+            asg.where(F.col("list_id").isin(probe_ids))
+            .select(
+                "vec_id",
+                P.round4(adot / (F.lit(qnorm) * F.sqrt(an2))).alias("cscore"),
+            )
             .orderBy(F.desc("cscore"), F.asc("vec_id"))
             .limit(int(k) * int(oversample))
             .select("vec_id")

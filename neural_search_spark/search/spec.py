@@ -396,6 +396,9 @@ def _score_clause_impl(engine, clause: dict, filter_expr: str | None) -> DataFra
                 min_score=body.get("min_score"),
                 centroids=body.get("centroids"),
                 assigned=body.get("assigned"),
+                codebooks=body.get("codebooks"),
+                pq_m=body.get("pq_m", 2),
+                pq_codes=body.get("pq_codes", 8),
             )
         return neural_clause_scores(
             body["embeddings"],

@@ -683,3 +683,93 @@ class TestAnnIVFPQ:
         lists = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
         assert out and all(lists[r["vec_id"]] in probe for r in out)
         assert all(r["vec_id"] != qid for r in out)
+
+
+class TestIvfPqDenseClause:
+    """knn_method="ivfpq" — the composed Faiss IVF,PQ shape on the hybrid
+    dense clause (the k-NN IVF method with the `pq` encoder)."""
+
+    @pytest.fixture(scope="class")
+    def doc_emb(self, spark, tiny_corpus):
+        from neural_search_spark.pipeline.embedding import text_embedding_stub
+
+        return text_embedding_stub(tiny_corpus).cache()
+
+    def _qv(self):
+        from neural_search_spark.search.neural import query_embedding_stub
+
+        return query_embedding_stub("customer stream window partition")
+
+    def test_candidates_probed_and_scores_exact(self, doc_emb):
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.pipeline import params as P
+        from neural_search_spark.pipeline.ann import (
+            _cosine,
+            _dot,
+            ivf_assign,
+            ivf_centroids,
+        )
+        from neural_search_spark.search.neural import neural_clause_scores_ann
+
+        qv_list = self._qv()
+        cents = ivf_centroids(doc_emb, 4, id_col="docID", vec_col="embedding")
+        asg = ivf_assign(doc_emb, cents, id_col="docID", vec_col="embedding")
+        out = neural_clause_scores_ann(
+            doc_emb, qv_list, method="ivfpq", k=8, n_lists=4, nprobe=2,
+            oversample=2, pq_m=2, pq_codes=4, centroids=cents, assigned=asg,
+        )
+        got = {r["docID"]: r["score"] for r in out.collect()}
+        assert 0 < len(got) <= 8
+        qv = F.array(*[F.lit(float(v)) for v in qv_list])
+        probe = {
+            r["list_id"]
+            for r in cents.orderBy(
+                F.desc(_cosine(F.col("centroid"), qv)), F.asc("list_id")
+            ).limit(2).collect()
+        }
+        allowed = {
+            r["vec_id"]
+            for r in asg.where(F.col("list_id").isin(list(probe))).collect()
+        }
+        assert set(got) <= allowed  # probe prunes, window only narrows
+        brute = {
+            r["docID"]: r["score"]
+            for r in doc_emb.select(
+                "docID", P.round6(_dot(F.col("embedding"), qv)).alias("score")
+            ).collect()
+        }
+        # the exact-rescore contract: returned scores are float-exact
+        assert all(brute[d] == s for d, s in got.items())
+
+    def test_pq_m_must_divide_dim(self, doc_emb):
+        from neural_search_spark.search.neural import neural_clause_scores_ann
+
+        with pytest.raises(ValueError, match="must divide"):
+            neural_clause_scores_ann(
+                doc_emb, self._qv(), method="ivfpq", k=5, pq_m=3
+            )
+
+    def test_spec_parser_routes_ivfpq(self, spark, tiny_corpus, doc_emb):
+        from neural_search_spark.search.spec import parse_hybrid_spec
+
+        eng = BM25Engine(spark, tiny_corpus).cache()
+        spec = {
+            "queries": [
+                {"match": "import data"},
+                {
+                    "neural": {
+                        "query": "customer stream window partition",
+                        "embeddings": doc_emb,
+                        "k": 20,
+                        "knn_method": "ivfpq",
+                        "n_lists": 4,
+                        "nprobe": 2,
+                        "pq_m": 2,
+                        "pq_codes": 4,
+                    }
+                },
+            ]
+        }
+        out = parse_hybrid_spec(eng, spec, k=5, pipeline=None)
+        assert 0 < out.count() <= 5
