@@ -1862,6 +1862,20 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PQ-ADC ANN: the encode (per-subspace argmin → code word) is
+    query-INDEPENDENT, so Q queries share one code scan and each costs
+    only M literal-LUT lookups on the shared code positions; per-qid
+    round4-then-cut windows, one exact-rescore pass over the union —
+    completing the batch family at the PQ tier."""
+    from neural_search_spark.pipeline.ann import ann_pq_batch_topk
+
+    return ann_pq_batch_topk(
+        _embeddings(spark, sf_dir), ANN_BATCH_QUERY_IDS, k=5, oversample=3,
+        codebooks=_pq_codebook_artifacts(spark, sf_dir),
+    )
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ — the Faiss ``IVF,PQ`` architecture and the sublinear twin
     of ``ann_pq_topk``: the IVF probe prunes the scan to nprobe/n_lists of
@@ -2770,16 +2784,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 7 keys NEW in round 7 plus the CHANGED dedup_semantic
+    # round): the 8 keys NEW in round 7 plus the CHANGED dedup_semantic
     # first (a never-driver-checked or changed key outranks any
     # re-fresh), then the 13 keys whose freshest driver row is round 3
-    # (the r6 verdict's freshness tail), then 29 of the 45 round-4-stale
-    # keys. The remaining 16 r4 keys sit right after position 50 to lead
+    # (the r6 verdict's freshness tail), then 28 of the 45 round-4-stale
+    # keys. The remaining 17 r4 keys sit right after position 50 to lead
     # the round-8 window; r5/r6-fresh keys rotate to the tail.
     return {
         # -- new in round 7 (never driver-checked: outrank any re-fresh) --
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_batch_topk": q_ann_pq_batch_topk,
         "hybrid_ann_pq": q_hybrid_ann_pq,
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
@@ -3036,6 +3051,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_pq_topk": psql.ann_pq_topk_sql(ANN_QUERY_ID, k=10, oversample=3),
         "ann_ivfpq_topk": psql.ann_ivfpq_topk_sql(ANN_QUERY_ID, k=10, oversample=3),
+        "ann_pq_batch_topk": psql.ann_pq_batch_topk_sql(
+            ANN_BATCH_QUERY_IDS, k=5, oversample=3
+        ),
         "dedup_semantic": psql.semantic_dedup_sql(),  # corpus-scaled n_lists
         # scan-path exhibit shares the default key's oracle: the positional
         # index is score-identical to the scan by contract

@@ -550,30 +550,45 @@ def _fold_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _adc_exprs(
+def _code_pos_exprs(
     cb: dict[tuple[int, int], list[float]],
-    qv: list[float],
     n_sub: int,
     subdim: int,
-) -> tuple["F.Column", "F.Column", float]:
-    """(adot, an2, qnorm): the ADC scoring expressions over the raw vector
-    column ``v`` — per-subspace L2 argmin against the collected codebooks
-    (ties to the smaller code via array_position-of-first-min) feeding
-    literal per-(m, code) partial-dot / squared-norm lookups, accumulated
-    left-to-right across subspaces. Codes missing from ``cb`` (a seed that
-    kept no members in the Lloyd step) simply don't compete — exactly like
-    the oracle, whose pqcents rows don't exist for them."""
-    qnorm = _fold_dot(qv, qv) ** 0.5
-    adot = None
-    an2 = None
+) -> list[tuple[list[int], "F.Column"]]:
+    """Per subspace: (trained code ids ascending, 1-based POSITION column of
+    the L2-argmin code among them over the raw vector column ``v``) — ties
+    to the smaller code via array_position-of-first-min. The position
+    indexes any literal lookup array built in the same code order. Codes
+    missing from ``cb`` (a seed that kept no members in the Lloyd step)
+    simply don't compete — exactly like the oracle, whose codebook rows
+    don't exist for them."""
+    out = []
     for mm in range(n_sub):
         codes_m = sorted(c for (m2, c) in cb if m2 == mm)
-        qs = qv[mm * subdim : (mm + 1) * subdim]
         sub = F.slice(F.col("v"), mm * subdim + 1, subdim)
         dists = F.array(
             *[_l2(sub, F.array(*[F.lit(x) for x in cb[(mm, c)]])) for c in codes_m]
         )
-        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        out.append(
+            (codes_m, F.array_position(dists, F.array_min(dists)).cast("int"))
+        )
+    return out
+
+
+def _adc_lookup(
+    cb: dict[tuple[int, int], list[float]],
+    qv: list[float],
+    positions: list[tuple[list[int], "F.Column"]],
+    subdim: int,
+) -> tuple["F.Column", "F.Column", float]:
+    """(adot, an2, qnorm) for ONE query vector given the shared per-subspace
+    code positions: literal per-(m, code) partial-dot / squared-norm
+    lookups accumulated left-to-right across subspaces."""
+    qnorm = _fold_dot(qv, qv) ** 0.5
+    adot = None
+    an2 = None
+    for mm, (codes_m, pos) in enumerate(positions):
+        qs = qv[mm * subdim : (mm + 1) * subdim]
         pd = F.element_at(
             F.array(*[F.lit(_fold_dot(qs, cb[(mm, c)])) for c in codes_m]), pos
         )
@@ -584,6 +599,18 @@ def _adc_exprs(
         adot = pd if adot is None else (adot + pd)
         an2 = pn if an2 is None else (an2 + pn)
     return adot, an2, qnorm
+
+
+def _adc_exprs(
+    cb: dict[tuple[int, int], list[float]],
+    qv: list[float],
+    n_sub: int,
+    subdim: int,
+) -> tuple["F.Column", "F.Column", float]:
+    """(adot, an2, qnorm): the ADC scoring expressions over the raw vector
+    column ``v`` — the single-query composition of :func:`_code_pos_exprs`
+    and :func:`_adc_lookup`."""
+    return _adc_lookup(cb, qv, _code_pos_exprs(cb, n_sub, subdim), subdim)
 
 
 def ann_pq_topk(
@@ -732,4 +759,90 @@ def ann_ivfpq_topk(
         .select("vec_id", P.round4(_cosine("v", "qv")).alias("score"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ann_pq_batch_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = P.ANN_K,
+    oversample: int = 3,
+    n_sub: int = P.PQ_M,
+    n_codes: int = P.PQ_K,
+    subdim: int = P.PQ_SUBDIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, vec_id, score): MANY PQ-ADC queries through ONE code scan —
+    the batch twin of :func:`ann_pq_topk`, completing the batch family at
+    the PQ tier (bm25 / dense / hybrid / ivf / int8 shipped r5–r7).
+
+    The expensive per-row work — the per-subspace L2 argmin that turns a
+    raw vector into its code word (a stored byte column at scale) — is
+    computed ONCE per vector in a single projection; each of the Q queries
+    then costs only M literal-array lookups on the shared code positions,
+    emitted as Q (qid, cscore) rows per vector from the same scan
+    (explode of a literal-built struct array — no join, no re-encode).
+    Per-qid round4-then-cut k×oversample windows (the single-query
+    contract per qid), one exact-rescore pass over the window union via a
+    broadcast (qid, vec_id) join, self excluded. Amortization is the
+    batch win: Q queries cost one encode scan + Q·k·oversample exact
+    rescores instead of Q scans."""
+    ids = [int(q) for q in query_ids]
+    cents = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, n_sub, n_codes, subdim, id_col, vec_col)
+    )
+    cb: dict[tuple[int, int], list[float]] = {
+        (int(r["m"]), int(r["code"])): [float(x) for x in r["centroid"]]
+        for r in cents.collect()  # O(M·K) rows — bounded by design
+    }
+    qvs: dict[int, list[float]] = {
+        int(r["qid"]): [float(x) for x in r["qv"]]
+        for r in emb.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()  # Q rows — bounded by design
+    }
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    pos_exprs = _code_pos_exprs(cb, n_sub, subdim)
+    enc = base.select(
+        "vec_id",
+        *[pos.alias(f"_p{mm}") for mm, (_codes, pos) in enumerate(pos_exprs)],
+    )
+    shared = [(codes_m, F.col(f"_p{mm}")) for mm, (codes_m, _p) in enumerate(pos_exprs)]
+    structs = []
+    for qid in ids:
+        adot, an2, qnorm = _adc_lookup(cb, qvs[qid], shared, subdim)
+        structs.append(
+            F.struct(
+                F.lit(qid).alias("qid"),
+                P.round4(adot / (F.lit(qnorm) * F.sqrt(an2))).alias("cscore"),
+            )
+        )
+    ww = Window.partitionBy("qid").orderBy(F.desc("cscore"), F.asc("vec_id"))
+    window = (
+        enc.select("vec_id", F.explode(F.array(*structs)).alias("s"))
+        .select("vec_id", F.col("s.qid").alias("qid"), F.col("s.cscore").alias("cscore"))
+        .where(F.col("vec_id") != F.col("qid"))
+        .withColumn("_rn", F.row_number().over(ww))
+        .where(F.col("_rn") <= int(k) * int(oversample))
+        .select("qid", "vec_id")
+    )
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    rq = F.broadcast(
+        e.where(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(window), "vec_id")
+        .join(rq, "qid")
+        .select("qid", "vec_id", P.round4(_cosine("v", "qv")).alias("score"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= int(k))
+        .select("qid", "vec_id", "score")
+        .orderBy("qid", F.desc("score"), F.asc("vec_id"))
     )

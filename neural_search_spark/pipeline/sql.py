@@ -696,6 +696,111 @@ LIMIT {k}
 """
 
 
+def ann_pq_batch_topk_sql(
+    query_ids: list[int],
+    k: int,
+    oversample: int = 3,
+    n_sub: int = P.PQ_M,
+    n_codes: int = P.PQ_K,
+    subdim: int = P.PQ_SUBDIM,
+) -> str:
+    """Batch twin of :func:`ann_pq_topk_sql`: one shared code table (the
+    encode is query-independent), per-qid ADC partials from the same
+    codebooks, round4-then-cut k×oversample windows per qid, one exact
+    float rescore over the window union."""
+    sub_dot = "(" + " + ".join(
+        f"(CAST(qs.qsv[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    cc_dot = "(" + " + ".join(
+        f"(CAST(ct.c[{i}] AS DOUBLE) * CAST(ct.c[{i}] AS DOUBLE))"
+        for i in range(1, subdim + 1)
+    ) + ")"
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN code END) AS c{mm}" for mm in range(n_sub)
+    )
+    adc_joins = "\n    ".join(
+        f"JOIN adc x{mm} ON x{mm}.qid = qn.qid AND x{mm}.m = {mm} AND x{mm}.code = cd.c{mm}"
+        for mm in range(n_sub)
+    )
+    adot = " + ".join(f"x{mm}.pdot" for mm in range(n_sub))
+    an2 = " + ".join(f"x{mm}.pn2" for mm in range(n_sub))
+    qq = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
+    edot = P.pairwise_dot_sql("e.v", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    ena = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
+    enb = P.pairwise_dot_sql("r.qv", "r.qv", P.EMBEDDING_DIM, one_based=True)
+    exact_expr = P.round4_sql(f"{edot} / (sqrt({ena}) * sqrt({enb}))")
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+sub AS (SELECT vec_id, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS sv FROM e, ms),
+sd AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+seeds AS (SELECT code, m, v[m*{subdim}+1 : (m+1)*{subdim}] AS c0 FROM sd, ms),
+a0 AS (
+    SELECT s.vec_id, s.m, sd2.code, s.sv,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'sd2.c0', subdim)} ASC, sd2.code ASC
+           ) AS rn
+    FROM sub s JOIN seeds sd2 USING (m)
+),
+dims AS (
+    SELECT m, code, i, {P.round6_sql('avg(CAST(sv[i] AS DOUBLE))')} AS mu
+    FROM (SELECT m, code, sv, unnest(generate_series(1, {subdim})) AS i
+          FROM a0 WHERE rn = 1)
+    GROUP BY m, code, i
+),
+cents AS (SELECT m, code, list(mu ORDER BY i) AS c FROM dims GROUP BY m, code),
+a1 AS (
+    SELECT s.vec_id, s.m, ct.code,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_sub_sql('s.sv', 'ct.c', subdim)} ASC, ct.code ASC
+           ) AS rn
+    FROM sub s JOIN cents ct USING (m)
+),
+codes AS (SELECT vec_id, {code_cols} FROM a1 WHERE rn = 1 GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids})),
+qsub AS (SELECT qid, m, qv[m*{subdim}+1 : (m+1)*{subdim}] AS qsv FROM q, ms),
+adc AS (
+    SELECT qs.qid, ct.m, ct.code, {sub_dot} AS pdot, {cc_dot} AS pn2
+    FROM cents ct JOIN qsub qs USING (m)
+),
+qn AS (SELECT qid, sqrt({qq}) AS qnorm FROM q),
+cand AS (
+    SELECT qn.qid, cd.vec_id,
+           {P.round4_sql(f'({adot}) / (qn.qnorm * sqrt({an2}))')} AS cscore
+    FROM codes cd
+    CROSS JOIN qn
+    {adc_joins}
+    WHERE cd.vec_id != qn.qid
+),
+cw AS (
+    SELECT qid, vec_id, cscore,
+           row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, vec_id ASC) AS rn
+    FROM cand
+),
+win AS (SELECT qid, vec_id FROM cw WHERE rn <= {int(k) * int(oversample)}),
+r AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids})),
+fs AS (
+    SELECT w.qid, e.vec_id, {exact_expr} AS score
+    FROM e JOIN win w USING (vec_id) JOIN r ON r.qid = w.qid
+),
+fr AS (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+    FROM fs
+)
+SELECT qid, vec_id, score FROM fr
+WHERE rn <= {k}
+ORDER BY qid, score DESC, vec_id
+"""
+
+
 def ann_ivfpq_topk_sql(
     query_id: int,
     k: int,

@@ -773,3 +773,54 @@ class TestIvfPqDenseClause:
         }
         out = parse_hybrid_spec(eng, spec, k=5, pipeline=None)
         assert 0 < out.count() <= 5
+
+
+class TestAnnPQBatch:
+    """ann_pq_batch_topk — Q PQ queries through one shared encode scan."""
+
+    N_SUB, N_CODES, SUBDIM, DIM = 4, 8, 4, 16
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(59)
+        rows = [
+            (i, [float(round(x, 6)) for x in rng.randn(self.DIM)])
+            for i in range(180)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+
+    def test_batch_matches_single_query(self, spark, emb):
+        from neural_search_spark.pipeline.ann import ann_pq_batch_topk, ann_pq_topk
+
+        qids = [7, 52, 140]
+        batch = ann_pq_batch_topk(
+            emb, qids, k=5, oversample=3,
+            n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+        ).collect()
+        assert len(batch) == 15
+        for qid in qids:
+            single = ann_pq_topk(
+                emb, qid, k=5, oversample=3,
+                n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+            ).collect()
+            got = [(r["vec_id"], r["score"]) for r in batch if r["qid"] == qid]
+            want = [(r["vec_id"], r["score"]) for r in single]
+            assert got == want, qid
+
+    def test_self_excluded_and_sorted(self, spark, emb):
+        from neural_search_spark.pipeline.ann import ann_pq_batch_topk
+
+        out = ann_pq_batch_topk(
+            emb, [7, 52], k=8,
+            n_sub=self.N_SUB, n_codes=self.N_CODES, subdim=self.SUBDIM,
+        ).collect()
+        assert all(r["vec_id"] != r["qid"] for r in out)
+        per = {}
+        for r in out:
+            per.setdefault(r["qid"], []).append((-r["score"], r["vec_id"]))
+        for qid, rows in per.items():
+            assert rows == sorted(rows), qid
