@@ -566,9 +566,15 @@ def _code_pos_exprs(
     for mm in range(n_sub):
         codes_m = sorted(c for (m2, c) in cb if m2 == mm)
         sub = F.slice(F.col("v"), mm * subdim + 1, subdim)
-        dists = F.array(
-            *[_l2(sub, F.array(*[F.lit(x) for x in cb[(mm, c)]])) for c in codes_m]
+        # one 2-D centroid literal + transform instead of K unrolled L2
+        # chains: the loop body compiles ONCE (the unrolled form built
+        # ~MB expression trees and dominated wall time in codegen), and
+        # the arithmetic per element — fold order included — is identical,
+        # so scores stay bit-for-bit the same as the oracle's chains
+        cents2d = F.array(
+            *[F.array(*[F.lit(x) for x in cb[(mm, c)]]) for c in codes_m]
         )
+        dists = F.transform(cents2d, lambda c: _l2(sub, c))
         out.append(
             (codes_m, F.array_position(dists, F.array_min(dists)).cast("int"))
         )
