@@ -139,7 +139,12 @@ IVF_NPROBE = 2
 # the k×oversample window.
 # ---------------------------------------------------------------------------
 
-PQ_M = 4
+#: 8 subspaces of 8 dims — the Faiss-typical geometry for 64-dim vectors
+#: (8 bytes/vector, 32× vs float32). Measured on the synthetic corpus
+#: (tools/ann_recall.py; random gaussians are the ADVERSARIAL case for a
+#: quantizer — no cluster structure to exploit): recall@10 0.48 vs 0.37
+#: at the coarser M=4, against int8's 0.98 at only 4× compression.
+PQ_M = 8
 PQ_SUBDIM = EMBEDDING_DIM // PQ_M
 PQ_K = 16
 
