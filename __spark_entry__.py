@@ -1755,6 +1755,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_embeddings(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): probe the query bucket plus its
+    4 Hamming-1 neighbors (5/16 buckets) — recovers most of what the
+    single-bucket cut loses (measured recall@10 in BASELINE.md) while the
+    probe set stays a static partition-pruning predicate at scale."""
+    from neural_search_spark.pipeline.ann import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_ID, k=10, multi_probe=4
+    )
+
+
 _IVF_ARTIFACTS: dict = {}
 
 
@@ -2784,17 +2796,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 8 keys NEW in round 7 plus the CHANGED dedup_semantic
+    # round): the 9 keys NEW in round 7 plus the CHANGED dedup_semantic
     # first (a never-driver-checked or changed key outranks any
     # re-fresh), then the 13 keys whose freshest driver row is round 3
-    # (the r6 verdict's freshness tail), then 28 of the 45 round-4-stale
-    # keys. The remaining 17 r4 keys sit right after position 50 to lead
+    # (the r6 verdict's freshness tail), then 27 of the 45 round-4-stale
+    # keys. The remaining 18 r4 keys sit right after position 50 to lead
     # the round-8 window; r5/r6-fresh keys rotate to the tail.
     return {
         # -- new in round 7 (never driver-checked: outrank any re-fresh) --
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_pq_batch_topk": q_ann_pq_batch_topk,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "hybrid_ann_pq": q_hybrid_ann_pq,
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
@@ -3053,6 +3066,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": psql.ann_ivfpq_topk_sql(ANN_QUERY_ID, k=10, oversample=3),
         "ann_pq_batch_topk": psql.ann_pq_batch_topk_sql(
             ANN_BATCH_QUERY_IDS, k=5, oversample=3
+        ),
+        "ann_lsh_multiprobe_topk": psql.ann_lsh_topk_sql(
+            ANN_QUERY_ID, 10, multi_probe=4
         ),
         "dedup_semantic": psql.semantic_dedup_sql(),  # corpus-scaled n_lists
         # scan-path exhibit shares the default key's oracle: the positional

@@ -438,22 +438,34 @@ def ann_lsh_topk(
     emb: DataFrame,
     query_id: int,
     k: int = P.ANN_K,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to the query's LSH bucket.
 
+    ``multi_probe=j`` additionally probes the j Hamming-1 neighbor buckets
+    (query bucket with hyperplane bit 0..j-1 flipped) — multi-probe LSH
+    (Lv et al. 2007): a vector just across one hyperplane from the query
+    lands in a neighbor bucket, so probing them recovers most of what a
+    single bucket loses, at (1+j)/2^planes of the corpus instead of
+    1/2^planes. At 100 TB the table is partitioned by bucket either way —
+    the probe set is a static partition-pruning predicate.
+
     Deterministic contract (oracle-checkable): candidates = vectors whose
-    bucket equals the query's bucket; rank by cosine desc, vec_id asc.
+    bucket is in the probe set; rank by cosine desc, vec_id asc.
     """
     b = lsh_buckets(emb, id_col, vec_col)
     q = b.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    cond = F.col("bucket") == F.col("qbucket")
+    for j in range(int(multi_probe)):
+        cond = cond | (F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << j)))
     return (
         b.where(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
-        .where(F.col("bucket") == F.col("qbucket"))
+        .where(cond)
         .select("vec_id", P.round4(_cosine("v", "qv")).alias("score"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)

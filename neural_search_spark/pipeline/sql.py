@@ -903,11 +903,18 @@ LIMIT {k}
 """
 
 
-def ann_lsh_topk_sql(query_id: int, k: int) -> str:
+def ann_lsh_topk_sql(query_id: int, k: int, multi_probe: int = 0) -> str:
+    """LSH twin; ``multi_probe=j`` also probes the j Hamming-1 neighbor
+    buckets (hyperplane bit 0..j-1 flipped), matching
+    :func:`neural_search_spark.pipeline.ann.ann_lsh_topk`."""
     dot = P.pairwise_dot_sql("e.v", "q.qv", P.EMBEDDING_DIM, one_based=True)
     na = P.pairwise_dot_sql("e.v", "e.v", P.EMBEDDING_DIM, one_based=True)
     nb = P.pairwise_dot_sql("q.qv", "q.qv", P.EMBEDDING_DIM, one_based=True)
     score_expr = P.round4_sql(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    probe = " OR ".join(
+        ["e.bucket = q.qbucket"]
+        + [f"e.bucket = xor(q.qbucket, {1 << j})" for j in range(int(multi_probe))]
+    )
     return f"""
 WITH b AS (
     SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v,
@@ -918,7 +925,7 @@ q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = {query_id})
 SELECT e.vec_id AS vec_id,
        {score_expr} AS score
 FROM b e, q
-WHERE e.vec_id != {query_id} AND e.bucket = q.qbucket
+WHERE e.vec_id != {query_id} AND ({probe})
 ORDER BY score DESC, vec_id ASC
 LIMIT {k}
 """

@@ -824,3 +824,48 @@ class TestAnnPQBatch:
             per.setdefault(r["qid"], []).append((-r["score"], r["vec_id"]))
         for qid, rows in per.items():
             assert rows == sorted(rows), qid
+
+
+class TestMultiProbeLSH:
+    """Multi-probe LSH (Lv et al. 2007): Hamming-1 neighbor buckets."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(67)
+        rows = [
+            (i, [float(round(x, 6)) for x in rng.randn(64)]) for i in range(300)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+
+    def test_probe_set_and_superset(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.pipeline.ann import ann_lsh_topk, lsh_buckets
+
+        qid = 11
+        single = {r["vec_id"]: r["score"] for r in ann_lsh_topk(emb, qid, k=300).collect()}
+        multi = {r["vec_id"]: r["score"] for r in ann_lsh_topk(emb, qid, k=300, multi_probe=4).collect()}
+        # neighbor buckets only ADD candidates; shared ids keep their score
+        assert set(single) <= set(multi)
+        assert all(multi[i] == s for i, s in single.items())
+        buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb).collect()}
+        qb = buckets[qid]
+        allowed = {qb} | {qb ^ (1 << j) for j in range(4)}
+        assert multi and all(buckets[i] in allowed for i in multi)
+
+    def test_recall_improves(self, spark, emb):
+        from neural_search_spark.pipeline.ann import ann_lsh_topk, cosine_topk
+
+        hits_s = hits_m = 0
+        for qid in (3, 40, 77, 150, 222):
+            truth = {r["vec_id"] for r in cosine_topk(emb, qid, k=10).collect()}
+            s = {r["vec_id"] for r in ann_lsh_topk(emb, qid, k=10).collect()}
+            m = {r["vec_id"] for r in ann_lsh_topk(emb, qid, k=10, multi_probe=4).collect()}
+            hits_s += len(s & truth)
+            hits_m += len(m & truth)
+        assert hits_m >= hits_s  # probing 5x the buckets never recalls less
+        assert hits_m > 0

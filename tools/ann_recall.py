@@ -46,6 +46,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", n_queries: int = 20, k: int = 10)
 
     methods = {
         "lsh": lambda q: ann.ann_lsh_topk(emb, q, k=k),
+        "lsh_multiprobe": lambda q: ann.ann_lsh_topk(emb, q, k=k, multi_probe=4),
         "ivf": lambda q: ann.ann_ivf_topk(emb, q, k=k, centroids=cents, assigned=assigned),
         "int8": lambda q: ann.ann_quantized_topk(emb, q, k=k),
         "int8_rescore": lambda q: ann.ann_quantized_rescore_topk(emb, q, k=k),
