@@ -65,6 +65,23 @@ def main(sf_dir: str = "/root/testdata/sf0.1", n_queries: int = 20, k: int = 10)
             got = {r["vec_id"] for r in fn(q).collect()}
             recalls.append(len(got & truth[q]) / float(k))
         out[name] = round(sum(recalls) / len(recalls), 3)
+
+    # the user-facing IVF knob: recall vs nprobe at the fixed list count
+    # (fraction of the corpus scanned = nprobe / n_lists)
+    sweep = {}
+    from neural_search_spark.pipeline.params import IVF_N_LISTS
+
+    for nprobe in (1, 2, 4, IVF_N_LISTS):
+        recalls = []
+        for q in qids:
+            got = {
+                r["vec_id"]
+                for r in ann.ann_ivf_topk(
+                    emb, q, k=k, nprobe=nprobe, centroids=cents, assigned=assigned
+                ).collect()
+            }
+            recalls.append(len(got & truth[q]) / float(k))
+        sweep[f"nprobe_{nprobe}"] = round(sum(recalls) / len(recalls), 3)
     print(
         json.dumps(
             {
@@ -78,6 +95,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", n_queries: int = 20, k: int = 10)
                     "lsh": {"hyperplanes": P.N_HYPERPLANES},
                 },
                 "recall": out,
+                "ivf_nprobe_sweep": sweep,
             }
         )
     )
