@@ -869,3 +869,18 @@ class TestMultiProbeLSH:
             hits_m += len(m & truth)
         assert hits_m >= hits_s  # probing 5x the buckets never recalls less
         assert hits_m > 0
+
+    def test_plan_shape(self, spark, emb):
+        """Multi-probe keeps the LSH plan family: one scan filtered by the
+        bucket predicate (partition pruning at scale), broadcast 1-row
+        query join, TakeOrderedAndProject cut — no SortMergeJoin, no
+        shuffle exchange at any corpus size."""
+        from neural_search_spark.pipeline.ann import ann_lsh_topk
+
+        df = ann_lsh_topk(emb, 11, k=10, multi_probe=4)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count(") Exchange") == 0
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
