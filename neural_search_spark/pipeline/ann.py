@@ -478,7 +478,8 @@ def ann_lsh_topk(
 # IVF method (OpenSearch k-NN method spec: encoder {name: pq, parameters:
 # {m, code_size}}); this is the Spark-first equivalent with the same
 # ingest/query split: codebooks train once at write time, vectors persist
-# as PQ_M byte codes (64× smaller than float32), queries score codes via
+# as PQ_M byte codes (32× smaller than float32 at the shipped M=8; up to
+# 64× at M=4), queries score codes via
 # an ADC lookup table and exact-rescore only a k×oversample window.
 # ---------------------------------------------------------------------------
 
@@ -593,6 +594,45 @@ def _code_pos_exprs(
     return out
 
 
+def _codes_by_sub(cb: dict[tuple[int, int], list[float]], n_sub: int) -> list[list[int]]:
+    """Per subspace, the trained code ids ascending — the shared ordering
+    every position column / literal lookup array is built in."""
+    return [sorted(c for (m2, c) in cb if m2 == mm) for mm in range(n_sub)]
+
+
+def pq_encode(
+    emb: DataFrame,
+    cb: dict[tuple[int, int], list[float]],
+    n_sub: int = P.PQ_M,
+    subdim: int = P.PQ_SUBDIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, pos array<int>): the WRITE-TIME PQ encode — each vector's
+    per-subspace 1-based code POSITION (index into that subspace's trained
+    codes ascending, the same ordering the ADC literal arrays use). This
+    is the stored byte-code table of the Faiss / k-NN ``pq`` encoder:
+    computed once at ingest from the float column, after which every
+    coarse pass reads ONLY this table (M small ints per vector, the 32×
+    I/O story at M=8 over 64 float32 dims) and never re-encodes."""
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    pos_exprs = _code_pos_exprs(cb, n_sub, subdim)
+    return base.select(
+        "vec_id", F.array(*[pos for _codes, pos in pos_exprs]).alias("pos")
+    )
+
+
+def _stored_positions(
+    cb: dict[tuple[int, int], list[float]], n_sub: int
+) -> list[tuple[list[int], "F.Column"]]:
+    """The :func:`_adc_lookup` positions input read from a stored ``pos``
+    column (see :func:`pq_encode`) instead of inline-encoded floats."""
+    return [
+        (codes_m, F.element_at(F.col("pos"), mm + 1))
+        for mm, codes_m in enumerate(_codes_by_sub(cb, n_sub))
+    ]
+
+
 def _adc_lookup(
     cb: dict[tuple[int, int], list[float]],
     qv: list[float],
@@ -642,9 +682,11 @@ def ann_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase PQ search with exact rescore — the byte-code counterpart
-    of :func:`ann_quantized_rescore_topk` at 64× (not 4×) compression.
+    of :func:`ann_quantized_rescore_topk` at 32× (not 4×) compression
+    (M=8 one-byte codes over 64 float32 dims; 64× at M=4).
 
     Coarse pass: each vector's code word (per-subspace L2 argmin against
     the codebooks, ties to the smaller code — computed inline here; at
@@ -675,11 +717,18 @@ def ann_pq_topk(
         float(x)
         for x in emb.where(F.col(id_col) == query_id).select(vec_col).head()[0]
     ]
-    adot, an2, qnorm = _adc_exprs(cb, qv, n_sub, subdim)
-
-    base = emb.where(F.col(id_col) != query_id).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    )
+    if codes is not None:
+        # coarse pass over the STORED code table (write-time pq_encode
+        # artifact): no float I/O, no re-encode — positions are the exact
+        # ints the inline expressions produced, so every ADC score (and
+        # therefore the window and the final rows) is unchanged.
+        adot, an2, qnorm = _adc_lookup(cb, qv, _stored_positions(cb, n_sub), subdim)
+        base = codes.where(F.col("vec_id") != query_id)
+    else:
+        adot, an2, qnorm = _adc_exprs(cb, qv, n_sub, subdim)
+        base = emb.where(F.col(id_col) != query_id).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        )
     cscore = P.round4(adot / (F.lit(qnorm) * F.sqrt(an2)))
     window = (
         base.select("vec_id", cscore.alias("cscore"))
@@ -713,6 +762,7 @@ def ann_ivfpq_topk(
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF×PQ — the Faiss ``IVF<n>,PQ<m>`` architecture (and the reference
     k-NN engine's IVF method with the `pq` encoder): the coarse quantizer
@@ -752,8 +802,6 @@ def ann_ivfpq_topk(
         float(x)
         for x in emb.where(F.col(id_col) == query_id).select(vec_col).head()[0]
     ]
-    adot, an2, qnorm = _adc_exprs(cb, qv, n_sub, subdim)
-
     q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -761,7 +809,19 @@ def ann_ivfpq_topk(
         .limit(nprobe)
         .select("list_id")
     )
-    cand = asg.join(F.broadcast(probe), "list_id").where(F.col("vec_id") != query_id)
+    if codes is not None and "list_id" in codes.columns:
+        # stored codes in the list-partitioned layout (Faiss stores PQ
+        # codes inside the IVF lists the same way): the probed scan reads
+        # only code rows, never the float column
+        adot, an2, qnorm = _adc_lookup(cb, qv, _stored_positions(cb, n_sub), subdim)
+        cand = codes.join(F.broadcast(probe), "list_id").where(
+            F.col("vec_id") != query_id
+        )
+    else:
+        adot, an2, qnorm = _adc_exprs(cb, qv, n_sub, subdim)
+        cand = asg.join(F.broadcast(probe), "list_id").where(
+            F.col("vec_id") != query_id
+        )
     cscore = P.round4(adot / (F.lit(qnorm) * F.sqrt(an2)))
     window = (
         cand.select("vec_id", cscore.alias("cscore"))
@@ -791,6 +851,7 @@ def ann_pq_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, vec_id, score): MANY PQ-ADC queries through ONE code scan —
     the batch twin of :func:`ann_pq_topk`, completing the batch family at
@@ -823,13 +884,21 @@ def ann_pq_batch_topk(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .collect()  # Q rows — bounded by design
     }
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    pos_exprs = _code_pos_exprs(cb, n_sub, subdim)
-    enc = base.select(
-        "vec_id",
-        *[pos.alias(f"_p{mm}") for mm, (_codes, pos) in enumerate(pos_exprs)],
-    )
-    shared = [(codes_m, F.col(f"_p{mm}")) for mm, (codes_m, _p) in enumerate(pos_exprs)]
+    if codes is not None:
+        # the stored-code artifact IS the shared encode scan (write-time
+        # pq_encode): Q queries read M ints per vector, zero float I/O
+        enc = codes.select("vec_id", "pos")
+        shared = _stored_positions(cb, n_sub)
+    else:
+        base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        pos_exprs = _code_pos_exprs(cb, n_sub, subdim)
+        enc = base.select(
+            "vec_id",
+            *[pos.alias(f"_p{mm}") for mm, (_codes, pos) in enumerate(pos_exprs)],
+        )
+        shared = [
+            (codes_m, F.col(f"_p{mm}")) for mm, (codes_m, _p) in enumerate(pos_exprs)
+        ]
     structs = []
     for qid in ids:
         adot, an2, qnorm = _adc_lookup(cb, qvs[qid], shared, subdim)

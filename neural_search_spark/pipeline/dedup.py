@@ -625,6 +625,14 @@ def semantic_dedup(
     )
 
 
+#: pair-block sizing for the vectorized in-bucket verify: chunks are cut so
+#: one block's pair matrix is ~(TARGET_PAIR_CHUNK_ROWS)^2 — bounded task
+#: memory at any corpus size (the chunk count G is DERIVED from the data,
+#: never a constant tuned to one scale).
+PAIR_CHUNK_TARGET_ROWS = 4096
+PAIR_CHUNK_MAX = 64
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -636,33 +644,127 @@ def embedding_near_dups(
     Identical/near-identical vectors always share the bucket (same signs),
     so the prefilter is lossless for the near-dup regime; the exact cosine
     runs only inside buckets.
-    """
-    from neural_search_spark.pipeline.ann import _dot
 
-    # precompute each row's norm BEFORE the self-join: inside the join the
-    # norm expression would re-evaluate the 64-term dot per candidate PAIR
-    # (each row meets many pair partners); per-row it runs exactly once.
-    # sqrt(dot(v,v)) here is the identical IEEE value the inline form
-    # produced, so scores are unchanged.
+    Execution shape: the in-bucket all-pairs verify is the quadratic hot
+    loop (N²/2^planes pair scores), so it runs as an Arrow-batched numpy
+    kernel instead of a codegen self-join — the per-pair 64-term fold as a
+    zip_with/aggregate expression is interpreted per element, which at sf1
+    was ~220 s of the whole bench. Each bucket is cut into G id-hash
+    chunks and every unordered chunk pair (a, b) scores as one independent
+    task (block-parallel, bounded memory; G derives from the corpus size).
+
+    Bit-exactness: the kernel accumulates the dot left-to-right per
+    dimension (acc = acc + x_d·y_d over float64 arrays), which is the
+    identical IEEE operation order of the old fold expression and the
+    oracle's unrolled chain; np.sqrt/np.floor are the same correctly-
+    rounded IEEE ops as Spark's sqrt/floor, so every cosine is
+    bit-for-bit what the self-join produced.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_total = emb.count()  # one cheap metadata-driven job, sizes the chunks
+    per_bucket = max(1.0, float(n_total) / float(1 << P.N_HYPERPLANES))
+    g = int(min(PAIR_CHUNK_MAX, max(1, -(-int(per_bucket) // PAIR_CHUNK_TARGET_ROWS))))
+
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         embedding_bucket_expr(vec_col).alias("bucket"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
+        F.pmod(F.col(id_col), F.lit(g)).cast("int").alias("g"),
     )
-    x, y = b.alias("x"), b.alias("y")
-    dot = _dot("x.v", "y.v")
-    return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+    # replicate each row into every chunk-pair block it participates in:
+    # blocks (g, j) for j >= g and (i, g) for i < g — exactly G copies.
+    blocks = F.concat(
+        F.transform(
+            F.sequence(F.col("g"), F.lit(g - 1)),
+            lambda j: F.struct(F.col("g").alias("ga"), j.alias("gb")),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("g") - 1),
+            lambda i: F.struct(i.alias("ga"), F.col("g").alias("gb")),
         )
-        .select(
-            F.col("x.id").alias("idA"),
-            F.col("y.id").alias("idB"),
-            P.round4(dot / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"),
+        if g > 1
+        else F.array().cast("array<struct<ga:int,gb:int>>"),
+    )
+    exploded = b.select(
+        "id", "v", "bucket", "g", F.explode(blocks).alias("blk")
+    ).select("id", "v", "bucket", "g", F.col("blk.ga").alias("ga"), F.col("blk.gb").alias("gb"))
+
+    thr = float(threshold)
+
+    def _score_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _bucket, ga, gb = key
+        empty = pd.DataFrame(
+            {
+                "idA": pd.Series(dtype="int64"),
+                "idB": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-        .where(F.col("cosine") >= threshold)
+        pdf = pdf.sort_values("id", kind="mergesort")
+        same = int(ga) == int(gb)
+        if same:
+            ids_a = pdf["id"].to_numpy(dtype="int64")
+            va = np.array([np.asarray(x, dtype="float64") for x in pdf["v"]])
+            ids_b, vb = ids_a, va
+        else:
+            ma = pdf["g"].to_numpy() == int(ga)
+            ids_a = pdf.loc[ma, "id"].to_numpy(dtype="int64")
+            va = np.array([np.asarray(x, dtype="float64") for x in pdf.loc[ma, "v"]])
+            mb = ~ma
+            ids_b = pdf.loc[mb, "id"].to_numpy(dtype="int64")
+            vb = np.array([np.asarray(x, dtype="float64") for x in pdf.loc[mb, "v"]])
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return empty
+
+        def _norms(vm: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros(vm.shape[0], dtype="float64")
+            for d in range(vm.shape[1]):
+                acc = acc + vm[:, d] * vm[:, d]  # left-fold order
+            return np.sqrt(acc)
+
+        na, nb = _norms(va), _norms(vb)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # row-chunk the A side so the pair matrix stays bounded per step
+        step = max(1, (1 << 23) // max(1, len(ids_b)))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            acc = np.zeros((e - s, len(ids_b)), dtype="float64")
+            for d in range(va.shape[1]):
+                acc = acc + va[s:e, d][:, None] * vb[:, d][None, :]
+            cos = acc / (na[s:e][:, None] * nb[None, :])
+            c4 = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            mask = c4 >= thr
+            # orient by id: the self-join emitted each unordered pair once
+            # as (smaller id, larger id); cosine is bitwise symmetric
+            # (per-dim products commute, fold order is the dim order).
+            if same:
+                mask &= ids_a[s:e][:, None] < ids_b[None, :]
+            else:
+                mask &= ids_a[s:e][:, None] != ids_b[None, :]
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                ia, ib = ids_a[s + ii], ids_b[jj]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(c4[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "idA": np.concatenate(out_a),
+                "idB": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return exploded.groupBy("bucket", "ga", "gb").applyInPandas(
+        _score_block, schema="idA long, idB long, cosine double"
     )
 
 
