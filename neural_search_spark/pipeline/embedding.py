@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from neural_search_spark.analysis.tokenizer import tokenize_udf
-
 N_DIMS = 8
 
 
@@ -33,26 +31,60 @@ def text_embedding_stub(
     id_col: str = "docID",
     n_dims: int = N_DIMS,
 ) -> DataFrame:
-    """(docID, embedding array<double>) — the processor's output shape."""
+    """(docID, embedding array<double>) — the processor's output shape.
+
+    The embedding is a PER-DOC function of the text, so it computes
+    doc-locally in one Arrow pass — the relational form (explode →
+    groupBy(docID, dim) → groupBy(docID)) paid two exchanges of the token
+    stream per invocation for a map-side-computable value, which
+    dominated the nested/semantic neural query paths at sf1.
+
+    Bit-exactness vs the old expression plan (and the oracle): token
+    counts are exact integers in float64; the norm accumulates x·x
+    left-to-right from 0.0 exactly like the old ``F.aggregate`` fold;
+    ``math.sqrt``/division are the same correctly-rounded IEEE ops as
+    Spark's. Docs with zero tokens emit no row (the explode dropped them
+    the same way)."""
+    import math
+    import re
+
+    import pandas as pd
+
     from neural_search_spark import stats as _stats
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
 
     _stats.record_event("text_embedding_executions")
-    toks = corpus.select(
-        F.col(id_col).alias("docID"),
-        F.explode(tokenize_udf(F.col(text_col))).alias("term"),
-    )
-    counts = toks.groupBy(
-        "docID", (F.length("term") % n_dims).cast("int").alias("dim")
-    ).agg(F.count("*").cast("double").alias("v"))
-    byid = counts.groupBy("docID").agg(
-        F.map_from_arrays(F.collect_list("dim"), F.collect_list("v")).alias("m")
-    )
-    dims = F.array(*[F.coalesce(F.col("m").getItem(i), F.lit(0.0)) for i in range(n_dims)])
-    norm = F.sqrt(
-        F.aggregate(dims, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    emb = F.transform(dims, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)))
-    return byid.select("docID", emb.alias("embedding"))
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    def _embed(batches):
+        for pdf in batches:
+            ids, embs = [], []
+            for doc_id, t in zip(pdf["docID"], pdf["_text"]):
+                toks = tok_re.findall(("" if t is None else t).lower())
+                if not toks:
+                    continue
+                dims = [0.0] * n_dims
+                for tk in toks:
+                    dims[len(tk) % n_dims] += 1.0
+                acc = 0.0
+                for x in dims:
+                    acc = acc + x * x  # left-fold order, as the old plan
+                nrm = math.sqrt(acc)
+                embs.append([x / nrm if nrm > 0 else 0.0 for x in dims])
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "docID": pd.Series(ids, dtype="int64"),
+                    # object dtype keeps list cells; an EMPTY default-dtype
+                    # column would reach Arrow as a float64 ndarray, which
+                    # cannot convert to array<double>
+                    "embedding": pd.Series(embs, dtype="object"),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias("docID"), F.col(text_col).alias("_text")
+    ).mapInPandas(_embed, "docID long, embedding array<double>")
 
 
 def embedding_long_form(embedded: DataFrame) -> DataFrame:

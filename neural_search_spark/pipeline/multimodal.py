@@ -120,6 +120,23 @@ def extract_binary_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("docID", "payload").mapInPandas(_extract, BINARY_META_SCHEMA)
 
 
+def binary_meta_features(binary_df: DataFrame) -> DataFrame:
+    """JVM-native twin of :func:`extract_binary_features` for the
+    deterministic stand-in features: ``n_bytes`` is ``octet_length`` and
+    the md5-prefix checksum is ``conv(substr(md5(payload), 1, 8), 16, 10)``
+    — the identical values, computed without crossing the Python boundary
+    (guide rule: built-ins over UDFs when the function exists; the
+    micro-batched Arrow path above remains the slot a REAL decoder plugs
+    into, and stays covered by the ingest-batching tests)."""
+    return binary_df.select(
+        F.col("docID"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.conv(F.substring(F.md5(F.col("payload")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
 TEXT_DIMS = 8  # text sub-vector (same stand-in as pipeline/embedding.py)
 IMAGE_DIMS = 4  # image sub-vector: one dim per checksum byte
 

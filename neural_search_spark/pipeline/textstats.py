@@ -575,7 +575,10 @@ def doc_keywords(
         + (F.col("_n") - F.col("ndoc") + F.lit(0.5)) / (F.col("ndoc") + F.lit(0.5))
     )
     return (
-        tf.join(nd, "term")
+        # the per-term df table is vocabulary-sized (bounded, zipf-thin) —
+        # broadcasting it keeps the big (docID, term) side un-shuffled
+        # until the per-doc window (SortMergeJoin cost two exchanges here)
+        tf.join(F.broadcast(nd), "term")
         .crossJoin(F.broadcast(tot))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
@@ -608,7 +611,9 @@ def unigram_ppl(
     tf = toks.groupBy("docID", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
     cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     tot = cnt.agg(F.sum("cnt").cast("double").alias("_tot"))
-    j = tf.join(cnt, "term").crossJoin(F.broadcast(tot))
+    # vocabulary-sized model table → broadcast; the (docID, term) side
+    # flows shuffle-free from its aggregation into the scoring join
+    j = tf.join(F.broadcast(cnt), "term").crossJoin(F.broadcast(tot))
     per = j.groupBy("docID").agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         F.sum(F.col("tf") * -F.log2(F.col("cnt") / F.col("_tot"))).alias("_mass"),
@@ -743,7 +748,8 @@ def dsir_weights(
     ratio = F.log((F.col("cnt_t") + 1.0) / (F.col("_nt") + F.col("_v"))) - F.log(
         (F.col("cnt_c") + 1.0) / (F.col("_nc") + F.col("_v"))
     )
-    j = tf.join(lm, "term").crossJoin(scal)
+    # vocabulary-sized LM table → broadcast (same reasoning as unigram_ppl)
+    j = tf.join(F.broadcast(lm), "term").crossJoin(scal)
     per = j.groupBy("docID").agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         F.sum(F.col("tf") * ratio).alias("_mass"),
