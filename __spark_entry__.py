@@ -2838,29 +2838,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver checks the FIRST 50 dict entries per
-    # round): the 9 keys NEW in round 7 plus the CHANGED dedup_semantic
-    # first (a never-driver-checked or changed key outranks any
-    # re-fresh), then the 13 keys whose freshest driver row is round 3
-    # (the r6 verdict's freshness tail), then 27 of the 45 round-4-stale
-    # keys. The remaining 18 r4 keys sit right after position 50 to lead
-    # the round-8 window; r5/r6-fresh keys rotate to the tail.
+    # round): round 8 is the optimization round, so the keys whose
+    # operators were REWRITTEN for performance (bit-identical results,
+    # verified against the oracle locally) come first, then the 18 keys
+    # whose freshest driver row is round 4 (the planned r7 spill), then
+    # the oldest r5-stale keys up to position 50. After this round no
+    # key's freshest driver row is older than r5.
     return {
-        # -- new in round 7 (never driver-checked: outrank any re-fresh) --
+        # -- operators whose INTERNALS changed in round 8 (result-identical
+        # -- rewrites: vectorized kernels, stored PQ codes, broadcast joins)
+        # -- lead the window so the driver re-verifies them first --
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
         "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_pq_batch_topk": q_ann_pq_batch_topk,
-        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "hybrid_ann_pq": q_hybrid_ann_pq,
+        "mm_image_meta": q_mm_image_meta,
+        "text_decontaminate": q_text_decontaminate,
+        "text_embedding": q_text_embedding,
+        "neural_nested_topk": q_neural_nested_topk,
+        "neural_nested_expand": q_neural_nested_expand,
+        "neural_semantic_topk": q_neural_semantic_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "doc_keywords": q_doc_keywords,
+        "text_unigram_ppl": q_text_unigram_ppl,
+        "dsir_weights": q_dsir_weights,
+        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
+        "hybrid_phrase_lex": q_hybrid_phrase_lex,
+        "highlight_semantic": q_highlight_semantic,
+        "neural_topk": q_neural_topk,
+        # -- freshest row r4 (the 16 remaining r4-stale keys; doc_keywords,
+        # -- text_decontaminate already above) --
+        "events_json_prop": q_events_json_prop,
+        "vocab_oov_rate": q_vocab_oov,
+        "term_suggest": q_term_suggest,
+        "length_buckets": q_length_buckets,
+        "contrastive_pairs": q_contrastive_pairs,
+        "doc_token_ids": q_doc_token_ids,
+        "mix_report": q_mix_report,
+        "events_date_histogram": q_events_date_histogram,
+        "vocab_topk": q_vocab_topk,
+        "doc_shuffle_order": q_doc_shuffle_order,
+        "text_repetition": q_text_repetition,
+        "sample_stratified": q_sample_stratified,
+        "bm25_rescored_topk": q_bm25_rescored_topk,
+        "text_pii": q_text_pii,
+        "domain_mixture": q_domain_mixture,
+        "events_funnel": q_events_funnel,
+        # -- oldest r5-stale keys fill the 50-key driver window --
+        "bm25_filtered_topk": q_bm25_filtered_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "doclen_quantized": q_doclen_quantized,
+        "corpus_adapter": q_corpus_adapter,
+        "hybrid_minmax_arith": q_hybrid_minmax_arith,
+        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+        "hybrid_post_filter": q_hybrid_post_filter,
+        "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
+        "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
+        "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
+        "hybrid_agg_metrics": q_hybrid_agg_metrics,
+        # ---- driver window boundary (first 50 keys end here) ----
+        # -- remaining keys in prior order (r5 -> r6 -> r7 freshness tail) --
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "sparse_two_phase_spec": q_sparse_two_phase_spec,
         "ann_quantized_batch_topk": q_ann_quantized_batch_topk,
         "semantic_raw_match_only_topk": q_semantic_raw_match_only_topk,
         "semantic_raw_token_count": q_semantic_raw_token_count,
-        # -- changed in round 7: corpus-scaled n_lists (r6 verdict fix) --
         "dedup_semantic": q_dedup_semantic,
-        # -- freshest row r3 (the 13-key freshness tail the r6 verdict names) --
         "hybrid_explain": q_hybrid_explain,
         "constant_score_topk": q_constant_score_topk,
-        "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_text_image_embedding": q_mm_text_image_embedding,
         "text_lang_id": q_text_lang_id,
@@ -2871,7 +2921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_assign": q_train_split_assign,
         "ids_topk": q_ids_topk,
         "match_all_filtered": q_match_all_filtered,
-        # -- freshest row r4 (32 of 45; the rest lead round 8) --
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_percentiles": q_events_percentiles,
@@ -2883,7 +2932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_topk": q_rank_feature_topk,
         "function_score_topk": q_function_score_topk,
         "events_retention": q_events_retention,
-        "text_unigram_ppl": q_text_unigram_ppl,
         "hybrid_fields_fetch": q_hybrid_fields_fetch,
         "hybrid_agg_composite": q_hybrid_agg_composite,
         "hybrid_agg_global": q_hybrid_agg_global,
@@ -2899,41 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": q_text_gopher_rules,
         "highlight_spec": q_highlight_spec,
         "hybrid_collapse_sorted": q_hybrid_collapse_sorted,
-        "text_repetition": q_text_repetition,
-        "text_decontaminate": q_text_decontaminate,
-        "bm25_rescored_topk": q_bm25_rescored_topk,
-        "text_pii": q_text_pii,
-        "events_funnel": q_events_funnel,
-        # ---- driver window boundary (first 50 keys end here) ----
-        # -- r4-stale spill (lead the round-8 window): deterministic
-        # -- projections/membership cuts, pytest-covered --
-        "vocab_oov_rate": q_vocab_oov,
-        "doc_keywords": q_doc_keywords,
-        "length_buckets": q_length_buckets,
-        "contrastive_pairs": q_contrastive_pairs,
-        "doc_token_ids": q_doc_token_ids,
-        "mix_report": q_mix_report,
-        "events_json_prop": q_events_json_prop,
-        "vocab_topk": q_vocab_topk,
-        "doc_shuffle_order": q_doc_shuffle_order,
-        "domain_mixture": q_domain_mixture,
-        "sample_stratified": q_sample_stratified,
-        "events_date_histogram": q_events_date_histogram,
-        "term_suggest": q_term_suggest,
-        # -- green in round 5 (rotated to the tail) --
-        "bm25_filtered_topk": q_bm25_filtered_topk,
-        "bm25_wand_topk": q_bm25_wand_topk,
-        "doclen_quantized": q_doclen_quantized,
-        "corpus_adapter": q_corpus_adapter,
-        "hybrid_minmax_arith": q_hybrid_minmax_arith,
-        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
-        "hybrid_post_filter": q_hybrid_post_filter,
-        "hybrid_minmax_weighted": q_hybrid_minmax_weighted,
-        "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
-        "hybrid_zscore_geometric": q_hybrid_zscore_geometric,
-        "hybrid_rrf": q_hybrid_rrf,
-        "hybrid_agg_by_repo": q_hybrid_agg_by_repo,
-        "hybrid_agg_metrics": q_hybrid_agg_metrics,
         "hybrid_agg_pipeline": q_hybrid_agg_pipeline,
         "nested_inner_hits": q_nested_inner_hits,
         "chunk_delimiter": q_chunk_delimiter,
@@ -2943,16 +2956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_two_phase_topk": q_sparse_two_phase_topk,
         "sparse_doc_pruned_topk": q_sparse_doc_pruned_topk,
         "highlight_match": q_highlight_match,
-        "text_embedding": q_text_embedding,
         "rerank_by_field": q_rerank_by_field,
         "sort_search_after": q_sort_search_after,
         "hybrid_paginated": q_hybrid_paginated,
         "hybrid_collapse_lang": q_hybrid_collapse_lang,
         "hybrid_neural_dense": q_hybrid_neural_dense,
         "hybrid_lex_sparse_dense": q_hybrid_lex_sparse_dense,
-        "hybrid_phrase_lex": q_hybrid_phrase_lex,
         "hybrid_bool_lex": q_hybrid_bool_lex,
-        "neural_topk": q_neural_topk,
         "rerank_ml": q_rerank_ml,
         "hybrid_max_score": q_hybrid_max_score,
         "hybrid_spec_enriched": q_hybrid_spec_enriched,
@@ -2965,19 +2975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_analyzer_topk": q_sparse_analyzer_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "neural_batch_topk": q_neural_batch_topk,
-        "dsir_weights": q_dsir_weights,
         "pack_efficiency": q_pack_efficiency,
         "dedup_canonical": q_dedup_canonical,
         "events_anomaly": q_events_anomaly,
         "match_bool_prefix_topk": q_match_bool_prefix_topk,
-        # -- green in round 6 (freshest, tail) --
         "bm25_match_topk": q_bm25_match_topk,
         "bm25_term_topk": q_bm25_term_topk,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
@@ -2994,15 +2999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_spec_full": q_hybrid_spec_full,
         "neural_max_distance": q_neural_max_distance,
         "neural_rescored_topk": q_neural_rescored_topk,
-        "neural_nested_topk": q_neural_nested_topk,
-        "neural_nested_expand": q_neural_nested_expand,
-        "highlight_semantic": q_highlight_semantic,
         "dedup_clusters": q_dedup_clusters,
         "bm25_match_and_topk": q_bm25_match_and_topk,
         "bm25_match_msm_topk": q_bm25_match_msm_topk,
         "hybrid_bool_boosted": q_hybrid_bool_boosted,
         "hybrid_agg_range": q_hybrid_agg_range,
-        "bm25_multi_match_phrase": q_bm25_multi_match_phrase,
         "wildcard_topk": q_wildcard_topk,
         "range_topk": q_range_topk,
         "dis_max_topk": q_dis_max_topk,
@@ -3011,14 +3012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_updated_index_topk": q_bm25_updated_index_topk,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "stream_sessionize_batch": q_stream_sessionize_batch,
-        "neural_semantic_topk": q_neural_semantic_topk,
         "semantic_sparse_topk": q_semantic_sparse_topk,
         "semantic_sparse_analyzer_topk": q_semantic_sparse_analyzer_topk,
         "quality_threshold_sweep": q_quality_threshold_sweep,
         "hybrid_ann_dense": q_hybrid_ann_dense,
         "hybrid_trimodal_ann": q_hybrid_trimodal_ann,
         "rerank_context": q_rerank_context,
-        "bm25_phrase_scan_topk": q_bm25_phrase_scan_topk,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
     }
 

@@ -22,6 +22,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from neural_search_spark.pipeline import params as P
@@ -455,6 +457,12 @@ def ann_lsh_topk(
     Deterministic contract (oracle-checkable): candidates = vectors whose
     bucket is in the probe set; rank by cosine desc, vec_id asc.
     """
+    if int(multi_probe) > P.N_HYPERPLANES:
+        raise ValueError(
+            f"multi_probe {multi_probe} > {P.N_HYPERPLANES} hyperplanes: "
+            "flipping a bit beyond the plane count XORs toward buckets that "
+            "cannot exist, so the extra probes would be silent no-ops"
+        )
     b = lsh_buckets(emb, id_col, vec_col)
     q = b.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
@@ -642,7 +650,9 @@ def _adc_lookup(
     """(adot, an2, qnorm) for ONE query vector given the shared per-subspace
     code positions: literal per-(m, code) partial-dot / squared-norm
     lookups accumulated left-to-right across subspaces."""
-    qnorm = _fold_dot(qv, qv) ** 0.5
+    # math.sqrt is correctly rounded on every platform (pow(x, 0.5) is
+    # not guaranteed to be), matching the oracle's sqrt() bit-for-bit
+    qnorm = math.sqrt(_fold_dot(qv, qv))
     adot = None
     an2 = None
     for mm, (codes_m, pos) in enumerate(positions):

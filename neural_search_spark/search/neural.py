@@ -264,6 +264,14 @@ def neural_clause_scores_ann(
             (int(r["m"]), int(r["code"])): [float(x) for x in r["centroid"]]
             for r in pq.collect()  # O(M·K) rows — bounded by design
         }
+        for (mm, code), cent in cb.items():
+            if len(cent) != subdim or not (0 <= mm < int(pq_m)):
+                raise ValueError(
+                    f"codebook entry (m={mm}, code={code}) has subvector length "
+                    f"{len(cent)}, expected {subdim} over {pq_m} subspaces — a "
+                    "codebook trained with a different pq_m would silently "
+                    "produce wrong ADC scores (zip_with truncates)"
+                )
         probe_ids = [
             r["list_id"]
             for r in cents.orderBy(
