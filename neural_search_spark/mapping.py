@@ -212,7 +212,6 @@ def apply_semantic_mapping(
     METADATA — the index-metadata analog
     :func:`target_field_config` resolves at query time."""
     from neural_search_spark import stats as _stats
-    from neural_search_spark.pipeline.embedding import text_embedding_stub
 
     _stats.record_event("semantic_field_executions")
     if raw_field_type not in SEMANTIC_RAW_FIELD_TYPES:
@@ -237,17 +236,25 @@ def apply_semantic_mapping(
     if raw_field_type != "text":
         meta["raw_field_type"] = raw_field_type
 
-    def _embed(keyed: DataFrame, text_col: str, key_col: str) -> DataFrame:
-        """(key, embedding) for the chosen model kind; token-less rows are
-        dropped on both paths (empty values are skipped by the mapper)."""
-        if not sparse:
-            return text_embedding_stub(keyed, text_col=text_col, id_col=key_col)
-        from neural_search_spark.search.sparse import sparse_features_from_tf
-
-        feats = sparse_features_from_tf(keyed, text_col=text_col, id_col=key_col)
-        return feats.where(F.size("features") > 0).select(
-            "docID", F.col("features").alias("embedding")
+    def _embed_col(text_col_expr) -> "F.Column":
+        """Embedding column for the chosen model kind, NULL for token-less
+        values (empty values are skipped by the mapper). Inline — the
+        embedding is a pure per-row function, so attaching it needs no
+        keyed join: the old (key, embedding) table + docID join cost two
+        exchanges and a corpus-content shuffle per mapping application.
+        Values are bit-identical to text_embedding_stub /
+        sparse_features_from_tf (same arithmetic, same order — see
+        embedding_col_udf / sparse_features_col_udf)."""
+        from neural_search_spark.pipeline.embedding import (
+            embedding_col_udf,
+            sparse_features_col_udf,
         )
+
+        if not sparse:
+            _stats.record_event("text_embedding_executions")
+            return embedding_col_udf()(text_col_expr)
+        _stats.record_event("sparse_encoding_executions")
+        return sparse_features_col_udf()(text_col_expr)
     if chunking:
         from neural_search_spark.analysis.chunking import chunk_table
 
@@ -261,16 +268,12 @@ def apply_semantic_mapping(
         )
         # surrogate chunk key for the one-id-column stub; every chunker
         # caps chunk counts far below 100000
-        keyed = chunks.select(
-            (F.col("_pid") * 100000 + F.col("chunk_idx")).alias("ckey"), "chunk"
-        )
-        emb = _embed(keyed, text_col="chunk", key_col="ckey").select(
-            (F.col("docID") / 100000).cast("long").alias("_pid"),
-            (F.col("docID") % 100000).cast("int").alias("chunk_idx"),
-            F.col("embedding"),
-        )
+        # inline per-chunk embedding: no surrogate key, no chunk join
+        chunked = chunks.select(
+            "_pid", "chunk_idx", "chunk", _embed_col(F.col("chunk")).alias("embedding")
+        ).where(F.col("embedding").isNotNull())  # drop token-less chunks
         per_doc = (
-            chunks.join(emb, ["_pid", "chunk_idx"])  # inner: drop token-less
+            chunked
             .groupBy("_pid")
             .agg(
                 # explicit chunk_idx comparator: the struct holds a MAP on
@@ -304,10 +307,7 @@ def apply_semantic_mapping(
             ).alias(info_name, metadata=meta),
         )
         return out.drop("_pid", "_chunks")
-    emb = _embed(df, text_col=field, key_col=id_col).select(
-        F.col("docID").alias(id_col), F.col("embedding").alias("_emb")
-    )
-    out = df.join(emb, id_col, "left").withColumn(
+    out = df.withColumn("_emb", _embed_col(F.col(field))).withColumn(
         info_name,
         F.struct(
             F.struct(

@@ -793,10 +793,34 @@ def embedding_near_dups(
     per_bucket = max(1.0, float(n_total) / float(1 << P.N_HYPERPLANES))
     g = int(min(PAIR_CHUNK_MAX, max(1, -(-int(per_bucket) // PAIR_CHUNK_TARGET_ROWS))))
 
+    # the sign bucket computes in the same Arrow pass as the rest of the
+    # kernel pipeline: the JVM expression form (4 zip_with/aggregate plane
+    # dots per row) is interpreted per element and cost ~1s of the scan at
+    # sf1; the numpy accumulation below is the identical left-fold order
+    # over float64 (stored float32 widens exactly on both paths), so every
+    # sign — and bucket — matches the expression and the oracle bit-for-bit
+    planes = [list(map(float, h)) for h in P.HYPERPLANES]
+
+    @F.pandas_udf("int")
+    def _bucket_udf(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        vm = np.array([np.asarray(x, dtype="float64") for x in vecs])
+        out = np.zeros(len(vecs), dtype="int32")
+        for j, h in enumerate(planes):
+            acc = np.zeros(len(vecs), dtype="float64")
+            for d in range(vm.shape[1]):
+                acc = acc + vm[:, d] * h[d]  # left-fold order
+            out += (acc > 0).astype("int32") << j
+        return pd.Series(out)
+
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        embedding_bucket_expr(vec_col).alias("bucket"),
+        _bucket_udf(F.col(vec_col)).alias("bucket"),
         F.pmod(F.col(id_col), F.lit(g)).cast("int").alias("g"),
     )
     # replicate each row into every chunk-pair block it participates in:

@@ -87,6 +87,76 @@ def text_embedding_stub(
     ).mapInPandas(_embed, "docID long, embedding array<double>")
 
 
+def embedding_col_udf(n_dims: int = N_DIMS):
+    """Column form of the stand-in model: text → L2-normalized embedding,
+    NULL when the text has no tokens — the inline twin of
+    :func:`text_embedding_stub` (same per-row arithmetic in the same IEEE
+    order), for callers that attach the embedding to an existing row
+    (semantic mapping) and would otherwise pay a docID join + two
+    exchanges to re-attach a value that is a pure function of the row."""
+    import math
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _emb(texts):
+        out = []
+        for t in texts:
+            toks = tok_re.findall(("" if t is None else t).lower())
+            if not toks:
+                out.append(None)
+                continue
+            dims = [0.0] * n_dims
+            for tk in toks:
+                dims[len(tk) % n_dims] += 1.0
+            acc = 0.0
+            for x in dims:
+                acc = acc + x * x  # left-fold order, as text_embedding_stub
+            nrm = math.sqrt(acc)
+            out.append([x / nrm if nrm > 0 else 0.0 for x in dims])
+        return pd.Series(out, dtype="object")
+
+    return _emb
+
+
+def sparse_features_col_udf():
+    """Column form of the sparse_encoding stand-in: text → map<term,float>
+    feature vector (weight = term frequency), NULL when the text has no
+    tokens — the inline twin of
+    :func:`neural_search_spark.search.sparse.sparse_features_from_tf`
+    restricted to non-empty values, for the same join-avoidance reason as
+    :func:`embedding_col_udf`."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import FloatType, MapType, StringType
+
+    from collections import Counter
+
+    from neural_search_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    @F.pandas_udf(MapType(StringType(), FloatType()))
+    def _feats(texts):
+        out = []
+        for t in texts:
+            toks = tok_re.findall(("" if t is None else t).lower())
+            if not toks:
+                out.append(None)
+                continue
+            out.append({k: float(c) for k, c in Counter(toks).items()})
+        return pd.Series(out, dtype="object")
+
+    return _feats
+
+
 def embedding_long_form(embedded: DataFrame) -> DataFrame:
     """(docID, dim, value) exploded form for oracle comparison."""
     return embedded.select(
