@@ -519,149 +519,39 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs within a blocking key (e.g. lang).
 
-    The blocking key bounds the pair space; at 10^12 scale you'd compose
+    The blocking key bounds the self-join; at 10^12 scale you'd compose
     this after an LSH prefilter (see minhash_near_dups) rather than rely
-    on blocking alone. ``persist`` is kept for API stability but unused:
-    the rewritten plan reads the shingle table exactly once.
-
-    Execution shape (round 8): the old formulation self-joined the
-    exploded shingle rows on (sh, blk) and aggregated — at sf1 that
-    enumerated >5·10⁷ colliding doc pairs through a shuffle+hash-agg and
-    dominated the operator. Intersection counts are now computed
-    block-parallel in numpy: each block key's docs ship ONCE as per-doc
-    shingle-set arrays (no explode, no self-join), every unordered
-    chunk-pair block counts shared shingles via a segmented
-    cross-product + ``bincount`` (C-speed), and the Jaccard + threshold
-    evaluate in the same kernel. The per-value cross products are the
-    SAME pair multiset the join emitted, and each doc's array is its
-    distinct shingle set, so ``inter``/``ca``/``cb`` — and therefore
-    round4(inter/(ca+cb−inter)) in the identical IEEE order — are
-    unchanged.
+    on blocking alone. ``persist`` caches the shingle table — it feeds
+    both self-join sides plus the per-doc size aggregate (3 references),
+    and the tokenize+hash lineage would otherwise re-run per reference.
     """
-    import numpy as np
-    import pandas as pd
-
-    del persist  # single-pass plan; nothing is multi-referenced anymore
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        _shingle_hash_udf(P.SHINGLE_N)(F.col(text_col)).alias("shs"),
+    sh = doc_shingles(df, text_col, id_col).join(
+        df.select(F.col(id_col).alias("docID"), F.col(block_col).alias("blk")), "docID"
     )
-    blk_max = (
-        df.groupBy(block_col).count().agg(F.max("count").alias("m")).head()["m"]
-    ) or 1
-    g = int(min(PAIR_CHUNK_MAX, max(1, -(-int(blk_max) // JACCARD_CHUNK_TARGET_ROWS))))
-    b = base.withColumn("g", F.pmod(F.col("id"), F.lit(g)).cast("int"))
-    # NOTE: Spark's sequence(start, stop) counts DOWN when start > stop,
-    # so the i < g leg must be guarded for g == 0 (sequence(0, -1) would
-    # yield [0, -1]: a duplicated (0,0) block plus a bogus (-1,0) one,
-    # i.e. duplicated output pairs whenever the chunk count > 1).
-    empty_blocks = F.array().cast("array<struct<ga:int,gb:int>>")
-    blocks = F.concat(
-        F.transform(
-            F.sequence(F.col("g"), F.lit(g - 1)),
-            lambda j: F.struct(F.col("g").alias("ga"), j.alias("gb")),
-        ),
-        F.when(
-            F.col("g") > 0,
-            F.transform(
-                F.sequence(F.lit(0), F.col("g") - 1),
-                lambda i: F.struct(i.alias("ga"), F.col("g").alias("gb")),
-            ),
-        ).otherwise(empty_blocks)
-        if g > 1
-        else empty_blocks,
+    if persist:
+        sh = sh.persist()
+    sa = sh.select(F.col("docID").alias("docA"), "sh", "blk")
+    sb = sh.select(F.col("docID").alias("docB"), "sh", "blk")
+    inter = (
+        sa.join(sb, ["sh", "blk"])
+        .where(F.col("docA") < F.col("docB"))
+        .groupBy("docA", "docB")
+        .agg(F.count("*").alias("inter"))
     )
-    exploded = b.select(
-        "id", "blk", "shs", "g", F.explode(blocks).alias("blk_pair")
-    ).select(
-        "id", "blk", "shs", "g",
-        F.col("blk_pair.ga").alias("ga"), F.col("blk_pair.gb").alias("gb"),
-    )
-
-    thr = float(threshold)
-
-    def _sets(pdf: "pd.DataFrame"):
-        ids = pdf["id"].to_numpy(dtype="int64")
-        sets = [np.asarray(x, dtype="int64") for x in pdf["shs"]]
-        lens = np.array([len(x) for x in sets], dtype="int64")
-        sh = np.concatenate(sets) if sets else np.empty(0, dtype="int64")
-        own = np.repeat(np.arange(len(sets), dtype="int64"), lens)
-        return ids, lens, sh, own
-
-    def _score_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        _blk, ga, gb = key
-        empty = pd.DataFrame(
-            {
-                "docA": pd.Series(dtype="int64"),
-                "docB": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
+    sizes = sh.groupBy("docID").agg(F.count("*").alias("cnt"))
+    ca = sizes.select(F.col("docID").alias("docA"), F.col("cnt").alias("ca"))
+    cb = sizes.select(F.col("docID").alias("docB"), F.col("cnt").alias("cb"))
+    return (
+        inter.join(ca, "docA")
+        .join(cb, "docB")
+        .select(
+            "docA",
+            "docB",
+            P.round4(
+                F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+            ).alias("jaccard"),
         )
-        pdf = pdf.sort_values("id", kind="mergesort")
-        same = int(ga) == int(gb)
-        if same:
-            ids_a, lens_a, sh_a, own_a = _sets(pdf)
-            ids_b, lens_b, sh_b, own_b = ids_a, lens_a, sh_a, own_a
-        else:
-            ma = pdf["g"].to_numpy() == int(ga)
-            ids_a, lens_a, sh_a, own_a = _sets(pdf[ma])
-            ids_b, lens_b, sh_b, own_b = _sets(pdf[~ma])
-        na, nb = len(ids_a), len(ids_b)
-        if len(sh_a) == 0 or len(sh_b) == 0:
-            return empty
-        # segment the two shingle streams by shared value id
-        u, inv = np.unique(np.concatenate([sh_a, sh_b]), return_inverse=True)
-        inva, invb = inv[: len(sh_a)], inv[len(sh_a) :]
-        nv = len(u)
-        ca_v = np.bincount(inva, minlength=nv)
-        cb_v = np.bincount(invb, minlength=nv)
-        a_sorted = own_a[np.argsort(inva, kind="stable")]
-        b_sorted = own_b[np.argsort(invb, kind="stable")]
-        starts_a = np.concatenate([[0], np.cumsum(ca_v)[:-1]])
-        starts_b = np.concatenate([[0], np.cumsum(cb_v)[:-1]])
-        ppv = ca_v * cb_v  # pair instances per shared value
-        sel = np.nonzero(ppv)[0]
-        if len(sel) == 0:
-            return empty
-        counts = np.zeros(na * nb, dtype="int64")
-        cum = np.cumsum(ppv[sel])
-        lo = 0
-        budget = 1 << 23  # bound the expanded index arrays per step
-        while lo < len(sel):
-            prev = cum[lo - 1] if lo else 0
-            hi = max(int(np.searchsorted(cum, prev + budget, side="right")), lo + 1)
-            vs = sel[lo:hi]
-            reps = ppv[vs]
-            total = int(cum[hi - 1] - prev)
-            vidx = np.repeat(vs, reps)
-            offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
-            r = np.arange(total, dtype="int64") - np.repeat(offs, reps)
-            ia = a_sorted[starts_a[vidx] + r // cb_v[vidx]]
-            jb = b_sorted[starts_b[vidx] + r % cb_v[vidx]]
-            counts += np.bincount(ia * nb + jb, minlength=na * nb)
-            lo = hi
-        inter = counts.reshape(na, nb)
-        hit = inter > 0
-        jac = np.zeros((na, nb), dtype="float64")
-        denom = lens_a[:, None] + lens_b[None, :] - inter
-        # same IEEE order as the old expression: (long/long division in
-        # float64) * 10000 + 0.5, floored, / 10000
-        jac[hit] = np.floor(inter[hit] / denom[hit] * 10000 + 0.5) / 10000
-        mask = hit & (jac >= thr)
-        if same:
-            mask &= ids_a[:, None] < ids_b[None, :]
-        ii, jj = np.nonzero(mask)
-        if len(ii) == 0:
-            return empty
-        lo_ids = np.minimum(ids_a[ii], ids_b[jj])
-        hi_ids = np.maximum(ids_a[ii], ids_b[jj])
-        return pd.DataFrame(
-            {"docA": lo_ids, "docB": hi_ids, "jaccard": jac[ii, jj]}
-        )
-
-    return exploded.groupBy("blk", "ga", "gb").applyInPandas(
-        _score_block, schema="docA long, docB long, jaccard double"
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -753,9 +643,6 @@ def semantic_dedup(
 #: memory at any corpus size (the chunk count G is DERIVED from the data,
 #: never a constant tuned to one scale).
 PAIR_CHUNK_TARGET_ROWS = 4096
-#: jaccard blocks carry whole shingle-set arrays (~200 longs/doc), so the
-#: per-side chunk target is smaller than the embedding kernel's
-JACCARD_CHUNK_TARGET_ROWS = 4096
 PAIR_CHUNK_MAX = 64
 
 

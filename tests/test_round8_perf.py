@@ -314,7 +314,6 @@ def test_pair_blocks_no_duplicates_when_chunked(spark, monkeypatch):
     from neural_search_spark.pipeline import dedup as dd
 
     monkeypatch.setattr(dd, "PAIR_CHUNK_TARGET_ROWS", 4)
-    monkeypatch.setattr(dd, "JACCARD_CHUNK_TARGET_ROWS", 4)
 
     rng = random.Random(11)
     from neural_search_spark.pipeline import params as P
@@ -332,68 +331,4 @@ def test_pair_blocks_no_duplicates_when_chunked(spark, monkeypatch):
     assert all(a < b for a, b in keys)
     assert {(i, 1000 + i) for i in range(0, 60, 2)} <= set(keys)
 
-    doc_rows = []
-    for i in range(40):
-        words = " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "eps"]) for _ in range(12))
-        doc_rows.append((i, "en", words))
-        if i % 2 == 0:
-            doc_rows.append((1000 + i, "en", words))
-    docs = spark.createDataFrame(doc_rows, "docID long, lang string, content string")
-    jp = dd.ngram_jaccard_pairs(docs, "lang").collect()
-    jkeys = [(r["docA"], r["docB"]) for r in jp]
-    assert len(jkeys) == len(set(jkeys)), "duplicated jaccard pairs"
-    assert {(i, 1000 + i) for i in range(0, 40, 2)} <= set(jkeys)
-    assert all(
-        abs(r["jaccard"] - 1.0) < 1e-12
-        for r in jp
-        if (r["docA"], r["docB"]) in {(i, 1000 + i) for i in range(0, 40, 2)}
-    )
 
-
-def test_ngram_jaccard_kernel_matches_join_form(spark):
-    """The numpy segment kernel must equal the old self-join formulation
-    exactly (inter / sizes / round4 threshold)."""
-    import random
-
-    from neural_search_spark.pipeline.dedup import doc_shingles, ngram_jaccard_pairs
-    from neural_search_spark.pipeline import params as P
-
-    rng = random.Random(5)
-    vocab = ["w%d" % i for i in range(30)]
-    rows = []
-    for i in range(50):
-        words = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
-        rows.append((i, rng.choice(["en", "de"]), words))
-        if i % 4 == 0:
-            rows.append((500 + i, rows[-1][1], words + " extra tail words here"))
-    docs = spark.createDataFrame(rows, "docID long, lang string, content string")
-
-    got = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, "lang").collect())
-
-    sh = doc_shingles(docs).join(
-        docs.select(F.col("docID"), F.col("lang").alias("blk")), "docID"
-    )
-    sa = sh.select(F.col("docID").alias("docA"), "sh", "blk")
-    sb = sh.select(F.col("docID").alias("docB"), "sh", "blk")
-    inter = (
-        sa.join(sb, ["sh", "blk"])
-        .where(F.col("docA") < F.col("docB"))
-        .groupBy("docA", "docB")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sh.groupBy("docID").agg(F.count("*").alias("cnt"))
-    from neural_search_spark.pipeline.params import round4
-
-    want = sorted(
-        tuple(r)
-        for r in inter.join(sizes.select(F.col("docID").alias("docA"), F.col("cnt").alias("ca")), "docA")
-        .join(sizes.select(F.col("docID").alias("docB"), F.col("cnt").alias("cb")), "docB")
-        .select(
-            "docA",
-            "docB",
-            round4(F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= P.NGRAM_JACCARD_THRESHOLD)
-        .collect()
-    )
-    assert got == want
